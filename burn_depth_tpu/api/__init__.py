@@ -1,0 +1,12 @@
+"""Unified inference API: preprocessing, prediction struct, model registry.
+
+TPU-native counterpart of reference ``src/inference.rs`` + ``src/model/mod.rs``.
+"""
+
+from burn_depth_tpu.api.predict import (  # noqa: F401
+    DepthPrediction,
+    infer_from_rgb,
+    rgb_to_input_tensor,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)

@@ -1,0 +1,87 @@
+"""2-D convolution / transposed convolution with PyTorch layout + semantics.
+
+Weights keep the PyTorch layouts — ``Conv2d: [out, in, kh, kw]``,
+``ConvTranspose2d: [in, out, kh, kw]`` — so checkpoint import is a pure
+structural copy (the reference instead has to dim-swap convT weights after
+import, ``maybe_fix_conv_transpose2d`` in ``src/model/depth_pro/mod.rs:416-431``;
+keeping torch layout end-to-end removes that failure mode entirely).
+
+Both lower to ``lax.conv_general_dilated`` which XLA:TPU maps onto the MXU.
+Matmul accumulation is pinned to f32 via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def _pair(v):
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+def conv2d(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride=1,
+    padding=0,
+    dilation=1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """``torch.nn.functional.conv2d`` equivalent. ``x: [N,C,H,W]``, ``weight: [O,I/g,kh,kw]``."""
+    stride = _pair(stride)
+    dilation = _pair(dilation)
+    pad_h, pad_w = _pair(padding)
+    out = lax.conv_general_dilated(
+        x,
+        weight.astype(x.dtype),
+        window_strides=stride,
+        padding=((pad_h, pad_h), (pad_w, pad_w)),
+        rhs_dilation=dilation,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)[None, :, None, None]
+    return out
+
+
+def conv_transpose2d(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride=1,
+    padding=0,
+) -> jnp.ndarray:
+    """``torch.nn.functional.conv_transpose2d`` equivalent.
+
+    ``x: [N,I,H,W]``, ``weight: [I,O,kh,kw]`` (torch layout).  Implemented as a
+    fractionally-strided convolution: dilate the input by ``stride``, convolve
+    with the spatially-flipped, IO-swapped kernel, pad ``k-1-p``.  Every convT
+    in these models has ``k == stride`` (2x2 s2 / 4x4 s4, e.g. reference
+    ``encoder.rs:60-68``, ``dpt.rs:164-191``) so there is no output overlap,
+    but the general form is implemented and torch-tested.
+    """
+    stride = _pair(stride)
+    pad_h, pad_w = _pair(padding)
+    kh, kw = weight.shape[2], weight.shape[3]
+    # [I,O,kh,kw] -> flip spatial -> [O,I,kh,kw]
+    w = jnp.flip(weight, axis=(2, 3)).swapaxes(0, 1)
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((kh - 1 - pad_h, kh - 1 - pad_h), (kw - 1 - pad_w, kw - 1 - pad_w)),
+        lhs_dilation=stride,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)[None, :, None, None]
+    return out

@@ -1,0 +1,27 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+This mirrors the reference's CI strategy of testing on the NdArray CPU backend
+(``.github/workflows/test.yml:34-36``) — correctness is checked on CPU-jit;
+the same jitted code runs on TPU unchanged.  The 8 virtual devices let the
+multi-chip sharding tests (``tests/test_parallel.py``) validate mesh layouts
+without TPU hardware.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.  Force-set: the session env
+# pins JAX_PLATFORMS to the TPU platform, but tests always run on CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Parity tests compare against PyTorch f32 — forbid bf16 matmul demotion.
+# (The serving path on TPU deliberately keeps the fast default.)
+os.environ["JAX_DEFAULT_MATMUL_PRECISION"] = "highest"
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+# The session's TPU platform plugin ignores the JAX_PLATFORMS env var, so pin
+# the platform through the config as well.
+jax.config.update("jax_platforms", "cpu")
