@@ -1,0 +1,149 @@
+"""Multi-head attention: Pallas flash-attention on TPU, jnp reference path
+elsewhere.
+
+This is the hot loop of every model here — e.g. Depth Pro's batched 35-tile
+ViT-L pass is ~95% of its FLOPs (SURVEY.md §3.1).  Sequence lengths are short
+and static (577 tokens for Depth Pro's 384² windows, ~1370 for DA3 @518²), so
+the kernel keeps full K/V resident in VMEM and streams query blocks — no
+online-softmax rescaling pass is needed, each query block sees every key in
+one shot.  Scores and the softmax run in f32; inputs may be bf16.
+
+VMEM budget at the worst case (DA3-L: T=1408 padded, hd=64, f32):
+K + V = 2·1408·64·4 ≈ 720 KB, scores block 128·1408·4 ≈ 720 KB — comfortably
+inside the ~16 MB/core VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU builds too; guard anyway.
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+# --------------------------------------------------------------------------
+# jnp reference path
+# --------------------------------------------------------------------------
+
+
+def _attention_jnp(q, k, v, scale: float, quiet_softmax: bool):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    s = s.astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    if quiet_softmax:
+        # softmax-with-one: +1 in the (unshifted) denominator.
+        denom = denom + jnp.exp(-m)
+    p = p / denom
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+# --------------------------------------------------------------------------
+# Pallas TPU kernel
+# --------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, quiet: bool):
+    """One (batch·head, q-block) grid cell: full-K attention for a query block."""
+    q = q_ref[0].astype(jnp.float32)  # [Bq, hd]
+    k = k_ref[0].astype(jnp.float32)  # [Tp, hd]
+    v = v_ref[0].astype(jnp.float32)  # [Tp, hd]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [Bq, Tp]
+
+    # Mask padded keys.
+    t_pad = s.shape[-1]
+    if t_pad != seq_len:
+        key_ids = lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(key_ids < seq_len, s, -jnp.inf)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    if quiet:
+        denom = denom + jnp.exp(-m)
+    p = p / denom
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "quiet_softmax", "q_block"))
+def _attention_pallas(q, k, v, scale: float, quiet_softmax: bool, q_block: int = 256):
+    b, h, t, hd = q.shape
+    bh = b * h
+    t_pad = _round_up(t, 128)
+    q_block = min(q_block, t_pad)
+    tq_pad = _round_up(t, q_block)
+    hd_pad = _round_up(hd, 128)
+
+    qf = q.reshape(bh, t, hd)
+    kf = k.reshape(bh, t, hd)
+    vf = v.reshape(bh, t, hd)
+    qf = jnp.pad(qf, ((0, 0), (0, tq_pad - t), (0, hd_pad - hd)))
+    kf = jnp.pad(kf, ((0, 0), (0, t_pad - t), (0, hd_pad - hd)))
+    vf = jnp.pad(vf, ((0, 0), (0, t_pad - t), (0, hd_pad - hd)))
+
+    grid = (bh, tq_pad // q_block)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, seq_len=t, quiet=quiet_softmax),
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, hd_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+    )(qf, kf, vf)
+    return out[:, :t, :hd].reshape(b, h, t, hd)
+
+
+# --------------------------------------------------------------------------
+# public entry
+# --------------------------------------------------------------------------
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    quiet_softmax: bool = False,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Scaled-dot-product attention over ``[B, H, T, hd]`` tensors.
+
+    ``impl``: ``"auto"`` (pallas on TPU, jnp elsewhere), ``"pallas"``, ``"jnp"``.
+    """
+    if scale is None:
+        scale = float(q.shape[-1]) ** -0.5
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "jnp"
+    if impl == "pallas":
+        return _attention_pallas(q, k, v, scale=scale, quiet_softmax=quiet_softmax)
+    if impl == "jnp":
+        return _attention_jnp(q, k, v, scale, quiet_softmax)
+    raise ValueError(f"unknown attention impl `{impl}`")
