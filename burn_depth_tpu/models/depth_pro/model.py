@@ -1,0 +1,242 @@
+"""Depth Pro top-level model (reference ``src/model/depth_pro/mod.rs``).
+
+The full ``infer`` — input resize, 3-scale encoder with the batched 35-tile
+ViT pass, decoder, depth head, FOV head, focal math, output resize — is one
+pure function that jit-compiles to a single XLA program with zero host
+round-trips (the reference crosses device↔host on every custom resize,
+SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from burn_depth_tpu.models.depth_pro import encoder as enc_mod
+from burn_depth_tpu.models.depth_pro.decoder import decoder_forward, init_decoder
+from burn_depth_tpu.models.depth_pro.fov import fov_forward, init_fov
+from burn_depth_tpu.ops.activations import relu
+from burn_depth_tpu.ops.conv import conv2d, conv_transpose2d
+from burn_depth_tpu.ops.interpolate import resize_bilinear
+from burn_depth_tpu.vit.dinov2 import DinoViTConfig, init_dinov2
+
+
+def _l16_vit(img_size: int) -> DinoViTConfig:
+    """The ``dinov2l16_384`` preset family (``vit.rs:20-43``): ViT-L/16 with
+    quiet-softmax and register tokens disabled (``vit.rs:60-63``)."""
+    return DinoViTConfig.vitl(img_size, 16)
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthProConfig:
+    """Reference ``DepthProConfig`` (``mod.rs:35-66``) with the ViT presets
+    inlined as configs instead of preset strings."""
+
+    patch_encoder: DinoViTConfig = dataclasses.field(default_factory=lambda: _l16_vit(384))
+    image_encoder: DinoViTConfig = dataclasses.field(default_factory=lambda: _l16_vit(384))
+    fov_encoder: Optional[DinoViTConfig] = dataclasses.field(default_factory=lambda: _l16_vit(384))
+    decoder_features: int = 256
+    encoder_feature_dims: tuple[int, int, int, int] = (256, 512, 1024, 1024)
+    hook_ids: tuple[int, int] = (5, 11)
+    use_fov_head: bool = True
+    attn_impl: str = "auto"
+
+    @property
+    def img_size(self) -> int:
+        """Full working resolution = 4x the patch window (``encoder.rs:140``)."""
+        return self.patch_encoder.img_size * 4
+
+    @staticmethod
+    def dinov2_l16_384() -> "DepthProConfig":
+        return DepthProConfig()
+
+    @staticmethod
+    def dinov2_l16_128() -> "DepthProConfig":
+        """The reference's reduced test preset (512² working res, ``vit.rs:33-40``)."""
+        return DepthProConfig(
+            patch_encoder=_l16_vit(128), image_encoder=_l16_vit(128), fov_encoder=_l16_vit(128)
+        )
+
+    @staticmethod
+    def tiny_test(depth: int = 2, embed_dim: int = 64, heads: int = 2) -> "DepthProConfig":
+        """A miniature config for fast CPU tests (not a reference preset).
+
+        Keeps the reference test-preset geometry — patch 16, window 128, grid 8
+        (``DINOV2_L16_128``, ``vit.rs:33-40``) — because the split/merge seam
+        ladder and the 1/16 feature-to-image ratio only line up for that shape;
+        just the transformer itself is shrunk.
+        """
+        vit = DinoViTConfig(
+            img_size=128, patch_size=16, embed_dim=embed_dim, depth=depth, num_heads=heads
+        )
+        return DepthProConfig(
+            patch_encoder=vit,
+            image_encoder=vit,
+            fov_encoder=vit,
+            decoder_features=16,
+            encoder_feature_dims=(16, 24, 32, 32),
+            hook_ids=(0, 1),
+        )
+
+
+@dataclasses.dataclass
+class DepthProInference:
+    """Reference ``DepthProInference`` (``mod.rs:128-133``)."""
+
+    depth: jnp.ndarray  # [B, H, W] metric depth
+    focallength_px: jnp.ndarray  # [B]
+    fovx_deg: jnp.ndarray  # [B]
+    fovy_rad: jnp.ndarray  # [B]
+
+
+def fovy_from_fovx_rad(fovx_rad: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """``fovy = 2·atan((H/W)·tan(fovx/2))`` — exact.  The reference's Rajan
+    polynomial (``mod.rs:370-414``) existed only because Burn lacked atan;
+    exact atan is strictly closer to the PyTorch golden values."""
+    return 2.0 * jnp.arctan((h / w) * jnp.tan(fovx_rad * 0.5))
+
+
+def _init_depth_head(rng: jax.Array, dim_decoder: int, dtype=jnp.float32) -> dict:
+    """``DepthHead::new`` (``mod.rs:76-103``); ``conv_out`` bias is zero-init
+    like the reference (``mod.rs:92-95``)."""
+    from burn_depth_tpu.models.da3.dpt import _conv_init, _convT_init
+
+    k = jax.random.split(rng, 4)
+    head = {
+        "conv0": _conv_init(k[0], dim_decoder // 2, dim_decoder, 3, 3, dtype=dtype),
+        "deconv": _convT_init(k[1], dim_decoder // 2, dim_decoder // 2, 2, 2, dtype=dtype),
+        "conv1": _conv_init(k[2], 32, dim_decoder // 2, 3, 3, dtype=dtype),
+        "conv_out": _conv_init(k[3], 1, 32, 1, 1, dtype=dtype),
+    }
+    head["conv_out"]["bias"] = jnp.zeros_like(head["conv_out"]["bias"])
+    return head
+
+
+def _depth_head_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """``DepthHead::forward`` (``mod.rs:105-112``)."""
+    x = conv2d(x, p["conv0"]["weight"], p["conv0"]["bias"], padding=1)
+    x = conv_transpose2d(x, p["deconv"]["weight"], p["deconv"]["bias"], stride=2)
+    x = conv2d(x, p["conv1"]["weight"], p["conv1"]["bias"], padding=1)
+    x = relu(x)
+    x = conv2d(x, p["conv_out"]["weight"], p["conv_out"]["bias"])
+    return relu(x)
+
+
+class DepthPro:
+    """Holds ``(config, params)``; all compute is pure functions underneath."""
+
+    def __init__(self, config: DepthProConfig, params: dict):
+        self.config = config
+        self.params = params
+
+    @staticmethod
+    def init(rng: jax.Array, config: DepthProConfig, dtype=jnp.float32) -> "DepthPro":
+        k = jax.random.split(rng, 6)
+        decoder_dims = [config.decoder_features, *config.encoder_feature_dims]
+        params = {
+            "encoder": {
+                "patch_encoder": init_dinov2(k[0], config.patch_encoder, dtype),
+                "image_encoder": init_dinov2(k[1], config.image_encoder, dtype),
+                **enc_mod.init_encoder(k[2], config, dtype),
+            },
+            "decoder": init_decoder(k[3], decoder_dims, config.decoder_features, dtype),
+            "head": _init_depth_head(k[4], config.decoder_features, dtype),
+        }
+        if config.use_fov_head:
+            fov = {"encoder": None}
+            fov_dim = None
+            if config.fov_encoder is not None:
+                fov["encoder"] = init_dinov2(jax.random.split(k[5])[0], config.fov_encoder, dtype)
+                fov_dim = config.fov_encoder.embed_dim
+            fov.update(init_fov(jax.random.split(k[5])[1], config.decoder_features, fov_dim, dtype))
+            params["fov"] = fov
+        return DepthPro(config, params)
+
+    @property
+    def img_size(self) -> int:
+        return self.config.img_size
+
+    # ---- forward ---------------------------------------------------------
+    def _forward_internal(self, params: dict, x: jnp.ndarray, debug: bool = False):
+        """``forward_internal`` (``mod.rs:210-252``)."""
+        cfg = self.config
+        enc = params["encoder"]
+        features, enc_dbg = enc_mod.encoder_forward(
+            enc, enc["patch_encoder"], enc["image_encoder"], x, cfg, debug=debug
+        )
+        feats, lowres, fusion_outputs = decoder_forward(params["decoder"], features)
+        canonical = _depth_head_forward(params["head"], feats)
+
+        fov_deg = None
+        if "fov" in params:
+            fov_deg = fov_forward(
+                params["fov"],
+                params["fov"].get("encoder"),
+                cfg.fov_encoder,
+                x,
+                lowres,
+                cfg.decoder_features,
+                attn_impl=cfg.attn_impl,
+            )
+        if debug:
+            return canonical, feats, lowres, fusion_outputs, fov_deg, enc_dbg
+        return canonical, feats, lowres, fusion_outputs, fov_deg
+
+    def forward(self, x: jnp.ndarray):
+        """``(canonical_inverse_depth [B,1,S,S], fovx_deg [B] | None)``."""
+        canonical, _, _, _, fov = self._forward_internal(self.params, x)
+        return canonical, fov
+
+    def encoder_features(self, x: jnp.ndarray):
+        cfg = self.config
+        enc = self.params["encoder"]
+        features, _ = enc_mod.encoder_forward(enc, enc["patch_encoder"], enc["image_encoder"], x, cfg)
+        return features
+
+    def encoder_forward_debug(self, x: jnp.ndarray):
+        cfg = self.config
+        enc = self.params["encoder"]
+        return enc_mod.encoder_forward(enc, enc["patch_encoder"], enc["image_encoder"], x, cfg, debug=True)
+
+    def decoder_from_features(self, features):
+        return decoder_forward(self.params["decoder"], features)
+
+    def infer(self, x: jnp.ndarray) -> DepthProInference:
+        """``DepthPro::infer`` (``mod.rs:312-364``): resize → forward → focal
+        ``0.5·W/tan(0.5·fovx)`` → inverse-depth scale → resize back →
+        ``clamp(1e-4, 1e4).recip()``."""
+        return self._infer_fn(self.params, x)
+
+    def _infer_fn(self, params: dict, x: jnp.ndarray) -> DepthProInference:
+        batch, _, height, width = x.shape
+        size = self.img_size
+        resize_needed = height != size or width != size
+        if resize_needed:
+            x = resize_bilinear(x, (size, size), align_corners=False)
+
+        canonical, fov_deg = (lambda c, _f1, _f2, _f3, f: (c, f))(*self._forward_internal(params, x))
+        if fov_deg is None:
+            raise ValueError("FOV head required for focal length (use_fov_head=False)")
+
+        fovx_rad = fov_deg * (jnp.pi / 180.0)
+        focal_px = (width * 0.5) / jnp.tan(fovx_rad * 0.5)  # [B]
+        inverse_depth = canonical * (width / focal_px)[:, None, None, None]
+        if resize_needed:
+            inverse_depth = resize_bilinear(inverse_depth, (height, width), align_corners=False)
+        depth = 1.0 / jnp.clip(inverse_depth, 1e-4, 1e4)
+
+        return DepthProInference(
+            depth=depth[:, 0],
+            focallength_px=focal_px,
+            fovx_deg=fov_deg,
+            fovy_rad=fovy_from_fovx_rad(fovx_rad, height, width),
+        )
+
+    def jit_infer(self):
+        """Jitted ``image -> DepthProInference`` closure over the params."""
+        fn = jax.jit(lambda params, x: self._infer_fn(params, x))
+        return partial(fn, self.params)
