@@ -1,0 +1,84 @@
+"""Headline benchmark: Depth Pro end-to-end inference throughput.
+
+Mirrors the reference harness shape — ``bench/inference.rs:21-49``:
+``depth_pro_infer``, 1536x1536, batch 1, device-synced per iteration,
+throughput in images/s.  The reference publishes no numbers
+(``BASELINE.json published: {}``); ``vs_baseline`` is reported against the
+north-star target of 10 img/s/chip (``BASELINE.json north_star``).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+Extra diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+NORTH_STAR_IMG_S = 10.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    log(f"backend={backend} devices={jax.devices()}")
+
+    # CPU fallback (local sanity runs only): shrink to the reference's own
+    # reduced test preset so the bench terminates; the driver runs on TPU.
+    if on_tpu:
+        config = DepthProConfig.dinov2_l16_384()
+        iters, warmup = 20, 3
+    else:
+        config = DepthProConfig.dinov2_l16_128()
+        iters, warmup = 3, 1
+
+    size = config.img_size
+    model = DepthPro.init(jax.random.PRNGKey(0), config, dtype=jnp.bfloat16)
+
+    fn = jax.jit(lambda p, x: model._infer_fn(p, x).depth)
+    x = jax.device_put(
+        jax.random.uniform(jax.random.PRNGKey(1), (1, 3, size, size), jnp.bfloat16)
+    )
+
+    t0 = time.perf_counter()
+    out = fn(model.params, x)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s, out {out.shape} {out.dtype}")
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(model.params, x))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(model.params, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_s = iters / dt
+    log(f"{iters} iters in {dt:.3f}s -> {img_s:.2f} img/s ({1000 * dt / iters:.1f} ms/img)")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"depth_pro_infer_{size}x{size}_b1_img_per_s" + ("" if on_tpu else "_CPU_FALLBACK"),
+                "value": round(img_s, 3),
+                "unit": "img/s",
+                "vs_baseline": round(img_s / NORTH_STAR_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

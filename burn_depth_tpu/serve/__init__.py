@@ -1,0 +1,15 @@
+"""Serving layer: sharded batch inference + double-buffered input staging.
+
+Replaces the reference's realtime host pipeline (Bevy async task pool with one
+in-flight inference + bounded camera channel,
+``crates/bevy_burn_depth/src/main.rs:36,223``, ``platform.rs:25``) with the
+TPU-native equivalents mandated by ``BASELINE.json`` configs 4-5:
+
+* ``compile_serving_step`` — the full forward jitted over a device mesh with
+  data-parallel batch sharding (+ optional tensor parallelism),
+* ``DepthStream`` — persistent-weights streaming with double-buffered
+  host→HBM transfers so PCIe upload overlaps TPU compute.
+"""
+
+from burn_depth_tpu.serve.step import ServingStep, compile_serving_step  # noqa: F401
+from burn_depth_tpu.serve.stream import DepthStream  # noqa: F401

@@ -1,0 +1,65 @@
+"""The sharded serving step: one jitted XLA program over the ICI mesh.
+
+Given a model (DepthPro or DepthAnything3 — anything exposing a pure
+``fn(params, batch)``), place the params per tensor-parallel rules, shard the
+batch dim over the ``data`` axis, and jit with explicit in/out shardings so
+XLA's SPMD partitioner lays the collectives on ICI (SURVEY.md §2 "First-class
+components the TPU build adds").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from burn_depth_tpu.parallel.mesh import DATA_AXIS, Rule, batch_sharding, shard_params
+
+
+@dataclasses.dataclass
+class ServingStep:
+    """A compiled, mesh-sharded inference step with persistent device params."""
+
+    mesh: Mesh
+    params: Any  # placed on the mesh
+    fn: Callable  # jitted (params, batch) -> outputs
+    input_sharding: NamedSharding
+
+    def __call__(self, batch: jnp.ndarray):
+        batch = jax.device_put(batch, self.input_sharding)
+        return self.fn(self.params, batch)
+
+    def stage_input(self, host_batch) -> jax.Array:
+        """Asynchronously upload a host batch to the mesh (returns immediately;
+        the transfer overlaps compute — used by ``DepthStream``)."""
+        return jax.device_put(host_batch, self.input_sharding)
+
+
+def compile_serving_step(
+    forward_fn: Callable,
+    params: Any,
+    mesh: Mesh,
+    *,
+    tp_rules: Sequence[Rule] = (),
+    out_batch_sharded: bool = True,
+    donate_input: bool = False,
+) -> ServingStep:
+    """Compile ``forward_fn(params, batch)`` over ``mesh``.
+
+    ``params`` are placed once (replicated along ``data``, split along
+    ``model`` per ``tp_rules``) and stay resident in HBM across calls —
+    the "persistent weights" half of BASELINE config 4.
+    """
+    placed = shard_params(params, mesh, tp_rules)
+    param_shardings = jax.tree.map(lambda a: a.sharding, placed)
+    in_shard = batch_sharding(mesh, 4) if out_batch_sharded else NamedSharding(mesh, P())
+
+    fn = jax.jit(
+        forward_fn,
+        in_shardings=(param_shardings, in_shard),
+        donate_argnums=(1,) if donate_input else (),
+    )
+    return ServingStep(mesh=mesh, params=placed, fn=fn, input_sharding=in_shard)

@@ -1,0 +1,111 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed layer to mirror (SURVEY.md §2); these tests
+validate the TPU-native serving additions: mesh construction, DP batch
+sharding, Megatron TP param placement, numerical equivalence of sharded vs
+single-device execution, and the double-buffered stream.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+from burn_depth_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    shard_params,
+    vit_tp_rules,
+)
+from burn_depth_tpu.serve import DepthStream, compile_serving_step
+from burn_depth_tpu.vit.dinov2 import DinoViTConfig, dinov2_forward, init_dinov2
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    with pytest.raises(ValueError):
+        make_mesh(model=3)
+
+
+def test_tp_rules_place_block_weights():
+    mesh = make_mesh(model=2)
+    cfg = DinoViTConfig(img_size=28, patch_size=14, embed_dim=32, depth=2, num_heads=2)
+    params = init_dinov2(jax.random.PRNGKey(0), cfg)
+    placed = shard_params(params, mesh, vit_tp_rules())
+
+    qkv = placed["blocks"][0]["attn"]["qkv"]["weight"]
+    assert qkv.sharding.spec == P("model", None)
+    proj = placed["blocks"][0]["attn"]["proj"]["weight"]
+    assert proj.sharding.spec == P(None, "model")
+    fc1 = placed["blocks"][0]["mlp"]["fc1"]["weight"]
+    assert fc1.sharding.spec == P("model", None)
+    # non-matching leaves replicate
+    assert placed["cls_token"].sharding.spec == P()
+    assert placed["blocks"][0]["norm1"]["weight"].sharding.spec == P()
+
+
+def test_sharded_vit_matches_single_device():
+    """DP+TP execution must be numerically identical (f32, highest precision)
+    to the unsharded forward."""
+    mesh = make_mesh(model=2)
+    cfg = DinoViTConfig(img_size=28, patch_size=14, embed_dim=32, depth=3, num_heads=2)
+    params = init_dinov2(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 28, 28))
+
+    ref = dinov2_forward(params, x, cfg, attn_impl="jnp").x_norm_patchtokens
+
+    def fn(p, xb):
+        return dinov2_forward(p, xb, cfg, attn_impl="jnp").x_norm_patchtokens
+
+    step = compile_serving_step(fn, params, mesh, tp_rules=vit_tp_rules())
+    out = step(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_dp_da3_matches_single_device():
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 28, 28))
+    ref = model.infer(x).depth
+
+    mesh = make_mesh()  # pure DP
+    step = compile_serving_step(
+        lambda p, xb: model._finalize(*model._forward_internal(p, xb, None, None)[:2]).depth,
+        model.params,
+        mesh,
+    )
+    out = step(x)
+    assert out.sharding.spec == P("data")  # batch stays sharded on the way out
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_depth_stream_double_buffered():
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh()
+    step = compile_serving_step(
+        lambda p, xb: model._finalize(*model._forward_internal(p, xb, None, None)[:2]).depth,
+        model.params,
+        mesh,
+    )
+    batches = [np.random.default_rng(i).normal(size=(8, 3, 28, 28)).astype(np.float32) for i in range(3)]
+    outs = list(DepthStream(step, batches, prefetch=2))
+    assert len(outs) == 3
+    for b, o in zip(batches, outs):
+        ref = step(jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref), rtol=1e-6)
+
+
+def test_graft_dryrun_multichip():
+    """The driver's multi-chip gate, run in-process on the 8-device CPU mesh."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
