@@ -10,3 +10,14 @@ from burn_depth_tpu.api.predict import (  # noqa: F401
     IMAGENET_MEAN,
     IMAGENET_STD,
 )
+from burn_depth_tpu.api.preprocess import (  # noqa: F401
+    ImageCropRegion,
+    PreparedModelImage,
+    prepare_depth_anything3_image,
+    resize_bicubic,
+)
+from burn_depth_tpu.api.registry import (  # noqa: F401
+    AnyDepthModel,
+    DepthModelKind,
+    load_model,
+)

@@ -1,0 +1,195 @@
+"""Model registry: kind enum, unified wrapper, checkpoint autoload with
+config fallback-retry (reference ``src/model/mod.rs:17-160``).
+
+Checkpoint dispatch accepts both formats:
+
+* **native** — our flattened-safetensors checkpoints (keys contain ``/``),
+  loaded structurally via ``io.checkpoint``;
+* **upstream PyTorch** — apple/ml-depth-pro ``.pt`` or ByteDance DA3
+  ``.safetensors`` (dotted keys), routed through ``io.importers``.
+
+DA3 retains the reference's fallback-retry: try metric-large then small
+(order swapped when the filename hints "small"), accepting the first config
+whose parameter structure matches (``AnyDepthModel::load_depth_anything3``,
+``model/mod.rs:60-101``).  The reference's 32 MB ``stacker`` guard for load
+recursion has no counterpart — pytree loading is not recursive over modules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from burn_depth_tpu.api.predict import DepthPrediction, normalize_image
+from burn_depth_tpu.api.preprocess import PreparedModelImage, prepare_depth_anything3_image
+
+
+class DepthModelKind(enum.Enum):
+    DEPTH_PRO = "depth-pro"
+    DEPTH_ANYTHING3 = "depth-anything-3"
+
+    @property
+    def as_str(self) -> str:
+        return self.value
+
+    @staticmethod
+    def from_str(s: str) -> "DepthModelKind":
+        for k in DepthModelKind:
+            if k.value == s:
+                return k
+        raise ValueError(f"unknown model kind {s!r}; expected one of "
+                         f"{[k.value for k in DepthModelKind]}")
+
+    def default_checkpoint(self) -> str:
+        return {
+            DepthModelKind.DEPTH_PRO: "assets/model/depth_pro.safetensors",
+            DepthModelKind.DEPTH_ANYTHING3: "assets/model/da3_metric_large.safetensors",
+        }[self]
+
+
+def _is_native_checkpoint(path: str) -> bool:
+    """Native checkpoints use '/'-joined pytree paths; upstream PyTorch files
+    use dotted keys.  Peek at the safetensors header (cheap)."""
+    if not path.endswith(".safetensors"):
+        return False  # .pt is always an upstream import
+    from safetensors import safe_open
+
+    with safe_open(path, framework="numpy") as f:
+        for k in f.keys():
+            return "/" in k
+    return False
+
+
+class AnyDepthModel:
+    """Reference ``AnyDepthModel`` enum (``model/mod.rs:40-142``) as a wrapper
+    that also owns the jitted infer closure."""
+
+    def __init__(self, kind: DepthModelKind, model):
+        self._kind = kind
+        self.model = model
+        self._jit = None
+
+    # ---- loading -----------------------------------------------------------
+    @staticmethod
+    def load(kind: DepthModelKind, checkpoint: str) -> "AnyDepthModel":
+        if kind == DepthModelKind.DEPTH_PRO:
+            return AnyDepthModel(kind, _load_depth_pro(checkpoint))
+        return AnyDepthModel(kind, _load_depth_anything3(checkpoint))
+
+    # ---- reference accessors ------------------------------------------------
+    @property
+    def kind(self) -> DepthModelKind:
+        return self._kind
+
+    def as_depth_pro(self):
+        return self.model if self._kind == DepthModelKind.DEPTH_PRO else None
+
+    def as_depth_anything3(self):
+        return self.model if self._kind == DepthModelKind.DEPTH_ANYTHING3 else None
+
+    def preferred_input_resolution(self) -> Optional[int]:
+        """DA3 wants its square training resolution; Depth Pro resizes itself
+        (``model/mod.rs:128-134``)."""
+        if self._kind == DepthModelKind.DEPTH_ANYTHING3:
+            return self.model.img_size
+        return None
+
+    def prepare_input_image(self, image: np.ndarray) -> PreparedModelImage:
+        """``[H,W,3] u8`` → model-ready image (``model/mod.rs:136-142``)."""
+        if self._kind == DepthModelKind.DEPTH_PRO:
+            return PreparedModelImage(width=image.shape[1], height=image.shape[0], rgb=image)
+        return prepare_depth_anything3_image(image, self.model.img_size)
+
+    # ---- unified inference (the DepthModel trait, inference.rs:22-71) -------
+    def infer_depth(self, x: jnp.ndarray) -> DepthPrediction:
+        if self._jit is None:
+            self._jit = self._build_jit()
+        return self._jit(x)
+
+    def _build_jit(self):
+        if self._kind == DepthModelKind.DEPTH_PRO:
+            m = self.model
+
+            def dp_fn(params, x):
+                out = m._infer_fn(params, x)
+                return out.depth, out.focallength_px, out.fovy_rad
+
+            fn = jax.jit(dp_fn)
+
+            def run(x):
+                depth, focal, fovy = fn(m.params, x)
+                return DepthPrediction(depth=depth, focallength_px=focal, fovy_rad=fovy)
+
+            return run
+
+        m = self.model
+
+        def da3_fn(params, x):
+            head_out, camera_pred, _ = m._forward_internal(params, x, None, None)
+            return m._finalize(head_out, camera_pred).depth
+
+        fn = jax.jit(da3_fn)
+        return lambda x: DepthPrediction(depth=fn(m.params, x))
+
+
+def load_model(kind: Union[DepthModelKind, str], checkpoint: Optional[str] = None) -> AnyDepthModel:
+    """High-level entry: kind (+ optional checkpoint path) → ready model.
+    With no checkpoint, random-init weights (shape-correct; for smoke/bench)."""
+    kind = DepthModelKind.from_str(kind) if isinstance(kind, str) else kind
+    if checkpoint is None:
+        if kind == DepthModelKind.DEPTH_PRO:
+            from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+            return AnyDepthModel(kind, DepthPro.init(jax.random.PRNGKey(0), DepthProConfig.dinov2_l16_384()))
+        from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+
+        return AnyDepthModel(kind, DepthAnything3.init(jax.random.PRNGKey(0), DepthAnything3Config.metric_large()))
+    return AnyDepthModel.load(kind, checkpoint)
+
+
+def _load_depth_pro(checkpoint: str):
+    from burn_depth_tpu.io.checkpoint import load_checkpoint
+    from burn_depth_tpu.io.importers import import_depth_pro
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+    if _is_native_checkpoint(checkpoint):
+        config = DepthProConfig.dinov2_l16_384()
+        template = DepthPro.init(jax.random.PRNGKey(0), config).params
+        return DepthPro(config, load_checkpoint(checkpoint, template))
+    model, _ = import_depth_pro(checkpoint)
+    return model
+
+
+def _load_depth_anything3(checkpoint: str):
+    from burn_depth_tpu.io.checkpoint import load_checkpoint
+    from burn_depth_tpu.io.importers import import_da3
+    from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+
+    hint = os.path.basename(checkpoint).lower()
+    configs = [
+        ("metric-large", DepthAnything3Config.metric_large()),
+        ("small", DepthAnything3Config.small()),
+    ]
+    if "small" in hint:
+        configs.reverse()
+
+    native = _is_native_checkpoint(checkpoint)
+    last_err: Optional[Exception] = None
+    for variant, config in configs:
+        try:
+            if native:
+                template = DepthAnything3.init(jax.random.PRNGKey(0), config).params
+                return DepthAnything3(config, load_checkpoint(checkpoint, template))
+            model, _ = import_da3(checkpoint, variant=variant, config=config)
+            return model
+        except (KeyError, ValueError) as err:  # structure mismatch → try next config
+            last_err = err
+    raise ValueError(
+        f"Failed to load Depth Anything 3 checkpoint `{checkpoint}`: {last_err}"
+    ) from last_err

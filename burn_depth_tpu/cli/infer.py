@@ -1,0 +1,105 @@
+"""Inference CLI (reference ``example/inference.rs:17-297``).
+
+Loads either model, runs one image, writes a normalized grayscale depth PNG
+(cropped/restored to the original dimensions), prints intrinsics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def resize_depth_field(values: np.ndarray, dst_h: int, dst_w: int) -> np.ndarray:
+    """Half-pixel bilinear resize of a ``[H,W]`` f32 depth field — the CLI's
+    own restore resize (reference ``inference.rs:183-250``), vectorized."""
+    src_h, src_w = values.shape
+    if (src_h, src_w) == (dst_h, dst_w):
+        return values
+
+    def axis(src, dst):
+        if dst <= 1:
+            coord = np.zeros(dst)
+        else:
+            coord = (np.arange(dst) + 0.5) * (src / dst) - 0.5
+        i0 = np.clip(np.floor(coord), 0, src - 1).astype(np.int64)
+        i1 = np.clip(i0 + 1, 0, src - 1)
+        frac = (coord - i0).astype(np.float32)
+        return i0, i1, frac
+
+    y0, y1, fy = axis(src_h, dst_h)
+    x0, x1, fx = axis(src_w, dst_w)
+    top = values[y0][:, x0] * (1 - fx) + values[y0][:, x1] * fx
+    bot = values[y1][:, x0] * (1 - fx) + values[y1][:, x1] * fx
+    return top * (1 - fy[:, None]) + bot * fy[:, None]
+
+
+def normalize_to_u8(depth: np.ndarray) -> np.ndarray:
+    """Min/max normalize with non-finite handling (``inference.rs:145-167``)."""
+    finite = depth[np.isfinite(depth)]
+    if finite.size == 0:
+        lo, hi = 0.0, 1.0
+    else:
+        lo, hi = float(finite.min()), float(finite.max())
+    rng = max(hi - lo, np.finfo(np.float32).eps)
+    norm = np.where(np.isfinite(depth), np.clip((depth - lo) / rng, 0.0, 1.0), 0.0)
+    return np.clip(np.round(norm * 255.0), 0, 255).astype(np.uint8)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Monocular depth inference (TPU-native)")
+    parser.add_argument("--model", default="depth-pro", choices=["depth-pro", "depth-anything-3"])
+    parser.add_argument("--checkpoint", default=None, help="native or upstream checkpoint path")
+    parser.add_argument("--image", required=True)
+    parser.add_argument("--output", default=None, help="default: depth.png beside the input")
+    args = parser.parse_args(argv)
+
+    from PIL import Image
+
+    from burn_depth_tpu.api import AnyDepthModel, DepthModelKind, infer_from_rgb
+
+    kind = DepthModelKind.from_str(args.model)
+    checkpoint = args.checkpoint or kind.default_checkpoint()
+    if not os.path.exists(checkpoint):
+        print(
+            f"Checkpoint `{checkpoint}` not found. Provide --checkpoint or run the "
+            "appropriate importer first.",
+            file=sys.stderr,
+        )
+        return 1
+    model = AnyDepthModel.load(kind, checkpoint)
+
+    image = np.asarray(Image.open(args.image).convert("RGB"))
+    orig_h, orig_w = image.shape[:2]
+    prep = model.prepare_input_image(image)
+
+    result = infer_from_rgb(model, prep.rgb.tobytes(), prep.width, prep.height)
+    depth = np.asarray(result.depth[0], dtype=np.float32)
+
+    if prep.crop is not None:
+        c = prep.crop
+        depth = depth[c.y : c.y + c.height, c.x : c.x + c.width]
+    if depth.shape != (orig_h, orig_w):
+        depth = resize_depth_field(depth, orig_h, orig_w)
+
+    out_path = args.output or os.path.join(os.path.dirname(args.image) or ".", "depth.png")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    Image.fromarray(normalize_to_u8(depth), mode="L").save(out_path)
+
+    if result.focallength_px is not None:
+        print(f"Focal length (px): {np.asarray(result.focallength_px).tolist()}")
+    else:
+        print("Focal length (px): not provided by this model")
+    if result.fovy_rad is not None:
+        print(f"Vertical FOV (rad): {np.asarray(result.fovy_rad).tolist()}")
+    else:
+        print("Vertical FOV (rad): not provided by this model")
+    print(f"Model `{kind.as_str}` wrote normalized depth map to {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

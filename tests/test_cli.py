@@ -1,0 +1,108 @@
+"""CLI tests (reference ``example/inference.rs`` behavior)."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from burn_depth_tpu.cli.infer import main as infer_main, normalize_to_u8, resize_depth_field
+from burn_depth_tpu.io import save_checkpoint
+from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+
+_TINY_LARGE = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+_TINY_SMALL = dataclasses.replace(DepthAnything3Config.small(), image_size=28, attn_impl="jnp")
+
+
+def _reference_resize_depth(values, dst_h, dst_w):
+    """The reference CLI's scalar loop (inference.rs:183-250), incl. its
+    unclamped-frac border extrapolation."""
+    src_h, src_w = values.shape
+    out = np.zeros((dst_h, dst_w), np.float32)
+    for y in range(dst_h):
+        sy = (y + 0.5) * (src_h / dst_h) - 0.5 if dst_h > 1 else 0.0
+        y0 = int(np.clip(np.floor(sy), 0, src_h - 1))
+        y1 = min(y0 + 1, src_h - 1)
+        fy = sy - y0
+        for x in range(dst_w):
+            sx = (x + 0.5) * (src_w / dst_w) - 0.5 if dst_w > 1 else 0.0
+            x0 = int(np.clip(np.floor(sx), 0, src_w - 1))
+            x1 = min(x0 + 1, src_w - 1)
+            fx = sx - x0
+            top = values[y0, x0] * (1 - fx) + values[y0, x1] * fx
+            bot = values[y1, x0] * (1 - fx) + values[y1, x1] * fx
+            out[y, x] = top * (1 - fy) + bot * fy
+    return out
+
+
+def test_resize_depth_field_identity_and_values():
+    v = np.arange(6, dtype=np.float32).reshape(2, 3)
+    np.testing.assert_array_equal(resize_depth_field(v, 2, 3), v)
+    rng = np.random.default_rng(1)
+    big = rng.normal(size=(9, 7)).astype(np.float32)
+    for dst in [(4, 6), (18, 14), (1, 5), (9, 7)]:
+        got = resize_depth_field(big, *dst)
+        np.testing.assert_allclose(got, _reference_resize_depth(big, *dst), rtol=1e-5, atol=1e-6)
+
+
+def test_normalize_to_u8_handles_nonfinite():
+    d = np.array([[1.0, 2.0], [np.inf, np.nan]], np.float32)
+    u = normalize_to_u8(d)
+    assert u[0, 0] == 0 and u[0, 1] == 255
+    assert u[1, 0] == 0 and u[1, 1] == 0  # non-finite → 0 (inference.rs:160-165)
+
+
+def test_infer_cli_end_to_end(tmp_path, monkeypatch):
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    model = DepthAnything3.init(jax.random.PRNGKey(0), _TINY_SMALL)
+    ckpt = str(tmp_path / "da3_small.safetensors")
+    save_checkpoint(ckpt, model.params)
+
+    monkeypatch.setattr(DepthAnything3Config, "metric_large", staticmethod(lambda: _TINY_LARGE))
+    monkeypatch.setattr(DepthAnything3Config, "small", staticmethod(lambda: _TINY_SMALL))
+
+    img_path = str(tmp_path / "in.png")
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)).save(img_path)
+
+    out_path = str(tmp_path / "depth.png")
+    rc = infer_main(
+        ["--model", "depth-anything-3", "--checkpoint", ckpt, "--image", img_path, "--output", out_path]
+    )
+    assert rc == 0 and os.path.exists(out_path)
+    depth_img = np.asarray(Image.open(out_path))
+    assert depth_img.shape == (40, 64)  # restored to original dims
+
+
+def test_infer_cli_missing_checkpoint(tmp_path, capsys):
+    rc = infer_main(["--image", str(tmp_path / "x.png"), "--checkpoint", str(tmp_path / "no.safetensors")])
+    assert rc == 1
+    assert "not found" in capsys.readouterr().err
+
+
+def test_import_da3_cli_roundtrip(tmp_path, monkeypatch):
+    """importer CLI: upstream-shaped file → native checkpoint → CLI loadable."""
+    from safetensors.numpy import save_file
+
+    from burn_depth_tpu.cli.import_da3 import main as import_main
+    from burn_depth_tpu.io.importers import export_pytorch_style_state
+    from tests.test_io import da3_inverse
+
+    monkeypatch.setattr(DepthAnything3Config, "metric_large", staticmethod(lambda: _TINY_LARGE))
+    monkeypatch.setattr(DepthAnything3Config, "small", staticmethod(lambda: _TINY_SMALL))
+
+    model = DepthAnything3.init(jax.random.PRNGKey(1), _TINY_LARGE)
+    upstream = str(tmp_path / "upstream.safetensors")
+    save_file(export_pytorch_style_state(model.params, da3_inverse("head_mono")), upstream)
+
+    out = str(tmp_path / "native.safetensors")
+    rc = import_main([upstream, "--variant", "metric-large", "-o", out, "--storage-dtype", "float32"])
+    assert rc == 0 and os.path.exists(out)
+
+    from burn_depth_tpu.api import AnyDepthModel, DepthModelKind
+
+    loaded = AnyDepthModel.load(DepthModelKind.DEPTH_ANYTHING3, out)
+    assert not loaded.model.config.head.dual_head
