@@ -13,3 +13,11 @@ TPU-native equivalents mandated by ``BASELINE.json`` configs 4-5:
 
 from burn_depth_tpu.serve.step import ServingStep, compile_serving_step  # noqa: F401
 from burn_depth_tpu.serve.stream import DepthStream  # noqa: F401
+from burn_depth_tpu.serve.realtime import (  # noqa: F401
+    FpsDiagnostic,
+    FrameSource,
+    ImageDirSource,
+    RealtimeFrame,
+    SyntheticSource,
+    run_realtime,
+)

@@ -1,0 +1,204 @@
+"""Realtime depth streaming (counterpart of the reference's Bevy app,
+``crates/bevy_burn_depth/src/{lib,main}.rs`` + ``platform.rs``).
+
+The reference's architecture: a camera thread feeds a bounded(1) channel with
+drain-latest semantics, an async task pool runs at most one in-flight
+inference, and the normalized depth map uploads to a GPU texture with a live
+``INFERENCE_FPS`` diagnostic.  The TPU-native equivalents here:
+
+* ``FrameSource`` — the ``platform.rs`` role: pluggable frame producers with
+  drain-latest (``latest()`` returns the newest frame, dropping stale ones).
+* ``run_realtime`` — the ``process_frames`` role: prep (native C++ lane when
+  built) → async-dispatched jitted infer → on-device min/max normalize →
+  u8 frame to a sink.  JAX's async dispatch gives the one-in-flight pipeline
+  without a task pool: dispatch frame k+1 while k computes, block only when
+  consuming k's pixels.
+* ``FpsDiagnostic`` — the ``INFERENCE_FPS`` measurement (``main.rs:419-438``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from collections import deque
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# frame sources (platform.rs role)
+# --------------------------------------------------------------------------
+
+
+class FrameSource:
+    """Produces ``[H,W,3] u8`` frames; ``None`` means the stream ended."""
+
+    def read(self) -> Optional[np.ndarray]:
+        raise NotImplementedError
+
+
+class SyntheticSource(FrameSource):
+    """Deterministic moving-gradient frames — the webcam stand-in for tests
+    and headless benches."""
+
+    def __init__(self, width: int, height: int, num_frames: int):
+        self.width, self.height, self.remaining = width, height, num_frames
+        self._t = 0
+
+    def read(self) -> Optional[np.ndarray]:
+        if self.remaining <= 0:
+            return None
+        self.remaining -= 1
+        self._t += 1
+        y = np.linspace(0, 255, self.height, dtype=np.float32)[:, None]
+        x = np.linspace(0, 255, self.width, dtype=np.float32)[None, :]
+        shape = (self.height, self.width)
+        r = np.broadcast_to((x + 7 * self._t) % 256, shape)
+        g = np.broadcast_to((y + 3 * self._t) % 256, shape)
+        b = (x + y + 5 * self._t) % 256
+        return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+class ImageDirSource(FrameSource):
+    """Replays a directory of images in sorted order (PIL-decoded)."""
+
+    def __init__(self, path: str):
+        from PIL import Image
+
+        self._image = Image
+        exts = (".png", ".jpg", ".jpeg", ".bmp")
+        self._files = deque(
+            sorted(os.path.join(path, f) for f in os.listdir(path) if f.lower().endswith(exts))
+        )
+
+    def read(self) -> Optional[np.ndarray]:
+        if not self._files:
+            return None
+        return np.asarray(self._image.open(self._files.popleft()).convert("RGB"))
+
+
+# --------------------------------------------------------------------------
+# FPS diagnostic (main.rs INFERENCE_FPS)
+# --------------------------------------------------------------------------
+
+
+class FpsDiagnostic:
+    def __init__(self, window: int = 20):
+        self._stamps: deque[float] = deque(maxlen=window)
+
+    def tick(self) -> None:
+        self._stamps.append(time.perf_counter())
+
+    @property
+    def fps(self) -> float:
+        if len(self._stamps) < 2:
+            return 0.0
+        span = self._stamps[-1] - self._stamps[0]
+        return (len(self._stamps) - 1) / span if span > 0 else 0.0
+
+
+# --------------------------------------------------------------------------
+# pipeline
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RealtimeFrame:
+    """One processed frame: normalized u8 depth + raw depth + timing."""
+
+    depth_u8: np.ndarray  # [H, W] u8
+    depth: jax.Array  # [H, W] f32 (device)
+    fps: float
+    index: int
+
+
+def _normalize_u8(depth: jnp.ndarray) -> jnp.ndarray:
+    """On-device min/max normalize → u8 (the reference normalizes on the
+    async pool then uploads, ``lib.rs:38-73``; here it fuses into the jit)."""
+    finite = jnp.isfinite(depth)
+    lo = jnp.min(jnp.where(finite, depth, jnp.inf))
+    hi = jnp.max(jnp.where(finite, depth, -jnp.inf))
+    rng = jnp.maximum(hi - lo, jnp.finfo(jnp.float32).eps)
+    norm = jnp.where(finite, jnp.clip((depth - lo) / rng, 0.0, 1.0), 0.0)
+    return jnp.round(norm * 255.0).astype(jnp.uint8)
+
+
+def _patch_aligned_crop(frame: np.ndarray, patch: int) -> np.ndarray:
+    """Center-crop H,W down to multiples of ``patch``
+    (``prepare_input_frame``, ``lib.rs:76-132``)."""
+    h, w = frame.shape[:2]
+    ch, cw = (h // patch) * patch, (w // patch) * patch
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    return frame[y0 : y0 + ch, x0 : x0 + cw]
+
+
+def run_realtime(
+    model,
+    source: FrameSource,
+    sink: Optional[Callable[[RealtimeFrame], None]] = None,
+    *,
+    target: Optional[int] = None,
+) -> Iterator[RealtimeFrame]:
+    """Stream frames through the model.  ``model`` is an ``AnyDepthModel``;
+    ``target`` overrides the prep resolution (default: the model's preferred).
+
+    Pipelining: the jitted step for frame *k+1* is dispatched before frame
+    *k*'s pixels are pulled to host, so host prep and TPU compute overlap —
+    the MAX_IN_FLIGHT_TASKS=1 structure without threads.
+    """
+    from burn_depth_tpu.api import native
+    from burn_depth_tpu.api.predict import normalize_image
+
+    kind_da3 = model.preferred_input_resolution() is not None
+    size = target or model.preferred_input_resolution()
+
+    inner = model.model
+
+    def step(params, x):
+        if kind_da3:
+            head_out, camera_pred, _ = inner._forward_internal(params, x, None, None)
+            depth = inner._finalize(head_out, camera_pred).depth[0]
+        else:
+            depth = inner._infer_fn(params, x).depth[0]
+        return depth, _normalize_u8(depth)
+
+    fn = jax.jit(step)
+    fps = FpsDiagnostic()
+
+    pending = None  # (index, (depth, depth_u8)) dispatched but not consumed
+    index = 0
+
+    def prep(frame: np.ndarray) -> jnp.ndarray:
+        if kind_da3:
+            chw = native.prepare_image_nchw(frame, size)  # fused native lane
+            return jnp.asarray(chw)[None]
+        frame = _patch_aligned_crop(frame, 16)
+        chw = native.rgb_to_nchw_norm(frame)
+        return jnp.asarray(chw)[None]
+
+    while True:
+        frame = source.read()
+        if frame is None:
+            break
+        x = prep(frame)
+        out = fn(inner.params, x)  # async dispatch — returns immediately
+        if pending is not None:
+            yield _finish(pending, fps, sink)
+        pending = (index, out)
+        index += 1
+    if pending is not None:
+        yield _finish(pending, fps, sink)
+
+
+def _finish(pending, fps: FpsDiagnostic, sink) -> RealtimeFrame:
+    idx, (depth, depth_u8) = pending
+    u8 = np.asarray(depth_u8)  # blocks until the step is done
+    fps.tick()
+    rf = RealtimeFrame(depth_u8=u8, depth=depth, fps=fps.fps, index=idx)
+    if sink is not None:
+        sink(rf)
+    return rf

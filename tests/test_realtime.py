@@ -1,0 +1,73 @@
+"""Realtime pipeline tests (reference Bevy app semantics on tiny models)."""
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from burn_depth_tpu.api.registry import AnyDepthModel, DepthModelKind
+from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+from burn_depth_tpu.serve.realtime import (
+    FpsDiagnostic,
+    SyntheticSource,
+    _normalize_u8,
+    _patch_aligned_crop,
+    run_realtime,
+)
+
+
+def test_synthetic_source_shapes_and_exhaustion():
+    src = SyntheticSource(32, 24, 3)
+    frames = []
+    while (f := src.read()) is not None:
+        frames.append(f)
+    assert len(frames) == 3
+    assert frames[0].shape == (24, 32, 3) and frames[0].dtype == np.uint8
+    assert not np.array_equal(frames[0], frames[1])  # frames move
+
+
+def test_patch_aligned_crop():
+    f = np.zeros((37, 50, 3), np.uint8)
+    c = _patch_aligned_crop(f, 16)
+    assert c.shape == (32, 48, 3)
+
+
+def test_normalize_u8_range():
+    import jax.numpy as jnp
+
+    d = jnp.asarray([[1.0, 3.0], [jnp.inf, 2.0]])
+    u = np.asarray(_normalize_u8(d))
+    assert u[0, 0] == 0 and u[0, 1] == 255 and u[1, 0] == 0
+
+
+def test_fps_diagnostic():
+    f = FpsDiagnostic(window=5)
+    assert f.fps == 0.0
+    for _ in range(3):
+        f.tick()
+        time.sleep(0.01)
+    assert f.fps > 0
+
+
+def test_realtime_da3_stream():
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = AnyDepthModel(DepthModelKind.DEPTH_ANYTHING3, DepthAnything3.init(jax.random.PRNGKey(0), cfg))
+    frames = list(run_realtime(model, SyntheticSource(40, 30, 4)))
+    assert len(frames) == 4
+    assert [f.index for f in frames] == [0, 1, 2, 3]
+    for f in frames:
+        assert f.depth_u8.shape == (28, 28) and f.depth_u8.dtype == np.uint8
+    assert frames[-1].fps > 0
+
+
+def test_realtime_depth_pro_stream():
+    model = AnyDepthModel(
+        DepthModelKind.DEPTH_PRO, DepthPro.init(jax.random.PRNGKey(0), DepthProConfig.tiny_test())
+    )
+    # Depth Pro path: patch-aligned crop then infer at native frame size
+    frames = list(run_realtime(model, SyntheticSource(70, 40, 2)))
+    assert len(frames) == 2
+    assert frames[0].depth_u8.shape == (32, 64)  # 40->32, 70->64 (16-aligned)
