@@ -80,9 +80,12 @@ class DepthAnything3Config:
         return dataclasses.replace(cfg, **{})
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DepthAnything3Inference:
-    """Reference ``DepthAnything3Inference`` (``mod.rs:231-239``)."""
+    """Reference ``DepthAnything3Inference`` (``mod.rs:231-239``).
+
+    Registered as a pytree so it can flow through jit boundaries."""
 
     depth: jnp.ndarray  # [B, H, W]
     depth_confidence: Optional[jnp.ndarray] = None
@@ -131,6 +134,25 @@ class DepthAnything3:
         if config.camera_decoder is not None:
             params["camera_decoder"] = init_camera_decoder(k4, config.camera_decoder, dtype)
         return DepthAnything3(config, params)
+
+    @staticmethod
+    def load(checkpoint: str, config: Optional[DepthAnything3Config] = None) -> "DepthAnything3":
+        """Load from a native or upstream checkpoint.  With no config, the
+        registry's fallback-retry order applies (``model/mod.rs:60-101``)."""
+        if config is None:
+            from burn_depth_tpu.api.registry import AnyDepthModel, DepthModelKind
+
+            return AnyDepthModel.load(DepthModelKind.DEPTH_ANYTHING3, checkpoint).model
+        from burn_depth_tpu.api.registry import _is_native_checkpoint
+        from burn_depth_tpu.io.checkpoint import load_checkpoint
+        from burn_depth_tpu.io.importers import import_da3
+
+        if _is_native_checkpoint(checkpoint):
+            template = DepthAnything3.init(jax.random.PRNGKey(0), config).params
+            return DepthAnything3(config, load_checkpoint(checkpoint, template))
+        variant = "small" if config.head.dual_head else "metric-large"
+        model, _ = import_da3(checkpoint, variant=variant, config=config)
+        return model
 
     @property
     def img_size(self) -> int:
@@ -228,6 +250,16 @@ class DepthAnything3:
         head_out, camera_pred, _ = self._forward_internal(self.params, x, None, None)
         return self._finalize(head_out, camera_pred)
 
+    def infer_with_cache(self, x: jnp.ndarray, _cache=None) -> DepthAnything3Inference:
+        """API-parity shim for reference ``infer_with_cache`` (``mod.rs:300``).
+
+        The reference threads a host-built ``PosEmbedCache`` through the head
+        to avoid re-building sin-cos embeds per call; here those embeds are
+        trace-time constants baked into the compiled program, so cached and
+        uncached calls are the same program — equality holds by construction
+        (the property the reference asserts in ``mod.rs:652-668``)."""
+        return self.infer(x)
+
     def infer_with_camera(
         self, x: jnp.ndarray, extrinsics: jnp.ndarray, intrinsics: jnp.ndarray
     ) -> DepthAnything3Inference:
@@ -278,3 +310,45 @@ class DepthAnything3:
             return self._finalize(head_out, camera_pred).depth
 
         return lambda x: fn(self.params, x)
+
+
+class CachedDepthAnything3:
+    """API-parity wrapper for the reference's ``CachedDepthAnything3``
+    (``mod.rs:41-120``) — a RefCell pos-embed cache around the model.
+
+    In this framework the jit compilation cache plays that role: the first
+    call per input shape compiles (embeds become constants), subsequent calls
+    reuse the executable.  The wrapper simply memoizes jitted closures per
+    shape so the reference's usage pattern (share one cached model across a
+    realtime loop) maps one-to-one.
+    """
+
+    def __init__(self, model: DepthAnything3):
+        self.model = model
+        self._jits: dict = {}
+
+    @property
+    def config(self) -> DepthAnything3Config:
+        return self.model.config
+
+    @property
+    def img_size(self) -> int:
+        return self.model.img_size
+
+    def infer(self, x: jnp.ndarray) -> DepthAnything3Inference:
+        key = (tuple(x.shape), str(x.dtype))
+        if key not in self._jits:
+            m = self.model
+
+            def f(params, xin):
+                head_out, camera_pred, _ = m._forward_internal(params, xin, None, None)
+                inf = m._finalize(head_out, camera_pred)
+                return inf
+
+            self._jits[key] = jax.jit(f)
+        return self._jits[key](self.model.params, x)
+
+    def cache_len(self) -> int:
+        """Number of compiled shape entries (the reference's cache-entry-count
+        reuse assertion, ``mod.rs:670-686``)."""
+        return len(self._jits)

@@ -83,9 +83,11 @@ class DepthProConfig:
         )
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DepthProInference:
-    """Reference ``DepthProInference`` (``mod.rs:128-133``)."""
+    """Reference ``DepthProInference`` (``mod.rs:128-133``).  Registered as a
+    pytree so it can be a jit output."""
 
     depth: jnp.ndarray  # [B, H, W] metric depth
     focallength_px: jnp.ndarray  # [B]
@@ -156,6 +158,27 @@ class DepthPro:
             params["fov"] = fov
         return DepthPro(config, params)
 
+    @staticmethod
+    def load(checkpoint: str) -> "DepthPro":
+        """Load from a checkpoint with the default flagship config
+        (reference ``DepthPro::load``, ``mod.rs:190-208``)."""
+        return DepthPro.load_with_config(checkpoint, DepthProConfig.dinov2_l16_384())
+
+    @staticmethod
+    def load_with_config(checkpoint: str, config: "DepthProConfig") -> "DepthPro":
+        """Reference ``DepthPro::load_with_config``: native flattened
+        safetensors or an upstream PyTorch ``.pt`` both work (the importer's
+        regex remaps run only for the latter)."""
+        from burn_depth_tpu.api.registry import _is_native_checkpoint
+        from burn_depth_tpu.io.checkpoint import load_checkpoint
+        from burn_depth_tpu.io.importers import import_depth_pro
+
+        if _is_native_checkpoint(checkpoint):
+            template = DepthPro.init(jax.random.PRNGKey(0), config).params
+            return DepthPro(config, load_checkpoint(checkpoint, template))
+        model, _ = import_depth_pro(checkpoint, config=config)
+        return model
+
     @property
     def img_size(self) -> int:
         return self.config.img_size
@@ -204,6 +227,12 @@ class DepthPro:
 
     def decoder_from_features(self, features):
         return decoder_forward(self.params["decoder"], features)
+
+    def forward_with_decoder(self, x: jnp.ndarray):
+        """Reference ``forward_with_decoder`` (``mod.rs:282-310``):
+        ``(canonical_inverse_depth, decoder_features, lowres_features,
+        per-level fusion outputs, fovx_deg)``."""
+        return self._forward_internal(self.params, x)
 
     def infer(self, x: jnp.ndarray) -> DepthProInference:
         """``DepthPro::infer`` (``mod.rs:312-364``): resize → forward → focal

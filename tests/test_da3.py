@@ -275,3 +275,22 @@ def test_da3_infer_from_tokens_matches_full_pass():
     full, trace = model.infer_with_trace(x)
     replay = model.infer_from_tokens(trace.backbone_tokens, 28, 28)
     np.testing.assert_allclose(np.asarray(full.depth), np.asarray(replay.depth), atol=1e-6)
+
+
+def test_cached_da3_wrapper_matches_and_reuses():
+    """CachedDepthAnything3: same outputs as the plain model, one cache entry
+    per input shape (reference mod.rs:652-686 invariants)."""
+    from burn_depth_tpu.models.da3.model import CachedDepthAnything3
+
+    cfg = _tiny(DepthAnything3Config.metric_large())
+    model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    cached = CachedDepthAnything3(model)
+    x = jnp.zeros((1, 3, 28, 28))
+    a = cached.infer(x)
+    b = model.infer_with_cache(x)
+    # jitted (cached) vs eager differ only by float reassociation
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth), rtol=1e-6)
+    cached.infer(x)
+    assert cached.cache_len() == 1  # same shape reuses the compiled entry
+    cached.infer(jnp.zeros((1, 3, 14, 14)))
+    assert cached.cache_len() == 2
