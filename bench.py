@@ -14,11 +14,16 @@ Extra diagnostics go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: repeat bench runs skip the ~50 s XLA compile.
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NORTH_STAR_IMG_S = 10.0
 

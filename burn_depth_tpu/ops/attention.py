@@ -147,3 +147,52 @@ def multi_head_attention(
     if impl == "jnp":
         return _attention_jnp(q, k, v, scale, quiet_softmax)
     raise ValueError(f"unknown attention impl `{impl}`")
+
+
+def attention_bthd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    quiet_softmax: bool = False,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Attention over token-major ``[B, T, H, hd]`` tensors → ``[B, T, H·hd]``.
+
+    NOT the default path.  A/B-benched on v5e (Depth Pro 1536² b=1 full
+    infer): the models' head-major layout + Pallas flash kernel = 243 ms;
+    routing the ViT blocks through this token-major layout = 308 ms for both
+    the strided-einsum and relayout variants — XLA schedules the strided
+    head-dim accesses worse than one materialized transpose.  Kept as an
+    opt-in for future kernels that consume packed qkv directly.
+
+    ``impl``: ``"auto"``/``"jnp"`` = relayout + head-major softmax path;
+    ``"einsum"`` = strided token-major path; ``"pallas"`` = flash kernel.
+    """
+    b, t, h, hd = q.shape
+    if scale is None:
+        scale = float(hd) ** -0.5
+    if impl == "pallas":
+        out = _attention_pallas(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+            scale=scale, quiet_softmax=quiet_softmax,
+        )
+        return out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+    if impl == "einsum":
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        if quiet_softmax:
+            denom = denom + jnp.exp(-m)
+        p = (p / denom).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32)
+        return out.astype(v.dtype).reshape(b, t, h * hd)
+
+    # auto / jnp: one relayout to [B,H,T,hd], attention, relayout back.
+    out = _attention_jnp(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        scale, quiet_softmax,
+    )
+    return out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
