@@ -60,14 +60,20 @@ def _attention_jnp(q, k, v, scale: float, quiet_softmax: bool):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, quiet: bool):
-    """One (batch·head, q-block) grid cell: full-K attention for a query block."""
-    q = q_ref[0].astype(jnp.float32)  # [Bq, hd]
-    k = k_ref[0].astype(jnp.float32)  # [Tp, hd]
-    v = v_ref[0].astype(jnp.float32)  # [Tp, hd]
+    """One (batch·head, q-block) grid cell: full-K attention for a query block.
+
+    q/k/v stay in their storage dtype (bf16 on the serving path) so the MXU
+    runs its native bf16×bf16→f32 passes — upcasting inputs to f32 first
+    would decompose each matmul into multiple slow f32 MXU passes.  The
+    softmax itself is f32 (``preferred_element_type`` accumulation).
+    """
+    q = q_ref[0]  # [Bq, hd]
+    k = k_ref[0]  # [Tp, hd]
+    v = v_ref[0]  # [Tp, hd]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [Bq, Tp]
+    ) * scale  # [Bq, Tp] f32
 
     # Mask padded keys.
     t_pad = s.shape[-1]
@@ -80,7 +86,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, qui
     denom = jnp.sum(p, axis=-1, keepdims=True)
     if quiet:
         denom = denom + jnp.exp(-m)
-    p = p / denom
+    p = (p / denom).astype(v.dtype)  # back to storage dtype for the AV matmul
     o_ref[0] = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
@@ -91,10 +97,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "quiet_softmax", "q_block"))
-def _attention_pallas(q, k, v, scale: float, quiet_softmax: bool, q_block: int = 256):
+def _attention_pallas(q, k, v, scale: float, quiet_softmax: bool, q_block: int = 0):
     b, h, t, hd = q.shape
     bh = b * h
     t_pad = _round_up(t, 128)
+    if q_block <= 0:
+        # One q-block per (batch·head) when the whole sequence fits: K/V are
+        # then fetched once per grid cell instead of once per q-block.
+        q_block = t_pad if t_pad <= 1024 else 512
     q_block = min(q_block, t_pad)
     tq_pad = _round_up(t, q_block)
     hd_pad = _round_up(hd, 128)
