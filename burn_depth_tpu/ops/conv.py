@@ -7,7 +7,7 @@ import, ``maybe_fix_conv_transpose2d`` in ``src/model/depth_pro/mod.rs:416-431``
 keeping torch layout end-to-end removes that failure mode entirely).
 
 Both lower to ``lax.conv_general_dilated`` which XLA:TPU maps onto the MXU.
-Matmul accumulation is pinned to f32 via ``preferred_element_type``.
+MXU accumulation is f32 internally; outputs stay in the storage dtype.
 """
 
 from __future__ import annotations
@@ -45,7 +45,8 @@ def conv2d(
         rhs_dilation=dilation,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        # No preferred_element_type=f32 — MXU accumulation is f32 internally;
+        # forcing an f32 output adds a materialized convert after every conv.
     ).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)[None, :, None, None]
