@@ -17,7 +17,6 @@ recursion has no counterpart — pytree loading is not recursive over modules.
 
 from __future__ import annotations
 
-import dataclasses
 import enum
 import os
 from typing import Optional, Union
@@ -26,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from burn_depth_tpu.api.predict import DepthPrediction, normalize_image
+from burn_depth_tpu.api.predict import DepthPrediction
 from burn_depth_tpu.api.preprocess import PreparedModelImage, prepare_depth_anything3_image
 
 

@@ -5,7 +5,6 @@ and gate on the reference thresholds (role of ``example/correctness.rs`` /
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def main(argv=None) -> int:

@@ -20,7 +20,6 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from burn_depth_tpu.models.da3 import dpt as dpt_mod
 from burn_depth_tpu.models.da3.camera import (
     CameraDecoderConfig,
     CameraEncoderConfig,

@@ -151,7 +151,6 @@ def run_realtime(
     the MAX_IN_FLIGHT_TASKS=1 structure without threads.
     """
     from burn_depth_tpu.api import native
-    from burn_depth_tpu.api.predict import normalize_image
 
     kind_da3 = model.preferred_input_resolution() is not None
     size = target or model.preferred_input_resolution()

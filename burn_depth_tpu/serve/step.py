@@ -10,13 +10,13 @@ components the TPU build adds").
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from burn_depth_tpu.parallel.mesh import DATA_AXIS, Rule, batch_sharding, shard_params
+from burn_depth_tpu.parallel.mesh import Rule, batch_sharding, shard_params
 
 
 @dataclasses.dataclass

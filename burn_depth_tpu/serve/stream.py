@@ -10,7 +10,7 @@ JAX's async dispatch keeps the two overlapped without threads.
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import jax
 

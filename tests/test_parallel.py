@@ -15,9 +15,7 @@ import pytest
 from jax.sharding import PartitionSpec as P
 
 from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
-from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
 from burn_depth_tpu.parallel import (
-    batch_sharding,
     make_mesh,
     shard_params,
     vit_tp_rules,

@@ -5,7 +5,6 @@ import time
 
 import jax
 import numpy as np
-import pytest
 
 from burn_depth_tpu.api.registry import AnyDepthModel, DepthModelKind
 from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config

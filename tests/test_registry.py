@@ -13,7 +13,6 @@ from burn_depth_tpu.api import (
     AnyDepthModel,
     DepthModelKind,
     infer_from_rgb,
-    load_model,
     prepare_depth_anything3_image,
 )
 from burn_depth_tpu.api.preprocess import TORCH_BICUBIC, resize_bicubic

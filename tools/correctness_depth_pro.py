@@ -38,7 +38,7 @@ def main() -> int:
         from PIL import Image
         from safetensors.torch import save_file
 
-        import depth_pro  # upstream apple/ml-depth-pro
+        import depth_pro  # noqa: F401  # upstream apple/ml-depth-pro (availability probe)
     except ImportError as err:
         print(
             f"missing dependency: {err}\n"
@@ -105,7 +105,6 @@ def main() -> int:
 
         combined = torch.cat((x0_p, x1_p, x2), dim=0)
         encodings = enc.patch_encoder(combined)
-        backbone_hooks = getattr(enc, "backbone_highres_hook1", None)
         # per-scale token splits (layout mirrors DepthProEncoder.forward)
         n0, n1 = x0_p.shape[0], x1_p.shape[0]
         tensors["encoder_x0_tokens"] = enc.reshape_feature(
