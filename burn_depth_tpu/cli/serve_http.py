@@ -1,0 +1,44 @@
+"""HTTP streaming server CLI (web-demo counterpart of the reference's
+wasm/GitHub-Pages deploy): `python -m burn_depth_tpu.cli.serve_http
+--checkpoint da3.safetensors --port 8000` then open http://localhost:8000."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Serve live depth over HTTP (MJPEG)")
+    parser.add_argument("--model", default="depth-anything-3", choices=["depth-pro", "depth-anything-3"])
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--source", default="synthetic", help="'synthetic' or an image directory")
+    parser.add_argument("--size", type=int, default=640, help="synthetic frame width")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    args = parser.parse_args(argv)
+
+    from burn_depth_tpu.api import AnyDepthModel, DepthModelKind, load_model
+    from burn_depth_tpu.serve.http import DepthHTTPServer
+    from burn_depth_tpu.serve.realtime import ImageDirSource, SyntheticSource
+
+    kind = DepthModelKind.from_str(args.model)
+    if args.checkpoint:
+        model = AnyDepthModel.load(kind, args.checkpoint)
+    else:
+        print("no --checkpoint: random-init weights (smoke mode)", file=sys.stderr)
+        model = load_model(kind)
+
+    if args.source == "synthetic":
+        source = SyntheticSource(args.size, args.size * 3 // 4, 1 << 30)
+    else:
+        source = ImageDirSource(args.source)
+
+    server = DepthHTTPServer(model, source, host=args.host, port=args.port)
+    print(f"serving on http://{args.host}:{server.port}", flush=True)
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -21,3 +21,4 @@ from burn_depth_tpu.serve.realtime import (  # noqa: F401
     SyntheticSource,
     run_realtime,
 )
+from burn_depth_tpu.serve.http import DepthHTTPServer  # noqa: F401

@@ -63,3 +63,25 @@ def test_tpu_zero_infer_smoke():
         pytest.skip(f"TPU unavailable: {r.stderr[-200:]}")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "TPU smoke OK" in r.stdout
+
+
+def test_bf16_policy_stays_near_f32():
+    """SERVING (bf16) vs PARITY (f32) divergence on depth stays small — the
+    dtype-policy contract (core/dtypes.py): bf16 params/compute with f32
+    norm islands and f32 MXU accumulation."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from burn_depth_tpu.core.pytree import tree_cast
+
+    cfg = dc.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    m32 = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    m16 = DepthAnything3(cfg, tree_cast(m32.params, jnp.bfloat16))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 28, 28)) * 0.5
+
+    d32 = np.asarray(m32.infer(x).depth, np.float32)
+    d16 = np.asarray(m16.infer(x.astype(jnp.bfloat16)).depth, np.float32)
+    rel = np.abs(d16 - d32) / np.maximum(np.abs(d32), 1e-6)
+    assert np.median(rel) < 2e-2, float(np.median(rel))
+    assert np.isfinite(d16).all()
