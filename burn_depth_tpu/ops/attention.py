@@ -156,6 +156,29 @@ def multi_head_attention(
         return _attention_pallas(q, k, v, scale=scale, quiet_softmax=quiet_softmax)
     if impl == "jnp":
         return _attention_jnp(q, k, v, scale, quiet_softmax)
+    if impl == "splash":
+        # jax's reference TPU flash-attention kernel (no quiet-softmax path).
+        if quiet_softmax:
+            raise ValueError("splash impl does not support quiet_softmax")
+        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+        from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
+
+        b, _, t, _ = q.shape
+        pad = (-t) % 128
+        if pad:
+            qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            # padded keys masked via segment ids (segment 0 = padding)
+            seg = jnp.concatenate(
+                [jnp.ones((b, t), jnp.int32), jnp.zeros((b, pad), jnp.int32)], axis=1
+            )
+            out = flash_attention(
+                qp, kp, vp, segment_ids=SegmentIds(q=seg, kv=seg), sm_scale=scale
+            )
+            return out[:, :, :t]
+        return flash_attention(q, k, v, sm_scale=scale)
     raise ValueError(f"unknown attention impl `{impl}`")
 
 
