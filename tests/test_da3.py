@@ -294,3 +294,33 @@ def test_cached_da3_wrapper_matches_and_reuses():
     assert cached.cache_len() == 1  # same shape reuses the compiled entry
     cached.infer(jnp.zeros((1, 3, 14, 14)))
     assert cached.cache_len() == 2
+
+
+def test_infer_with_camera_conditions_backbone():
+    """Camera-context path (mod.rs:522-527): a camera token from the encoder
+    replaces the learned placeholder, changing every downstream output."""
+    cfg = _tiny(DepthAnything3Config.small())
+    model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 28, 28)) * 0.5
+
+    extr = jnp.broadcast_to(jnp.eye(3, 4), (1, 1, 3, 4))
+    intr = jnp.asarray([[[[20.0, 0.0, 14.0], [0.0, 20.0, 14.0], [0.0, 0.0, 1.0]]]])
+
+    base = model.infer(x)
+    cond = model.infer_with_camera(x, extr, intr)
+    assert cond.depth.shape == base.depth.shape
+    assert np.isfinite(np.asarray(cond.depth)).all()
+    # conditioning must actually flow: the encoder token replaces the learned
+    # placeholder, so the camera slot at the hooks changes.  (Depth itself
+    # barely moves at random init — LayerScale starts at 1e-5, which damps
+    # cross-token influence to ~1e-6; asserting on depth would be flaky.)
+    head_out, camera_pred, hooks_cond = model._forward_internal(model.params, x, extr, intr)
+    _, _, hooks_base = model._forward_internal(model.params, x, None, None)
+    cam_diff = np.abs(np.asarray(hooks_cond[-1].camera) - np.asarray(hooks_base[-1].camera)).max()
+    assert cam_diff > 1e-2, cam_diff
+    assert cond.pose_encoding is not None and cond.pose_encoding.shape == (1, 1, 9)
+    # metric-large has no camera encoder: context is ignored gracefully
+    cfg_l = _tiny(DepthAnything3Config.metric_large())
+    model_l = DepthAnything3.init(jax.random.PRNGKey(0), cfg_l)
+    out_l = model_l.infer_with_camera(x, extr, intr)
+    np.testing.assert_array_equal(np.asarray(out_l.depth), np.asarray(model_l.infer(x).depth))
