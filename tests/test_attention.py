@@ -45,3 +45,26 @@ def test_pallas_kernel_matches_jnp_interpret(t):
     with pltpu.force_tpu_interpret_mode():
         ours = np.asarray(multi_head_attention(q, k, v, impl="pallas"))
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_ln_matmul_kernel_matches_composition():
+    """Interpret-mode Pallas run == the jnp composition (LN → linear → GELU),
+    including M not a multiple of the tile and multi-chunk N."""
+    import jax
+    import jax.numpy as jnp
+
+    from burn_depth_tpu.ops.fused_ln_matmul import ln_matmul
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    m, d, n = 300, 256, 512  # m % tile_m != 0
+    x = jax.random.normal(k1, (2, m // 2, d), jnp.float32)
+    gamma = jax.random.normal(k2, (d,)) * 0.1 + 1.0
+    beta = jax.random.normal(k3, (d,)) * 0.1
+    w = jax.random.normal(k4, (n, d)) * 0.05
+    b = jax.random.normal(k5, (n,)) * 0.1
+
+    for act in ("none", "gelu"):
+        ref = ln_matmul(x, gamma, beta, w, b, act=act, impl="jnp")
+        got = ln_matmul(x, gamma, beta, w, b, act=act, impl="pallas", interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
