@@ -24,7 +24,10 @@ Models implemented end to end:
 __version__ = "0.1.0"
 
 from burn_depth_tpu.api import (  # noqa: F401
+    AnyDepthModel,
+    DepthModelKind,
     DepthPrediction,
     infer_from_rgb,
+    load_model,
     rgb_to_input_tensor,
 )

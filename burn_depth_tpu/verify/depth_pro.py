@@ -136,11 +136,20 @@ def run_depth_pro_parity(
                 failures.append(f"fovy: |diff|={s.max_abs:.6f} > {th['fov_deg']} deg")
 
     # --- metric depth (same infer math on the network input) -------------
-    if "metric_depth" in golden and golden["metric_depth"].shape[-2:] == tuple(x.shape[-2:]):
+    if "metric_depth" in golden:
         out = model._infer_fn(model.params, x)
-        compare("metric_depth", out.depth, gate=True)
-    elif "metric_depth" in golden:
-        skipped.append("metric_depth (shape differs from network_input; full-image replay)")
+        if golden["metric_depth"].shape[-2:] == tuple(x.shape[-2:]):
+            compare("metric_depth", out.depth, gate=True)
+        else:
+            # golden was produced at the original image size; restore with the
+            # CLI's half-pixel bilinear (the reference does the same when
+            # replaying, example/inference.rs:183-250) — report-only since the
+            # resize itself is outside the gated graph.
+            from burn_depth_tpu.cli.infer import resize_depth_field
+
+            gh, gw = golden["metric_depth"].shape[-2:]
+            ours = resize_depth_field(np.asarray(out.depth[0], np.float32), gh, gw)[None]
+            stages.append(compute_stats("metric_depth(restored)", ours, golden["metric_depth"]))
 
     # --- decoder isolation from golden encoder features ------------------
     # (compare_decoder_with_reference, correctness.rs:714: feeds TORCH encoder

@@ -233,3 +233,40 @@ def test_fovy_formula():
     fovx = np.array([1.0], np.float32)
     expected = 2 * np.arctan(0.75 * np.tan(0.5))
     np.testing.assert_allclose(np.asarray(fovy_from_fovx_rad(jnp.asarray(fovx), 1080, 1440)), expected, atol=1e-6)
+
+
+def test_depth_pro_without_fov_head():
+    """use_fov_head=False: forward works, infer raises (focal math needs the
+    FOV head — reference mod.rs:330)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(DepthProConfig.tiny_test(), use_fov_head=False)
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 3, cfg.img_size, cfg.img_size))
+    canonical, fov = model.forward(x)
+    assert fov is None
+    assert canonical.shape[0] == 1
+    with pytest.raises(ValueError, match="FOV head required"):
+        model.infer(x)
+
+
+def test_verify_restored_metric_depth_stage():
+    """Golden metric depth at a different size gets restore-resized and
+    reported (not gated)."""
+    import numpy as np
+
+    from burn_depth_tpu.verify import run_depth_pro_parity
+
+    model = DepthPro.init(jax.random.PRNGKey(0), DepthProConfig.tiny_test())
+    size = model.img_size
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (1, 3, size, size)) * 0.3)
+    out = model.infer(jnp.asarray(x))
+    from burn_depth_tpu.cli.infer import resize_depth_field
+
+    restored = resize_depth_field(np.asarray(out.depth[0], np.float32), 100, 150)[None]
+    golden = {"network_input": x, "metric_depth": restored}
+    report = run_depth_pro_parity(model, golden)
+    names = {s.name for s in report.stages}
+    assert "metric_depth(restored)" in names
+    st = next(s for s in report.stages if s.name == "metric_depth(restored)")
+    assert st.max_abs < 1e-5  # same restore path → near-exact
