@@ -60,25 +60,28 @@ def _attention_jnp(q, k, v, scale: float, quiet_softmax: bool):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, quiet: bool):
-    """One (batch·head, q-block) grid cell: full-K attention for a query block.
+    """One (batch·head-group, q-block) grid cell: full-K attention for a
+    group of G heads at once.  Grouping amortizes per-grid-step overhead —
+    at 577 tokens a single (batch·head) cell is only ~0.2 MFLOP of MXU work,
+    so the 560-cell grid was step-overhead-bound.
 
     q/k/v stay in their storage dtype (bf16 on the serving path) so the MXU
     runs its native bf16×bf16→f32 passes — upcasting inputs to f32 first
     would decompose each matmul into multiple slow f32 MXU passes.  The
     softmax itself is f32 (``preferred_element_type`` accumulation).
     """
-    q = q_ref[0]  # [Bq, hd]
-    k = k_ref[0]  # [Tp, hd]
-    v = v_ref[0]  # [Tp, hd]
+    q = q_ref[...]  # [G, Bq, hd]
+    k = k_ref[...]  # [G, Tp, hd]
+    v = v_ref[...]  # [G, Tp, hd]
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [Bq, Tp] f32
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [G, Bq, Tp] f32
 
-    # Mask padded keys.
+    # Mask padded keys (key dim is the last axis of [G, Bq, Tp]).
     t_pad = s.shape[-1]
     if t_pad != seq_len:
-        key_ids = lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        key_ids = lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
         s = jnp.where(key_ids < seq_len, s, -jnp.inf)
 
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -87,8 +90,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, qui
     if quiet:
         denom = denom + jnp.exp(-m)
     p = (p / denom).astype(v.dtype)  # back to storage dtype for the AV matmul
-    o_ref[0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    o_ref[...] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
 
 
@@ -96,8 +99,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "quiet_softmax", "q_block"))
-def _attention_pallas(q, k, v, scale: float, quiet_softmax: bool, q_block: int = 0):
+@functools.partial(
+    jax.jit, static_argnames=("scale", "quiet_softmax", "q_block", "head_group")
+)
+def _attention_pallas(q, k, v, scale: float, quiet_softmax: bool, q_block: int = 0, head_group: int = 0):
     b, h, t, hd = q.shape
     bh = b * h
     t_pad = _round_up(t, 128)
@@ -109,6 +114,16 @@ def _attention_pallas(q, k, v, scale: float, quiet_softmax: bool, q_block: int =
     tq_pad = _round_up(t, q_block)
     hd_pad = _round_up(hd, 128)
 
+    if head_group <= 0:
+        # Largest G with the f32 score block [G, q_block, t_pad] ≲ 8 MB
+        # (G=5 measured best for the 35×577 Depth Pro batch: 215.8 ms vs
+        # 219.8 at G=2 and 224.5 ungrouped; G=8 exceeds VMEM at compile).
+        budget = 8 * 1024 * 1024 // (q_block * t_pad * 4)
+        head_group = max(1, min(8, budget))
+    g = head_group
+    while bh % g:
+        g -= 1
+
     qf = q.reshape(bh, t, hd)
     kf = k.reshape(bh, t, hd)
     vf = v.reshape(bh, t, hd)
@@ -116,17 +131,17 @@ def _attention_pallas(q, k, v, scale: float, quiet_softmax: bool, q_block: int =
     kf = jnp.pad(kf, ((0, 0), (0, t_pad - t), (0, hd_pad - hd)))
     vf = jnp.pad(vf, ((0, 0), (0, t_pad - t), (0, hd_pad - hd)))
 
-    grid = (bh, tq_pad // q_block)
+    grid = (bh // g, tq_pad // q_block)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, seq_len=t, quiet=quiet_softmax),
         out_shape=jax.ShapeDtypeStruct((bh, tq_pad, hd_pad), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, q_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, q_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, t_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, q_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((g, q_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
     )(qf, kf, vf)
     return out[:, :t, :hd].reshape(b, h, t, hd)
 
