@@ -12,6 +12,12 @@ def main(argv=None) -> int:
     parser.add_argument("-o", "--output", default=None)
     parser.add_argument("--storage-dtype", default="float16", choices=["float16", "bfloat16", "float32"])
     parser.add_argument("--dry-run", action="store_true")
+    parser.add_argument(
+        "--validate",
+        metavar="GOLDEN",
+        default=None,
+        help="after import, replay this golden dump and gate on the parity thresholds",
+    )
     parser.add_argument("--dump-template", action="store_true")
     args = parser.parse_args(argv)
 
@@ -34,6 +40,14 @@ def main(argv=None) -> int:
 
     model, report = import_da3(args.checkpoint, variant=args.variant)
     print(report)
+    if args.validate:
+        from burn_depth_tpu.io.checkpoint import load_safetensors
+        from burn_depth_tpu.verify import run_da3_parity
+
+        parity = run_da3_parity(model, load_safetensors(args.validate))
+        print(parity)
+        if not parity.ok:
+            return 1
     if not args.dry_run:
         out = args.output or f"da3_{args.variant.replace('-', '_')}.safetensors"
         storage = None if args.storage_dtype == "float32" else args.storage_dtype

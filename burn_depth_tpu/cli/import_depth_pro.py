@@ -15,6 +15,13 @@ def main(argv=None) -> int:
     parser.add_argument("-o", "--output", default="depth_pro.safetensors")
     parser.add_argument("--storage-dtype", default="float16", choices=["float16", "bfloat16", "float32"])
     parser.add_argument("--dry-run", action="store_true", help="remap + validate, don't save")
+    parser.add_argument(
+        "--validate",
+        metavar="GOLDEN",
+        default=None,
+        help="after import, replay this golden safetensors dump and gate on the "
+        "parity thresholds (the reference's IMPORT_VALIDATE env mode)",
+    )
     parser.add_argument("--dump-template", action="store_true", help="print expected param paths")
     args = parser.parse_args(argv)
 
@@ -32,6 +39,14 @@ def main(argv=None) -> int:
 
     model, report = import_depth_pro(args.checkpoint)
     print(report)
+    if args.validate:
+        from burn_depth_tpu.io.checkpoint import load_safetensors
+        from burn_depth_tpu.verify import run_depth_pro_parity
+
+        parity = run_depth_pro_parity(model, load_safetensors(args.validate))
+        print(parity)
+        if not parity.ok:
+            return 1
     if not args.dry_run:
         storage = None if args.storage_dtype == "float32" else args.storage_dtype
         save_checkpoint(args.output, model.params, storage_dtype=storage)

@@ -106,3 +106,34 @@ def test_import_da3_cli_roundtrip(tmp_path, monkeypatch):
 
     loaded = AnyDepthModel.load(DepthModelKind.DEPTH_ANYTHING3, out)
     assert not loaded.model.config.head.dual_head
+
+
+def test_import_da3_cli_validate_gate(tmp_path, monkeypatch):
+    """--validate replays a golden dump through the freshly imported model
+    (the reference's IMPORT_VALIDATE mode) and gates the exit code."""
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from burn_depth_tpu.cli.import_da3 import main as import_main
+    from burn_depth_tpu.io.importers import export_pytorch_style_state
+    from tests.test_io import da3_inverse
+
+    monkeypatch.setattr(DepthAnything3Config, "metric_large", staticmethod(lambda: _TINY_LARGE))
+    monkeypatch.setattr(DepthAnything3Config, "small", staticmethod(lambda: _TINY_SMALL))
+
+    model = DepthAnything3.init(jax.random.PRNGKey(2), _TINY_LARGE)
+    upstream = str(tmp_path / "up.safetensors")
+    save_file(export_pytorch_style_state(model.params, da3_inverse("head_mono")), upstream)
+
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (1, 3, 28, 28)) * 0.5, np.float32)
+    depth = np.asarray(model.infer(jnp.asarray(x)).depth)
+    golden_path = str(tmp_path / "golden.safetensors")
+    save_file({"metric_input": x, "depth": depth}, golden_path)
+
+    out = str(tmp_path / "native.safetensors")
+    rc = import_main([upstream, "-o", out, "--storage-dtype", "float32", "--validate", golden_path])
+    assert rc == 0
+
+    save_file({"metric_input": x, "depth": depth * 1.5}, golden_path)
+    rc = import_main([upstream, "-o", out, "--storage-dtype", "float32", "--validate", golden_path])
+    assert rc == 1
