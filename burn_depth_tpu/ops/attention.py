@@ -146,6 +146,94 @@ def _attention_pallas(q, k, v, scale: float, quiet_softmax: bool, q_block: int =
     return out[:, :t, :hd].reshape(b, h, t, hd)
 
 
+def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, quiet: bool):
+    """Packed-qkv cell: q_ref [1,Bq,1,G,hd], k/v_ref [1,Tp,1,G,hd] are three
+    views of the same [B,T,3,H,hd] array (different dim-2 index_maps), so the
+    [B,H,T,hd] relayout never exists in HBM; the (token, head) transpose
+    happens in VMEM."""
+    q = q_ref[0, :, 0].swapaxes(0, 1)  # [G, Bq, hd]
+    k = k_ref[0, :, 0].swapaxes(0, 1)  # [G, Tp, hd]
+    v = v_ref[0, :, 0].swapaxes(0, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [G, Bq, Tp]
+    t_pad = s.shape[-1]
+    if t_pad != seq_len:
+        key_ids = lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+        s = jnp.where(key_ids < seq_len, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    if quiet:
+        denom = denom + jnp.exp(-m)
+    p = (p / denom).astype(v.dtype)
+    out = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [G, Bq, hd]
+    g, bq, hd = out.shape
+    o_ref[0] = out.swapaxes(0, 1).reshape(bq, g * hd).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "quiet_softmax", "q_block", "head_group"))
+def _attention_pallas_packed(qkv, scale: float, quiet_softmax: bool, q_block: int = 0, head_group: int = 0):
+    """``qkv: [B, T, 3, H, hd]`` (the natural reshape of the qkv matmul
+    output) → ``[B, T, H·hd]`` with no HBM relayouts."""
+    b, t, _, h, hd = qkv.shape
+    t_pad = _round_up(t, 128)
+    # Mosaic requires the block's second-to-last dim (the head slice) to be
+    # tile-aligned or equal to the full dim — take all heads per cell and
+    # size the q block so the f32 score tensor [H, q_block, t_pad] fits VMEM.
+    g = h if head_group <= 0 else head_group
+    if q_block <= 0:
+        q_block = max(128, (8 * 1024 * 1024 // (g * t_pad * 4)) // 128 * 128)
+    q_block = min(q_block, t_pad)
+    while t_pad % q_block:
+        q_block -= 128
+
+    qkv_p = jnp.pad(qkv, ((0, 0), (0, t_pad - t), (0, 0), (0, 0), (0, 0)))
+    grid = (b, h // g, t_pad // q_block)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_packed, scale=scale, seq_len=t, quiet=quiet_softmax),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, h * hd), qkv.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, 1, g, hd), lambda i, j, q: (i, q, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, 1, g, hd), lambda i, j, q: (i, 0, 1, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, 1, g, hd), lambda i, j, q: (i, 0, 2, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, q_block, g * hd), lambda i, j, q: (i, q, j), memory_space=pltpu.VMEM
+        ),
+    )(qkv_p, qkv_p, qkv_p)
+    return out[:, :t]
+
+
+def attention_packed_qkv(
+    qkv: jnp.ndarray,  # [B, T, 3, H, hd]
+    scale: float | None = None,
+    quiet_softmax: bool = False,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Attention straight from the packed qkv projection → ``[B, T, H·hd]``.
+
+    EXPERIMENTAL, not the default: skipping the two HBM relayouts is worth
+    ~0.5 ms/layer on paper, but this Mosaic build crashes (remote_compile
+    HTTP 500) lowering the 5-D blocks + in-VMEM (token, head) transpose at
+    ViT-L shapes; the interpret-mode path is correct (tested).  Revisit on a
+    newer Mosaic."""
+    b, t, _, h, hd = qkv.shape
+    if scale is None:
+        scale = float(hd) ** -0.5
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "jnp"
+    if impl == "pallas":
+        return _attention_pallas_packed(qkv, scale=scale, quiet_softmax=quiet_softmax)
+    q, k, v = (qkv.transpose(2, 0, 3, 1, 4)[i] for i in range(3))
+    out = _attention_jnp(q, k, v, scale, quiet_softmax)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
 # --------------------------------------------------------------------------
 # public entry
 # --------------------------------------------------------------------------

@@ -263,18 +263,16 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
 
     y = layer_norm(x, bp["norm1"]["weight"], bp["norm1"]["bias"], cfg.ln_eps)
     qkv = linear(y, bp["attn"]["qkv"]["weight"], bp["attn"]["qkv"]["bias"])  # [B,T,3D]
-    qkv = qkv.reshape(b, t, 3, h, hd).transpose(2, 0, 3, 1, 4)  # [3,B,H,T,hd]
-    q, k, v = qkv[0], qkv[1], qkv[2]
+    qkv = qkv.reshape(b, t, 3, h, hd)
 
+    q, k, v = (qkv.transpose(2, 0, 3, 1, 4)[i] for i in range(3))  # [B,H,T,hd]
     if "q_norm" in bp["attn"]:
         q = layer_norm(q, bp["attn"]["q_norm"]["weight"], bp["attn"]["q_norm"]["bias"], cfg.ln_eps)
         k = layer_norm(k, bp["attn"]["k_norm"]["weight"], bp["attn"]["k_norm"]["bias"], cfg.ln_eps)
-
     if rope is not None and cfg.rope_start is not None and block_idx >= cfg.rope_start:
         cos, sin = rope
         q = _apply_rope(q, cos, sin, num_prefix)
         k = _apply_rope(k, cos, sin, num_prefix)
-
     attn_out = multi_head_attention(q, k, v, quiet_softmax=cfg.quiet_softmax, impl=attn_impl)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(b, t, d)
     attn_out = linear(attn_out, bp["attn"]["proj"]["weight"], bp["attn"]["proj"]["bias"])

@@ -68,3 +68,29 @@ def test_fused_ln_matmul_kernel_matches_composition():
         ref = ln_matmul(x, gamma, beta, w, b, act=act, impl="jnp")
         got = ln_matmul(x, gamma, beta, w, b, act=act, impl="pallas", interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_packed_qkv_kernel_matches_head_major():
+    """Interpret-mode packed kernel == jnp head-major path (incl. padded T)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from burn_depth_tpu.ops import attention as A
+
+    b, t, h, hd = 2, 37, 4, 16
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, t, 3, h, hd), jnp.float32)
+    ref = A.attention_packed_qkv(qkv, impl="jnp")
+
+    orig = A._flash_kernel_packed
+    # run the pallas path in interpreter mode on CPU
+    import jax.experimental.pallas as pl
+
+    real_call = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(real_call, interpret=True)
+        got = A._attention_pallas_packed(qkv, scale=hd ** -0.5, quiet_softmax=False)
+    finally:
+        pl.pallas_call = real_call
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
