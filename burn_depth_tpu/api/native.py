@@ -94,3 +94,19 @@ def prepare_image_nchw(rgb: np.ndarray, target: int, a: float = CATMULL_ROM) -> 
         np.ascontiguousarray(IMAGENET_MEAN), np.ascontiguousarray(IMAGENET_STD),
     )
     return out
+
+
+def resize_and_crop_u8(rgb: np.ndarray, target: int, a: float = CATMULL_ROM) -> np.ndarray:
+    """Shortest-side resize + center crop, staying in u8 HWC (the u8-ingest
+    serving lane: the normalize runs on device).  Native bicubic when built."""
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    h, w = rgb.shape[:2]
+    if h == target and w == target:
+        return rgb
+    shortest = max(min(h, w), 1)
+    scale = target / shortest
+    sw = max(int(round(w * scale)), target)
+    sh = max(int(round(h * scale)), target)
+    resized = resize_bicubic_u8(rgb, sh, sw, a=a)
+    cx, cy = (sw - target) // 2, (sh - target) // 2
+    return np.ascontiguousarray(resized[cy : cy + target, cx : cx + target])

@@ -157,7 +157,15 @@ def run_realtime(
 
     inner = model.model
 
-    def step(params, x):
+    def step(params, x_u8):
+        # u8 frames upload (4x fewer host→HBM bytes than f32); the ImageNet
+        # normalize fuses into the graph (serve/step.py with_u8_ingest story).
+        from burn_depth_tpu.api.predict import IMAGENET_MEAN, IMAGENET_STD
+
+        x = x_u8.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)) / jnp.asarray(
+            IMAGENET_STD
+        ).reshape(1, 3, 1, 1)
         if kind_da3:
             head_out, camera_pred, _ = inner._forward_internal(params, x, None, None)
             depth = inner._finalize(head_out, camera_pred).depth[0]
@@ -173,11 +181,11 @@ def run_realtime(
 
     def prep(frame: np.ndarray) -> jnp.ndarray:
         if kind_da3:
-            chw = native.prepare_image_nchw(frame, size)  # fused native lane
-            return jnp.asarray(chw)[None]
-        frame = _patch_aligned_crop(frame, 16)
-        chw = native.rgb_to_nchw_norm(frame)
-        return jnp.asarray(chw)[None]
+            # resize/crop on host in u8 (native lane when built)
+            rgb = native.resize_and_crop_u8(frame, size)
+        else:
+            rgb = _patch_aligned_crop(frame, 16)
+        return jnp.asarray(np.ascontiguousarray(rgb.transpose(2, 0, 1))[None])
 
     while True:
         frame = source.read()
