@@ -108,8 +108,11 @@ def _attention_pallas(q, k, v, scale: float, quiet_softmax: bool, q_block: int =
     t_pad = _round_up(t, 128)
     if q_block <= 0:
         # One q-block per (batch·head) when the whole sequence fits: K/V are
-        # then fetched once per grid cell instead of once per q-block.
-        q_block = t_pad if t_pad <= 1024 else 512
+        # then fetched once per grid cell instead of once per q-block.  The
+        # query rows only need sublane alignment (16), not lane alignment
+        # (128) — 592 instead of 640 rows at T=577 trims ~7.5% of the
+        # attention matmul work (keys stay 128-padded and masked).
+        q_block = _round_up(t, 16) if t_pad <= 1024 else 512
     q_block = min(q_block, t_pad)
     tq_pad = _round_up(t, q_block)
     hd_pad = _round_up(hd, 128)
