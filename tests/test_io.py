@@ -173,3 +173,46 @@ def test_load_state_dict_nested_state_dict_key(tmp_path):
     torch.save({"state_dict": {"a.weight": torch.ones(2, 2)}}, path)
     sd = load_state_dict(path)
     assert list(sd) == ["a.weight"]
+
+
+def _template_paths(params):
+    import jax
+
+    from burn_depth_tpu.io.checkpoint import _path_str
+
+    return [_path_str(p) for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+
+
+@pytest.mark.parametrize("which", ["depth_pro", "da3_large", "da3_small"])
+def test_remap_bijective_at_flagship_scale(which):
+    """Round-trip every FLAGSHIP-config param path through inverse then
+    forward remap rules — catches rule-table mistakes on the real trees
+    (24-block ViTs, fov tower, aux heads) without materializing weights.
+
+    Uses jax.eval_shape so the 0.3-0.9B-param trees cost nothing."""
+    import jax
+
+    from burn_depth_tpu.io.remap import KeyRemapper, da3_remap_rules, depth_pro_remap_rules
+
+    if which == "depth_pro":
+        from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+        tpl = jax.eval_shape(
+            lambda: DepthPro.init(jax.random.PRNGKey(0), DepthProConfig.dinov2_l16_384()).params
+        )
+        inverse, forward = KeyRemapper(DEPTH_PRO_INVERSE), KeyRemapper(depth_pro_remap_rules())
+    else:
+        from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+
+        cfg = DepthAnything3Config.small() if which == "da3_small" else DepthAnything3Config.metric_large()
+        hp = "head_dual" if cfg.head.dual_head else "head_mono"
+        tpl = jax.eval_shape(lambda: DepthAnything3.init(jax.random.PRNGKey(0), cfg).params)
+        inverse, forward = KeyRemapper(da3_inverse(hp)), KeyRemapper(da3_remap_rules(hp))
+
+    paths = [p.replace("/", ".") for p in _template_paths(tpl)]
+    assert len(paths) > 100  # real tree, not a stub
+    upstream = [inverse.remap(p) for p in paths]
+    assert len(set(upstream)) == len(upstream), "inverse rules collide"
+    back = [forward.remap(u) for u in upstream]
+    mismatches = [(p, u, b) for p, u, b in zip(paths, upstream, back) if b != p]
+    assert not mismatches, mismatches[:5]
