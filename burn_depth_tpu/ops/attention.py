@@ -112,7 +112,10 @@ def _attention_pallas(q, k, v, scale: float, quiet_softmax: bool, q_block: int =
         # query rows only need sublane alignment (16), not lane alignment
         # (128) — 592 instead of 640 rows at T=577 trims ~7.5% of the
         # attention matmul work (keys stay 128-padded and masked).
-        q_block = _round_up(t, 16) if t_pad <= 1024 else 512
+        # single q-block whenever the f32 score matrix fits the VMEM budget
+        # (T≲1430): K/V fetched once per (batch·head-group) cell.
+        fits = _round_up(t, 16) * t_pad * 4 <= 8 * 1024 * 1024
+        q_block = _round_up(t, 16) if fits else 512
     q_block = min(q_block, t_pad)
     tq_pad = _round_up(t, q_block)
     hd_pad = _round_up(hd, 128)
