@@ -50,6 +50,10 @@ def main() -> None:
 
     size = config.img_size
     model = DepthPro.init(jax.random.PRNGKey(0), config, dtype=jnp.bfloat16)
+    int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    if int8:
+        model = model.quantize_vit()
+        log("int8 ViT serving tier enabled (BENCH_INT8=1)")
 
     fn = jax.jit(lambda p, x: model._infer_fn(p, x).depth)
     x = jax.device_put(
@@ -67,7 +71,11 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(model.params, x)
-    jax.block_until_ready(out)
+    # device_get, not block_until_ready: through the axon tunnel
+    # block_until_ready can return before execution completes (standalone
+    # probes report impossible sub-ms timings); fetching real output bytes is
+    # the only watertight sync.  See BENCH.md round-2 methodology notes.
+    _ = jax.device_get(out[0, :1, :8])
     dt = time.perf_counter() - t0
 
     img_s = iters / dt
@@ -76,7 +84,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"depth_pro_infer_{size}x{size}_b1_img_per_s" + ("" if on_tpu else "_CPU_FALLBACK"),
+                "metric": f"depth_pro_infer_{size}x{size}_b1_img_per_s"
+                + ("_int8" if int8 else "")
+                + ("" if on_tpu else "_CPU_FALLBACK"),
                 "value": round(img_s, 3),
                 "unit": "img/s",
                 "vs_baseline": round(img_s / NORTH_STAR_IMG_S, 3),

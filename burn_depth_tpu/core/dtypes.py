@@ -41,6 +41,12 @@ class Policy:
 
 PARITY = Policy()
 SERVING = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+# Relaxed-parity int8 tier: bf16 everywhere except the ViT-block linears,
+# which run int8 weights + dynamic per-token activation quant on the MXU at
+# 2x the bf16 rate (``ops/quant.py``).  Applied via ``model.quantize_vit()``;
+# the policy object itself is identical to SERVING (the quantization lives in
+# the param tree, not the op dtype).
+SERVING_INT8 = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
 
 
 def policy_from_name(name: str) -> Policy:
@@ -49,4 +55,6 @@ def policy_from_name(name: str) -> Policy:
         return PARITY
     if name in ("serving", "bf16", "bfloat16"):
         return SERVING
-    raise ValueError(f"unknown dtype policy `{name}` (want parity|serving)")
+    if name in ("serving_int8", "int8"):
+        return SERVING_INT8
+    raise ValueError(f"unknown dtype policy `{name}` (want parity|serving|serving_int8)")

@@ -70,12 +70,19 @@ def load_state_dict(path: str) -> dict[str, np.ndarray]:
 def _apply(template: Any, state: dict[str, np.ndarray], rules) -> tuple[Any, ImportReport]:
     remapper = KeyRemapper(rules)
     remap_table = remapper.remap_all(state.keys())
+    template_paths = {
+        _path_str(p) for p, _ in jax.tree_util.tree_flatten_with_path(template)[0]
+    }
 
     flat: dict[str, np.ndarray] = {}
     ignored: list[str] = []
     for orig, new in remap_table.items():
         slash = new.replace(".", "/")
-        if any(re.search(p, slash) for p in IGNORABLE_PATTERNS):
+        # A key is droppable only when it is BOTH declared ignorable AND the
+        # template has no such parameter.  If the template does have it (e.g.
+        # a config with register tokens enabled), the tensor must apply —
+        # silently ignoring it would mask a config mismatch.
+        if slash not in template_paths and any(re.search(p, slash) for p in IGNORABLE_PATTERNS):
             ignored.append(orig)
             continue
         flat[slash] = state[orig]

@@ -183,6 +183,24 @@ class DepthPro:
     def img_size(self) -> int:
         return self.config.img_size
 
+    def quantize_vit(self) -> "DepthPro":
+        """Opt-in int8 serving tier (``Policy.SERVING_INT8``): per-channel
+        int8 weights + dynamic per-token activation quant on every ViT-block
+        linear in all three encoders (patch/image/fov).  Convs, norms and the
+        decoder/head stay in the float policy.  See ``ops/quant.py``."""
+        from burn_depth_tpu.ops.quant import quantize_vit_blocks
+
+        params = dict(self.params)
+        enc = dict(params["encoder"])
+        enc["patch_encoder"] = quantize_vit_blocks(enc["patch_encoder"])
+        enc["image_encoder"] = quantize_vit_blocks(enc["image_encoder"])
+        params["encoder"] = enc
+        if "fov" in params and params["fov"].get("encoder") is not None:
+            fov = dict(params["fov"])
+            fov["encoder"] = quantize_vit_blocks(fov["encoder"])
+            params["fov"] = fov
+        return DepthPro(self.config, params)
+
     # ---- forward ---------------------------------------------------------
     def _forward_internal(self, params: dict, x: jnp.ndarray, debug: bool = False):
         """``forward_internal`` (``mod.rs:210-252``)."""

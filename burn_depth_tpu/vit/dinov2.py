@@ -47,6 +47,7 @@ from burn_depth_tpu.ops.attention import multi_head_attention
 from burn_depth_tpu.ops.conv import conv2d
 from burn_depth_tpu.ops.linear import linear
 from burn_depth_tpu.ops.norm import layer_norm
+from burn_depth_tpu.ops.quant import qlinear
 
 
 @dataclasses.dataclass(frozen=True)
@@ -262,7 +263,7 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
     b, t, _ = x.shape
 
     y = layer_norm(x, bp["norm1"]["weight"], bp["norm1"]["bias"], cfg.ln_eps)
-    qkv = linear(y, bp["attn"]["qkv"]["weight"], bp["attn"]["qkv"]["bias"])  # [B,T,3D]
+    qkv = qlinear(y, bp["attn"]["qkv"])  # [B,T,3D]
     qkv = qkv.reshape(b, t, 3, h, hd)
 
     q, k, v = (qkv.transpose(2, 0, 3, 1, 4)[i] for i in range(3))  # [B,H,T,hd]
@@ -275,13 +276,13 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
         k = _apply_rope(k, cos, sin, num_prefix)
     attn_out = multi_head_attention(q, k, v, quiet_softmax=cfg.quiet_softmax, impl=attn_impl)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(b, t, d)
-    attn_out = linear(attn_out, bp["attn"]["proj"]["weight"], bp["attn"]["proj"]["bias"])
+    attn_out = qlinear(attn_out, bp["attn"]["proj"])
     x = x + attn_out * bp["ls1"]["gamma"].astype(x.dtype)
 
     y = layer_norm(x, bp["norm2"]["weight"], bp["norm2"]["bias"], cfg.ln_eps)
-    y = linear(y, bp["mlp"]["fc1"]["weight"], bp["mlp"]["fc1"]["bias"])
+    y = qlinear(y, bp["mlp"]["fc1"])
     y = gelu(y)
-    y = linear(y, bp["mlp"]["fc2"]["weight"], bp["mlp"]["fc2"]["bias"])
+    y = qlinear(y, bp["mlp"]["fc2"])
     return x + y * bp["ls2"]["gamma"].astype(x.dtype)
 
 
