@@ -50,10 +50,15 @@ def main() -> None:
 
     size = config.img_size
     model = DepthPro.init(jax.random.PRNGKey(0), config, dtype=jnp.bfloat16)
-    int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    int8_mode = os.environ.get("BENCH_INT8", "0")  # 0 | 1 (dynamic) | static
+    int8 = int8_mode != "0"
     if int8:
-        model = model.quantize_vit()
-        log("int8 ViT serving tier enabled (BENCH_INT8=1)")
+        calib = None
+        if int8_mode == "static":
+            calib = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, size, size), jnp.bfloat16)
+        t0 = time.perf_counter()
+        model = model.quantize_vit(calibration_input=calib)
+        log(f"int8 ViT serving tier (BENCH_INT8={int8_mode}) prepared in {time.perf_counter() - t0:.1f}s")
 
     fn = jax.jit(lambda p, x: model._infer_fn(p, x).depth)
     x = jax.device_put(

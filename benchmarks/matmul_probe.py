@@ -40,28 +40,36 @@ def log(*a):
 
 @functools.partial(jax.jit, static_argnames=("iters",))
 def chain_bf16(x, w, iters):
+    k = x.shape[1]
+
     def body(_, carry):
-        y = jnp.dot(carry, w)  # bf16 x bf16, f32 MXU accumulation
-        return (y[:, : carry.shape[1]] * jnp.bfloat16(1e-3)).astype(jnp.bfloat16)
+        y = jnp.dot(carry, w) * jnp.asarray(1e-3, carry.dtype)  # f32 MXU accumulation
+        if y.shape[1] >= k:
+            return y[:, :k].astype(carry.dtype)
+        return jnp.concatenate([y] * (k // y.shape[1]), axis=1).astype(carry.dtype)
 
     return lax.fori_loop(0, iters, body, x)
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
 def chain_int8(x, w, iters):
+    k = x.shape[1]
+
     def body(_, carry):
-        y = lax.dot(carry, w, preferred_element_type=jnp.int32)
-        return (y[:, : carry.shape[1]] >> 8).astype(jnp.int8)
+        y = (lax.dot(carry, w, preferred_element_type=jnp.int32) >> 8).astype(jnp.int8)
+        if y.shape[1] >= k:
+            return y[:, :k]
+        return jnp.concatenate([y] * (k // y.shape[1]), axis=1)
 
     return lax.fori_loop(0, iters, body, x)
 
 
 def run(name, fn, x, w, m, k, n):
     out = fn(x, w, ITERS)
-    jax.block_until_ready(out)  # compile + warm
+    _ = jax.device_get(out[:1, :8])  # compile + warm; device_get forces real sync
     t0 = time.perf_counter()
-    out = fn(x, w, ITERS)
-    jax.block_until_ready(out)
+    out = fn(out[: x.shape[0], : x.shape[1]], w, ITERS)
+    _ = jax.device_get(out[:1, :8])
     dt = time.perf_counter() - t0
     tflops = 2.0 * m * k * n * ITERS / dt / 1e12
     log(f"{name:24s} M={m} K={k} N={n}: {dt * 1e3 / ITERS:7.3f} ms/matmul  {tflops:6.1f} TFLOP/s")

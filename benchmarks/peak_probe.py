@@ -53,11 +53,13 @@ def chain_i8(x, w):
 
 def run(name, fn, x, w):
     x = fn(x, w)  # compile + warm (consumes x via donation)
-    jax.block_until_ready(x)
+    _ = jax.device_get(x[:1, :8])
     t0 = time.perf_counter()
     for _ in range(CALLS):
         x = fn(x, w)
-    jax.block_until_ready(x)
+    # device_get, not block_until_ready: the latter can return before
+    # execution completes through the axon tunnel (BENCH.md round 2).
+    _ = jax.device_get(x[:1, :8])
     dt = time.perf_counter() - t0
     n_mm = CALLS * INNER
     rate = 2.0 * N**3 * n_mm / dt / 1e12

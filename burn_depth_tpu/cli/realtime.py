@@ -13,14 +13,23 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Realtime depth streaming")
     parser.add_argument("--model", default="depth-anything-3", choices=["depth-pro", "depth-anything-3"])
     parser.add_argument("--checkpoint", default=None)
-    parser.add_argument("--source", default="synthetic", help="'synthetic' or a directory of images")
+    parser.add_argument(
+        "--source",
+        default="synthetic",
+        help="'synthetic', 'camera:N' (webcam index N, reference platform.rs:24-83), or a directory of images",
+    )
     parser.add_argument("--frames", type=int, default=30, help="synthetic source length")
     parser.add_argument("--size", type=int, default=None, help="synthetic frame size (default 640x480)")
     parser.add_argument("--out-dir", default=None, help="write depth_NNNN.png frames here")
     args = parser.parse_args(argv)
 
     from burn_depth_tpu.api import AnyDepthModel, DepthModelKind, load_model
-    from burn_depth_tpu.serve.realtime import ImageDirSource, SyntheticSource, run_realtime
+    from burn_depth_tpu.serve.realtime import (
+        CameraSource,
+        ImageDirSource,
+        SyntheticSource,
+        run_realtime,
+    )
 
     kind = DepthModelKind.from_str(args.model)
     if args.checkpoint:
@@ -32,6 +41,9 @@ def main(argv=None) -> int:
     if args.source == "synthetic":
         s = args.size or 640
         source = SyntheticSource(s, max(s * 3 // 4, 1), args.frames)
+    elif args.source.startswith("camera"):
+        _, _, dev = args.source.partition(":")
+        source = CameraSource(int(dev) if dev.isdigit() else (dev or 0))
     else:
         source = ImageDirSource(args.source)
 

@@ -183,21 +183,36 @@ class DepthPro:
     def img_size(self) -> int:
         return self.config.img_size
 
-    def quantize_vit(self) -> "DepthPro":
+    def quantize_vit(self, calibration_input: Optional[jnp.ndarray] = None) -> "DepthPro":
         """Opt-in int8 serving tier (``Policy.SERVING_INT8``): per-channel
-        int8 weights + dynamic per-token activation quant on every ViT-block
-        linear in all three encoders (patch/image/fov).  Convs, norms and the
-        decoder/head stay in the float policy.  See ``ops/quant.py``."""
-        from burn_depth_tpu.ops.quant import quantize_vit_blocks
+        int8 weights + quantized activations on every ViT-block linear in all
+        three encoders (patch/image/fov).  Convs, norms and the decoder/head
+        stay in the float policy.  See ``ops/quant.py``.
+
+        ``calibration_input``: optional ``[B, 3, S, S]`` batch.  When given,
+        one eager float forward records per-tensor activation maxima and the
+        quantizers use static scales (the quant fuses into the producing op
+        — faster than the default dynamic per-token scales)."""
+        from burn_depth_tpu.ops.quant import capture_amax, quantize_vit_blocks
+
+        scales = None
+        if calibration_input is not None:
+            sink: list = []
+            with capture_amax(sink):
+                # eager (un-jitted) so the recorded maxima are concrete
+                self._infer_fn(self.params, calibration_input)
+            scales = iter(sink)
 
         params = dict(self.params)
         enc = dict(params["encoder"])
-        enc["patch_encoder"] = quantize_vit_blocks(enc["patch_encoder"])
-        enc["image_encoder"] = quantize_vit_blocks(enc["image_encoder"])
+        # quantization order must match the forward's qlinear CALL order:
+        # patch encoder blocks, then image encoder, then fov encoder.
+        enc["patch_encoder"] = quantize_vit_blocks(enc["patch_encoder"], scales)
+        enc["image_encoder"] = quantize_vit_blocks(enc["image_encoder"], scales)
         params["encoder"] = enc
         if "fov" in params and params["fov"].get("encoder") is not None:
             fov = dict(params["fov"])
-            fov["encoder"] = quantize_vit_blocks(fov["encoder"])
+            fov["encoder"] = quantize_vit_blocks(fov["encoder"], scales)
             params["fov"] = fov
         return DepthPro(self.config, params)
 

@@ -89,6 +89,57 @@ def resize_bilinear(x: jnp.ndarray, size: tuple[int, int], align_corners: bool =
     return y.astype(orig_dtype)
 
 
+@functools.lru_cache(maxsize=64)
+def _resize_matrix_bicubic(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Dense ``[out_size, in_size]`` bicubic sampling matrix with PyTorch
+    ``F.interpolate(mode="bicubic")`` semantics: Keys cubic convolution kernel
+    with A=-0.75, 4 taps, replicate-clamped borders."""
+    a = -0.75
+
+    def cubic(t):
+        t = np.abs(t)
+        return np.where(
+            t <= 1.0,
+            (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0,
+            np.where(t < 2.0, a * t**3 - 5.0 * a * t**2 + 8.0 * a * t - 4.0 * a, 0.0),
+        )
+
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    out_idx = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        src = out_idx * ((in_size - 1) / (out_size - 1)) if out_size > 1 else np.zeros((1,))
+    else:
+        src = (out_idx + 0.5) * (in_size / out_size) - 0.5
+    i0f = np.floor(src)
+    frac = src - i0f
+    rows = np.arange(out_size)
+    for tap in (-1, 0, 1, 2):
+        idx = np.clip(i0f.astype(np.int64) + tap, 0, in_size - 1)
+        np.add.at(mat, (rows, idx), cubic(frac - tap))
+    return mat.astype(np.float32)
+
+
+def resize_bicubic(x: jnp.ndarray, size: tuple[int, int], align_corners: bool = False) -> jnp.ndarray:
+    """Bicubic resize of the trailing two dims (DINOv2 pos-embed semantics:
+    upstream interpolates position embeddings with ``mode="bicubic"``).  Same
+    MXU-matmul structure as ``resize_bilinear``."""
+    out_h, out_w = int(size[0]), int(size[1])
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    if in_h == out_h and in_w == out_w:
+        return x
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"output size must be positive, got {size}")
+    orig_dtype = x.dtype
+    y = x.astype(jnp.float32)
+    if in_h != out_h:
+        mh = jnp.asarray(_resize_matrix_bicubic(in_h, out_h, align_corners))
+        y = jnp.einsum("oh,...hw->...ow", mh, y, precision=lax.Precision.HIGHEST)
+    if in_w != out_w:
+        mw = jnp.asarray(_resize_matrix_bicubic(in_w, out_w, align_corners))
+        y = jnp.einsum("ow,...hw->...ho", mw, y, precision=lax.Precision.HIGHEST)
+    return y.astype(orig_dtype)
+
+
 def _scale_output_size(in_size: int, scale: float) -> int:
     """Floor-based output size, matching reference ``interpolate.rs:24-27``."""
     return max(int(np.floor(in_size * scale)), 1)

@@ -19,10 +19,31 @@ compute only) — this is a TPU-native addition, not a ported component.
 
 from __future__ import annotations
 
-from typing import Optional
+import contextlib
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp
+
+# Active amax-capture sink for calibration (``capture_amax``).  Only ever set
+# during an *eager* calibration forward, so the recorded maxima are concrete.
+_CAPTURE: Optional[list] = None
+
+
+@contextlib.contextmanager
+def capture_amax(sink: list):
+    """While active, every ``qlinear`` float call appends ``max|x|`` of its
+    input to ``sink``.  Run the model EAGERLY (un-jitted) under this context;
+    the call order is deterministic, so the recorded scales can be replayed
+    by ``quantize_vit_blocks`` in the same order."""
+    global _CAPTURE
+    if _CAPTURE is not None:
+        raise RuntimeError("nested capture_amax")
+    _CAPTURE = sink
+    try:
+        yield sink
+    finally:
+        _CAPTURE = None
 
 
 def _on_tpu() -> bool:
@@ -39,16 +60,26 @@ def quantize_weight_per_channel(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
     return w_i8.T, scale
 
 
-def quantize_linear_params(p: dict) -> dict:
+def quantize_linear_params(p: dict, x_scale: Optional[float] = None) -> dict:
     """Convert a ``{"weight", "bias"}`` linear param dict to its int8 form
-    ``{"weight_i8" [K, N], "scale" [N], "bias"}`` (bias kept in f32)."""
+    ``{"weight_i8" [K, N], "scale" [N], "bias"}`` (bias kept in f32).
+
+    ``x_scale``: a calibrated per-tensor abs-max for this linear's input.
+    When given, the activation quantization at run time becomes a pure
+    elementwise multiply+round that XLA fuses into the producing op (no
+    per-token reduction pass) — measured ~10% faster end-to-end than the
+    dynamic-scale path at the ViT-L shapes.
+    """
     w_i8, scale = quantize_weight_per_channel(p["weight"])
     bias = p.get("bias")
-    return {
+    out = {
         "weight_i8": w_i8,
         "scale": scale,
         "bias": None if bias is None else bias.astype(jnp.float32),
     }
+    if x_scale is not None:
+        out["x_scale"] = jnp.asarray(float(x_scale), jnp.float32)
+    return out
 
 
 def int8_linear(
@@ -57,6 +88,7 @@ def int8_linear(
     w_scale: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     impl: str = "auto",
+    x_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """``x [..., K] @ w_i8 [K, N]`` with dynamically-quantized activations.
 
@@ -79,17 +111,24 @@ def int8_linear(
     else:
         raise ValueError(f"unknown int8_linear impl `{impl}`")
 
-    amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), jnp.asarray(1e-6, x.dtype))
-    inv = jnp.asarray(127.0, x.dtype) / amax
-    x_i8 = jnp.clip(jnp.round((x * inv).astype(jnp.float32)), -127, 127).astype(jnp.int8)
+    if x_scale is not None:
+        # static (calibrated) per-tensor scale: the quant is elementwise and
+        # fuses into the producer; clipping handles post-calibration outliers.
+        inv = (127.0 / x_scale).astype(x.dtype)
+        x_i8 = jnp.clip(jnp.round((x * inv).astype(jnp.float32)), -127, 127).astype(jnp.int8)
+        dq = x_scale / 127.0
+    else:
+        amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), jnp.asarray(1e-6, x.dtype))
+        inv = jnp.asarray(127.0, x.dtype) / amax
+        x_i8 = jnp.clip(jnp.round((x * inv).astype(jnp.float32)), -127, 127).astype(jnp.int8)
+        dq = amax.astype(jnp.float32) / 127.0
     acc = jax.lax.dot_general(
         x_i8,
         weight_i8,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    x_scale = amax.astype(jnp.float32) / 127.0
-    out = acc.astype(jnp.float32) * x_scale * w_scale
+    out = acc.astype(jnp.float32) * dq * w_scale
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
@@ -98,27 +137,38 @@ def int8_linear(
 def qlinear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """Dispatch on param-dict form: int8 (``weight_i8``) or float (``weight``)."""
     if "weight_i8" in p:
-        return int8_linear(x, p["weight_i8"], p["scale"], p.get("bias"))
+        return int8_linear(x, p["weight_i8"], p["scale"], p.get("bias"), x_scale=p.get("x_scale"))
+    if _CAPTURE is not None:
+        _CAPTURE.append(float(jnp.max(jnp.abs(x))))
     from burn_depth_tpu.ops.linear import linear
 
     return linear(x, p["weight"], p.get("bias"))
 
 
-def quantize_vit_blocks(vit_params: dict) -> dict:
+def quantize_vit_blocks(vit_params: dict, scales: Optional[Iterator[float]] = None) -> dict:
     """Quantize the four hot linears (qkv/proj/fc1/fc2) of every transformer
     block in a DINOv2 param tree; everything else (patch embed, norms,
-    layerscales, tokens) is left untouched."""
+    layerscales, tokens) is left untouched.
+
+    ``scales``: iterator of calibrated input abs-maxima in qlinear CALL order
+    (qkv, proj, fc1, fc2 per block), as recorded by ``capture_amax`` during an
+    eager forward.  None -> dynamic per-token scales.
+    """
+
+    def q(p):
+        return quantize_linear_params(p, x_scale=None if scales is None else next(scales))
+
     out = dict(vit_params)
     blocks = []
     for bp in vit_params["blocks"]:
         nb = dict(bp)
         attn = dict(bp["attn"])
-        attn["qkv"] = quantize_linear_params(attn["qkv"])
-        attn["proj"] = quantize_linear_params(attn["proj"])
+        attn["qkv"] = q(attn["qkv"])
+        attn["proj"] = q(attn["proj"])
         nb["attn"] = attn
         mlp = dict(bp["mlp"])
-        mlp["fc1"] = quantize_linear_params(mlp["fc1"])
-        mlp["fc2"] = quantize_linear_params(mlp["fc2"])
+        mlp["fc1"] = q(mlp["fc1"])
+        mlp["fc2"] = q(mlp["fc2"])
         nb["mlp"] = mlp
         blocks.append(nb)
     out["blocks"] = blocks

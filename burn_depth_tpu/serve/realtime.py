@@ -63,6 +63,74 @@ class SyntheticSource(FrameSource):
         return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+class CameraSource(FrameSource):
+    """Live webcam frames with the reference's capture-thread + drain-latest
+    contract (``platform.rs:24-83``): a daemon thread pulls frames from the
+    device as fast as it produces them into a one-slot holder (the bounded(1)
+    channel role); ``read()`` blocks for a frame *newer* than the last one
+    returned, so stale frames are dropped rather than queued.
+
+    ``device``: V4L2 index (``0``) or path/URL; backend is OpenCV.  For
+    tests, pass ``capture=`` any object with OpenCV's ``read() ->
+    (ok, bgr_frame)``, ``isOpened()``, ``release()`` surface.
+    """
+
+    def __init__(self, device: int | str = 0, capture=None, timeout: float = 10.0):
+        import threading
+
+        if capture is None:
+            try:
+                import cv2
+            except ImportError as e:  # pragma: no cover - cv2 is in the image
+                raise RuntimeError(
+                    "CameraSource needs OpenCV (cv2) or an injected capture object"
+                ) from e
+            capture = cv2.VideoCapture(device)
+        if not capture.isOpened():
+            raise RuntimeError(f"camera {device!r} failed to open")
+        self._capture = capture
+        self._timeout = timeout
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._frame: Optional[np.ndarray] = None
+        self._seq = 0
+        self._last_seq = 0
+        self._ended = False
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._pump, daemon=True)
+        self._thread.start()
+
+    def _pump(self) -> None:
+        while not self._stop.is_set():
+            ok, frame = self._capture.read()
+            with self._cond:
+                if not ok:
+                    self._ended = True
+                    self._cond.notify_all()
+                    return
+                # OpenCV delivers BGR; the pipeline speaks RGB u8.
+                self._frame = np.ascontiguousarray(frame[..., ::-1])
+                self._seq += 1
+                self._cond.notify_all()
+
+    def read(self) -> Optional[np.ndarray]:
+        deadline = time.monotonic() + self._timeout
+        with self._cond:
+            while self._seq == self._last_seq and not self._ended:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not self._cond.wait(remaining):
+                    return None
+            if self._seq == self._last_seq:  # ended with no newer frame
+                return None
+            self._last_seq = self._seq
+            return self._frame
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        self._capture.release()
+
+
 class ImageDirSource(FrameSource):
     """Replays a directory of images in sorted order (PIL-decoded)."""
 

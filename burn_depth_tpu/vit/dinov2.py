@@ -234,9 +234,10 @@ def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, num_prefix: 
 def _interpolate_pos_embed(pos_embed: jnp.ndarray, cfg: DinoViTConfig, grid_h: int, grid_w: int) -> jnp.ndarray:
     """Resize the patch part of a ``[1, 1+N0, D]`` pos embed to a new grid.
 
-    DINOv2 uses bicubic; the default resolutions here always match the
-    checkpoint grid so this is only exercised for non-square/odd inputs, where
-    bilinear is within tolerance.
+    Bicubic with half-pixel sampling, matching upstream DINOv2's
+    ``interpolate_pos_encoding`` (``F.interpolate(mode="bicubic")``).  The
+    preset resolutions match the checkpoint grid so this only runs for
+    non-preset patch-multiple inputs.
     """
     n0 = pos_embed.shape[1] - 1
     g0 = int(np.sqrt(n0))
@@ -244,12 +245,12 @@ def _interpolate_pos_embed(pos_embed: jnp.ndarray, cfg: DinoViTConfig, grid_h: i
         raise ValueError(f"pos_embed has non-square patch count {n0}")
     if g0 == grid_h == grid_w:
         return pos_embed
-    from burn_depth_tpu.ops.interpolate import resize_bilinear
+    from burn_depth_tpu.ops.interpolate import resize_bicubic
 
     cls_pe, patch_pe = pos_embed[:, :1], pos_embed[:, 1:]
     d = patch_pe.shape[-1]
     patch_pe = patch_pe.reshape(1, g0, g0, d).transpose(0, 3, 1, 2)
-    patch_pe = resize_bilinear(patch_pe, (grid_h, grid_w), align_corners=False)
+    patch_pe = resize_bicubic(patch_pe, (grid_h, grid_w), align_corners=False)
     patch_pe = patch_pe.transpose(0, 2, 3, 1).reshape(1, grid_h * grid_w, d)
     return jnp.concatenate([cls_pe, patch_pe], axis=1)
 

@@ -83,3 +83,48 @@ def test_identity_is_noop():
     x = np.random.default_rng(1).standard_normal((1, 2, 8, 8)).astype(np.float32)
     out = np.asarray(resize_bilinear(x, (8, 8)))
     np.testing.assert_array_equal(out, x)
+
+
+# ---------------------------------------------------------------------------
+# bicubic (DINOv2 pos-embed semantics)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("shape", [((7, 7), (24, 24)), ((37, 37), (24, 24)), ((8, 12), (20, 6))])
+def test_bicubic_matches_torch(shape, align_corners):
+    torch = pytest.importorskip("torch")
+    from burn_depth_tpu.ops.interpolate import resize_bicubic
+
+    (ih, iw), (oh, ow) = shape
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, ih, iw), dtype=np.float32)
+    ours = np.asarray(resize_bicubic(x, (oh, ow), align_corners=align_corners))
+    with torch.no_grad():
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=(oh, ow), mode="bicubic", align_corners=align_corners
+        ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_pos_embed_interpolation_matches_dinov2_semantics():
+    """Non-preset resolution: the pos embed must resample exactly like
+    upstream DINOv2's interpolate_pos_encoding (bicubic, half-pixel)."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from burn_depth_tpu.vit.dinov2 import DinoViTConfig, _interpolate_pos_embed
+
+    cfg = DinoViTConfig.vits(img_size=98, patch_size=14)  # checkpoint grid 7
+    rng = np.random.default_rng(1)
+    pe = rng.standard_normal((1, 1 + 49, 16), dtype=np.float32)
+
+    out = np.asarray(_interpolate_pos_embed(jax.numpy.asarray(pe), cfg, 10, 13))
+    assert out.shape == (1, 1 + 130, 16)
+    np.testing.assert_allclose(out[:, :1], pe[:, :1])  # cls slot untouched
+
+    with torch.no_grad():
+        patch = torch.from_numpy(pe[:, 1:]).reshape(1, 7, 7, 16).permute(0, 3, 1, 2)
+        ref = torch.nn.functional.interpolate(patch, size=(10, 13), mode="bicubic", align_corners=False)
+        ref = ref.permute(0, 2, 3, 1).reshape(1, 130, 16).numpy()
+    np.testing.assert_allclose(out[:, 1:], ref, atol=2e-5)

@@ -70,3 +70,94 @@ def test_realtime_depth_pro_stream():
     frames = list(run_realtime(model, SyntheticSource(70, 40, 2)))
     assert len(frames) == 2
     assert frames[0].depth_u8.shape == (32, 64)  # 40->32, 70->64 (16-aligned)
+
+
+# ---------------------------------------------------------------------------
+# CameraSource (reference platform.rs:24-83 contract)
+# ---------------------------------------------------------------------------
+
+
+class _FakeCapture:
+    """OpenCV VideoCapture surface: serves BGR frames, then end-of-stream."""
+
+    def __init__(self, frames, delay=0.0):
+        self._it = iter(frames)
+        self._delay = delay
+        self._open = True
+
+    def isOpened(self):
+        return self._open
+
+    def read(self):
+        import time as _t
+
+        if self._delay:
+            _t.sleep(self._delay)
+        try:
+            return True, next(self._it)
+        except StopIteration:
+            return False, None
+
+    def release(self):
+        self._open = False
+
+
+def _bgr(value, h=4, w=6):
+    f = np.zeros((h, w, 3), np.uint8)
+    f[..., 0] = value  # blue channel carries the marker
+    return f
+
+
+def test_camera_source_drains_to_latest_and_converts_bgr():
+    from burn_depth_tpu.serve.realtime import CameraSource
+
+    src = CameraSource(capture=_FakeCapture([_bgr(i) for i in range(50)], delay=0.01))
+    first = src.read()
+    assert first is not None and first.shape == (4, 6, 3)
+    # the marker was written to BGR channel 0 (blue) -> RGB channel 2
+    assert first[..., 2].max() == first[0, 0, 2]
+    assert first[..., 0].max() == 0 and first[..., 1].max() == 0
+    time.sleep(0.2)  # let the pump thread outrun the reader
+    later = src.read()
+    assert later is not None
+    # drain-latest: we must have skipped ahead, not replayed the next frame
+    assert int(later[0, 0, 2]) > int(first[0, 0, 2]) + 1
+    src.close()
+
+
+def test_camera_source_end_of_stream_returns_none():
+    from burn_depth_tpu.serve.realtime import CameraSource
+
+    src = CameraSource(capture=_FakeCapture([_bgr(1), _bgr(2)]))
+    seen = 0
+    while src.read() is not None:
+        seen += 1
+    assert 1 <= seen <= 2  # drain-latest may legally skip frame 1
+    assert src.read() is None  # stays ended
+    src.close()
+
+
+def test_camera_source_feeds_realtime_pipeline():
+    from burn_depth_tpu.serve.realtime import CameraSource
+
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = AnyDepthModel(DepthModelKind.DEPTH_ANYTHING3, DepthAnything3.init(jax.random.PRNGKey(0), cfg))
+    frames = [_bgr(i, 32, 32) for i in range(5)]
+    src = CameraSource(capture=_FakeCapture(frames, delay=0.02))
+    outputs = list(run_realtime(model, src))
+    assert outputs, "pipeline produced no frames"
+    assert outputs[-1].depth_u8.dtype == np.uint8
+    src.close()
+
+
+def test_camera_source_rejects_unopened_device():
+    import pytest
+
+    from burn_depth_tpu.serve.realtime import CameraSource
+
+    class Closed(_FakeCapture):
+        def isOpened(self):
+            return False
+
+    with pytest.raises(RuntimeError, match="failed to open"):
+        CameraSource(capture=Closed([]))
