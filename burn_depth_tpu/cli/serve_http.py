@@ -12,7 +12,12 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Serve live depth over HTTP (MJPEG)")
     parser.add_argument("--model", default="depth-anything-3", choices=["depth-pro", "depth-anything-3"])
     parser.add_argument("--checkpoint", default=None)
-    parser.add_argument("--source", default="synthetic", help="'synthetic' or an image directory")
+    parser.add_argument(
+        "--source",
+        default="synthetic",
+        help="'synthetic', 'browser' (getUserMedia page at /camera), "
+        "'camera[:N]' (local webcam), or an image directory",
+    )
     parser.add_argument("--size", type=int, default=640, help="synthetic frame width")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
@@ -31,11 +36,21 @@ def main(argv=None) -> int:
 
     if args.source == "synthetic":
         source = SyntheticSource(args.size, args.size * 3 // 4, 1 << 30)
+    elif args.source == "browser":
+        from burn_depth_tpu.serve.http import BrowserSource
+
+        source = BrowserSource()
+    elif args.source.startswith("camera"):
+        from burn_depth_tpu.serve.realtime import CameraSource
+
+        dev = args.source.partition(":")[2]
+        source = CameraSource(int(dev) if dev else 0)
     else:
         source = ImageDirSource(args.source)
 
     server = DepthHTTPServer(model, source, host=args.host, port=args.port)
-    print(f"serving on http://{args.host}:{server.port}", flush=True)
+    extra = " (camera page: /camera)" if args.source == "browser" else ""
+    print(f"serving on http://{args.host}:{server.port}{extra}", flush=True)
     server.serve_forever()
     return 0
 

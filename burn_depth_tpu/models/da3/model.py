@@ -299,6 +299,31 @@ class DepthAnything3:
             )
         return self._finalize(head_out, None)
 
+    def quantize_vit(self, calibration_input: Optional[jnp.ndarray] = None) -> "DepthAnything3":
+        """Opt-in int8 serving tier (``Policy.SERVING_INT8``), same scheme as
+        ``DepthPro.quantize_vit``: per-channel int8 weights + quantized
+        activations on every backbone-block linear; the DPT head(s), camera
+        modules and norms stay in the float policy (``ops/quant.py``).
+
+        ``calibration_input``: optional ``[B, 3, S, S]`` batch — one jitted
+        forward records per-tensor maxima for static scales."""
+        from burn_depth_tpu.ops.quant import calibrate_amax, quantize_vit_blocks
+
+        scales = None
+        if calibration_input is not None:
+            scales = iter(
+                calibrate_amax(
+                    lambda p, x: self._finalize(*self._forward_internal(p, x, None, None)[:2]).depth,
+                    self.params,
+                    calibration_input,
+                )
+            )
+        params = dict(self.params)
+        backbone = dict(params["backbone"])
+        backbone["pretrained"] = quantize_vit_blocks(backbone["pretrained"], scales)
+        params["backbone"] = backbone
+        return DepthAnything3(self.config, params)
+
     # ---- jit-compiled entry ---------------------------------------------
     def jit_infer(self):
         """A jitted ``image -> depth [B,H,W]`` closure over the params."""

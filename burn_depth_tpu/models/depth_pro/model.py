@@ -190,18 +190,16 @@ class DepthPro:
         stay in the float policy.  See ``ops/quant.py``.
 
         ``calibration_input``: optional ``[B, 3, S, S]`` batch.  When given,
-        one eager float forward records per-tensor activation maxima and the
+        one jitted float forward records per-tensor activation maxima and the
         quantizers use static scales (the quant fuses into the producing op
         — faster than the default dynamic per-token scales)."""
-        from burn_depth_tpu.ops.quant import capture_amax, quantize_vit_blocks
+        from burn_depth_tpu.ops.quant import calibrate_amax, quantize_vit_blocks
 
         scales = None
         if calibration_input is not None:
-            sink: list = []
-            with capture_amax(sink):
-                # eager (un-jitted) so the recorded maxima are concrete
-                self._infer_fn(self.params, calibration_input)
-            scales = iter(sink)
+            scales = iter(
+                calibrate_amax(lambda p, x: self._infer_fn(p, x).depth, self.params, calibration_input)
+            )
 
         params = dict(self.params)
         enc = dict(params["encoder"])

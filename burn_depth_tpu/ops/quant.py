@@ -33,9 +33,11 @@ _CAPTURE: Optional[list] = None
 @contextlib.contextmanager
 def capture_amax(sink: list):
     """While active, every ``qlinear`` float call appends ``max|x|`` of its
-    input to ``sink``.  Run the model EAGERLY (un-jitted) under this context;
-    the call order is deterministic, so the recorded scales can be replayed
-    by ``quantize_vit_blocks`` in the same order."""
+    input (a traced jnp scalar) to ``sink``.  The call order is
+    deterministic, so the recorded scales can be replayed by
+    ``quantize_vit_blocks`` in the same order.  Use via ``calibrate_amax``,
+    which traces the forward ONCE under jit — an eager calibration forward
+    costs minutes of op-by-op dispatch on a tunnel-attached TPU."""
     global _CAPTURE
     if _CAPTURE is not None:
         raise RuntimeError("nested capture_amax")
@@ -44,6 +46,20 @@ def capture_amax(sink: list):
         yield sink
     finally:
         _CAPTURE = None
+
+
+def calibrate_amax(fn, *args) -> list:
+    """Run ``fn(*args)`` once under jit with amax capture; return the
+    concrete per-qlinear-input abs-maxima in call order."""
+
+    def wrapper(*a):
+        sink: list = []
+        with capture_amax(sink):
+            fn(*a)
+        return sink
+
+    vals = jax.jit(wrapper)(*args)
+    return [float(v) for v in vals]
 
 
 def _on_tpu() -> bool:
@@ -82,6 +98,16 @@ def quantize_linear_params(p: dict, x_scale: Optional[float] = None) -> dict:
     return out
 
 
+def default_int8_impl() -> str:
+    """Resolve the int8 matmul implementation.  Overridable via the
+    ``BDT_INT8_IMPL`` env var: ``xla`` | ``pallas_stat`` | ``pallas_s8in``
+    (the Pallas forms need a static calibrated ``x_scale``; dynamic-scale
+    params always use XLA)."""
+    import os
+
+    return os.environ.get("BDT_INT8_IMPL", "pallas_s8in" if _on_tpu() else "xla")
+
+
 def int8_linear(
     x: jnp.ndarray,
     weight_i8: jnp.ndarray,
@@ -90,25 +116,40 @@ def int8_linear(
     impl: str = "auto",
     x_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """``x [..., K] @ w_i8 [K, N]`` with dynamically-quantized activations.
+    """``x [..., K] @ w_i8 [K, N]`` with quantized activations.
 
-    The abs-max / scale math runs in the activation dtype (bf16 on the
-    serving path), NOT f32: the f32 upcast doubles the HBM traffic of the
-    quantization pass and was measured to erase most of the int8 MXU win
-    (fc1 99.6 -> 164 TFLOP/s-equivalent by switching to bf16 math; BENCH.md
-    round 2).  The int32->f32 dequant is exact either way.
+    ``impl``:
+    * ``"xla"`` — ``lax.dot_general`` on s8.  HLO audit: XLA materializes the
+      s32 [M, N] accumulator (lowered as `convolution`), costing an HBM
+      round-trip per linear (fc1: 330 MB/block).
+    * ``"pallas_stat"`` / ``"pallas_s8in"`` — VMEM-resident-accumulator
+      kernels (``ops/int8_matmul.py``); need a static ``x_scale``.  The
+      ``s8in`` form quantizes in the producer chain (XLA fuses it into the
+      preceding layernorm/GELU) and streams 1/2 the activation bytes.
+    * ``"auto"`` — ``default_int8_impl()`` when statically calibrated,
+      else XLA.
 
-    ``impl``: ``"auto"``/``"xla"`` (XLA dot; its int8 path reaches
-    180-200 TOPS at the MLP shapes), ``"pallas"`` (experimental
-    weight-resident kernel — measured SLOWER, kept for reference).
+    For the dynamic path, the abs-max / scale math runs in the activation
+    dtype (bf16 on the serving path), NOT f32: the f32 upcast doubles the HBM
+    traffic of the quantization pass (fc1 99.6 -> 164 TFLOP/s-equivalent by
+    switching to bf16 math; BENCH.md round 2).
     """
-    if impl in ("auto", "xla"):
-        pass
-    elif impl == "pallas":
+    if impl == "auto":
+        impl = default_int8_impl() if x_scale is not None else "xla"
+    if impl in ("pallas_stat", "pallas_s8in") and x_scale is not None:
+        from burn_depth_tpu.ops.int8_matmul import int8_matmul_s8in, int8_matmul_static
+
+        scale_vec = (x_scale / 127.0) * w_scale
+        if impl == "pallas_stat":
+            return int8_matmul_static(x, weight_i8, scale_vec, bias, x_scale).astype(x.dtype)
+        inv = (127.0 / x_scale).astype(x.dtype)
+        x_i8 = jnp.clip(jnp.round((x * inv).astype(jnp.float32)), -127, 127).astype(jnp.int8)
+        return int8_matmul_s8in(x_i8, weight_i8, scale_vec, bias, out_dtype=x.dtype)
+    if impl == "pallas":
         from burn_depth_tpu.ops.int8_matmul import int8_matmul
 
         return int8_matmul(x, weight_i8, w_scale, bias)
-    else:
+    if impl != "xla":
         raise ValueError(f"unknown int8_linear impl `{impl}`")
 
     if x_scale is not None:
@@ -138,8 +179,13 @@ def qlinear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """Dispatch on param-dict form: int8 (``weight_i8``) or float (``weight``)."""
     if "weight_i8" in p:
         return int8_linear(x, p["weight_i8"], p["scale"], p.get("bias"), x_scale=p.get("x_scale"))
+    if "weight_hm" in p:
+        # head-major TP layout (parallel/tp_layout.py) — same math, permuted rows
+        from burn_depth_tpu.ops.linear import linear
+
+        return linear(x, p["weight_hm"], p.get("bias"))
     if _CAPTURE is not None:
-        _CAPTURE.append(float(jnp.max(jnp.abs(x))))
+        _CAPTURE.append(jnp.max(jnp.abs(x)).astype(jnp.float32))
     from burn_depth_tpu.ops.linear import linear
 
     return linear(x, p["weight"], p.get("bias"))

@@ -27,4 +27,5 @@ from burn_depth_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_params,
 )
+from burn_depth_tpu.parallel.tp_layout import to_head_major, vit_to_head_major  # noqa: F401
 from burn_depth_tpu.parallel.tp_rules import vit_tp_rules  # noqa: F401

@@ -28,6 +28,7 @@ def vit_tp_rules(prefix: str = "") -> list[Rule]:
     bare ViT param tree; e.g. ``'backbone/'`` inside a DA3 model tree)."""
     p = prefix
     return [
+        (rf"{p}blocks/\d+/attn/qkv/weight_hm$", P(MODEL_AXIS, None)),
         (rf"{p}blocks/\d+/attn/qkv/weight$", P(MODEL_AXIS, None)),
         (rf"{p}blocks/\d+/attn/qkv/bias$", P(MODEL_AXIS)),
         (rf"{p}blocks/\d+/attn/proj/weight$", P(None, MODEL_AXIS)),

@@ -8,8 +8,16 @@ on the chip, and the browser just displays the stream — an MJPEG
 ``multipart/x-mixed-replace`` endpoint any <img> tag can render, no JS
 required.
 
+For the reference's browser-camera path (``getUserMedia`` + canvas readback
+feeding the model, ``platform.rs:85-113`` / ``www/index.html:42-98``) the
+equivalent round trip is served too: the ``/camera`` page captures webcam
+frames in the browser, POSTs them to ``/ingest``, and displays the depth
+stream coming back — camera in the browser, model on the TPU.
+
 Endpoints:
     /          minimal viewer page
+    /camera    getUserMedia capture page (browser camera -> /ingest -> /stream)
+    /ingest    POST JPEG/PNG frame into the BrowserSource (drain-latest)
     /stream    MJPEG depth stream (JPEG frames, drain-latest)
     /snapshot  single PNG of the newest depth frame
     /stats     JSON: frame index + INFERENCE_FPS diagnostic
@@ -36,6 +44,73 @@ img{image-rendering:pixelated;max-width:90vw;margin-top:2em}</style></head>
 setInterval(async()=>{const r=await fetch('/stats');
 document.getElementById('s').textContent=JSON.stringify(await r.json())},1000);
 </script></body></html>"""
+
+
+_CAMERA_PAGE = b"""<!doctype html>
+<html><head><title>burn_depth_tpu camera</title>
+<style>body{background:#111;color:#eee;font-family:monospace;text-align:center}
+video,img{max-width:44vw;margin:1em}</style></head>
+<body><h3>browser camera &rarr; TPU depth</h3>
+<video id="v" autoplay playsinline muted></video>
+<img src="/stream" alt="depth stream"/>
+<p id="s"></p>
+<canvas id="c" style="display:none"></canvas>
+<script>
+const v=document.getElementById('v'),c=document.getElementById('c');
+navigator.mediaDevices.getUserMedia({video:{width:640,height:480}}).then(st=>{v.srcObject=st});
+let busy=false;
+setInterval(()=>{
+  if(busy||!v.videoWidth)return;
+  c.width=v.videoWidth;c.height=v.videoHeight;
+  c.getContext('2d').drawImage(v,0,0);
+  c.toBlob(async b=>{busy=true;
+    try{await fetch('/ingest',{method:'POST',body:b,
+      headers:{'Content-Type':'image/jpeg'}})}finally{busy=false}},
+    'image/jpeg',0.8);
+},100);
+setInterval(async()=>{const r=await fetch('/stats');
+document.getElementById('s').textContent=JSON.stringify(await r.json())},1000);
+</script></body></html>"""
+
+
+class BrowserSource:
+    """Push-style ``FrameSource``: HTTP-ingested frames with the same
+    drain-latest contract as ``CameraSource`` (reference ``platform.rs:85-113``
+    — the wasm thread-local frame slot fed by JS).  ``push()`` overwrites the
+    single slot; ``read()`` blocks for a frame newer than the last one
+    returned."""
+
+    def __init__(self, timeout: float = 30.0):
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._frame: Optional[np.ndarray] = None
+        self._seq = 0
+        self._last_seq = 0
+        self._ended = False
+        self._timeout = timeout
+
+    def push(self, frame: np.ndarray) -> None:
+        with self._cond:
+            self._frame = frame
+            self._seq += 1
+            self._cond.notify_all()
+
+    def close(self) -> None:
+        with self._cond:
+            self._ended = True
+            self._cond.notify_all()
+
+    def read(self) -> Optional[np.ndarray]:
+        deadline = time.monotonic() + self._timeout
+        with self._cond:
+            while self._seq == self._last_seq and not self._ended:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not self._cond.wait(remaining):
+                    return None
+            if self._seq == self._last_seq:
+                return None
+            self._last_seq = self._seq
+            return self._frame
 
 
 class _LatestFrame:
@@ -79,15 +154,35 @@ class DepthHTTPServer:
         self.slot = _LatestFrame()
         self._stop = threading.Event()
         slot, stop = self.slot, self._stop
+        browser_source = source if isinstance(source, BrowserSource) else None
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
 
+            def do_POST(self):
+                try:
+                    if self.path == "/ingest" and browser_source is not None:
+                        length = int(self.headers.get("Content-Length", 0))
+                        body = self.rfile.read(length)
+                        from PIL import Image
+
+                        frame = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+                        browser_source.push(frame)
+                        self._send(200, "application/json", b'{"ok": true}')
+                    else:
+                        self._send(404, "text/plain", b"not found")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                except Exception as e:  # malformed frame: report, don't kill the handler thread
+                    self._send(400, "text/plain", f"bad frame: {e}".encode())
+
             def do_GET(self):
                 try:
                     if self.path == "/":
                         self._send(200, "text/html", _PAGE)
+                    elif self.path == "/camera":
+                        self._send(200, "text/html", _CAMERA_PAGE)
                     elif self.path == "/snapshot":
                         frame, _, _ = slot.wait_next(-1)
                         if frame is None:

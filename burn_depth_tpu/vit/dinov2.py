@@ -265,9 +265,14 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
 
     y = layer_norm(x, bp["norm1"]["weight"], bp["norm1"]["bias"], cfg.ln_eps)
     qkv = qlinear(y, bp["attn"]["qkv"])  # [B,T,3D]
-    qkv = qkv.reshape(b, t, 3, h, hd)
-
-    q, k, v = (qkv.transpose(2, 0, 3, 1, 4)[i] for i in range(3))  # [B,H,T,hd]
+    if "weight_hm" in bp["attn"]["qkv"]:
+        # head-major TP layout (parallel/tp_layout.py): rows ordered [H,3,hd]
+        # so the model-axis shard factors through H — no qkv all-gather.
+        qkv = qkv.reshape(b, t, h, 3, hd)
+        q, k, v = (qkv.transpose(3, 0, 2, 1, 4)[i] for i in range(3))  # [B,H,T,hd]
+    else:
+        qkv = qkv.reshape(b, t, 3, h, hd)
+        q, k, v = (qkv.transpose(2, 0, 3, 1, 4)[i] for i in range(3))  # [B,H,T,hd]
     if "q_norm" in bp["attn"]:
         q = layer_norm(q, bp["attn"]["q_norm"]["weight"], bp["attn"]["q_norm"]["bias"], cfg.ln_eps)
         k = layer_norm(k, bp["attn"]["k_norm"]["weight"], bp["attn"]["k_norm"]["bias"], cfg.ln_eps)

@@ -58,3 +58,78 @@ def test_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, "/nope")
     assert e.value.code == 404
+
+
+@pytest.fixture(scope="module")
+def browser_server():
+    from burn_depth_tpu.serve.http import BrowserSource
+
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = AnyDepthModel(
+        DepthModelKind.DEPTH_ANYTHING3, DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    )
+    src = BrowserSource(timeout=120.0)
+    srv = DepthHTTPServer(model, src, port=0)
+    srv.start()
+    yield srv
+    src.close()
+    srv.stop()
+
+
+def test_camera_page_serves_getusermedia(browser_server):
+    body = _get(browser_server, "/camera").read()
+    assert b"getUserMedia" in body and b"/ingest" in body and b"/stream" in body
+
+
+def test_browser_ingest_round_trip(browser_server):
+    """POST JPEG frames -> depth frames appear on /snapshot (the reference's
+    getUserMedia -> model -> texture loop, www/index.html:42-98, with the
+    model server-side).  A camera feed pushes continuously; the realtime
+    pipeline is one-in-flight, so frame k's depth publishes when frame k+1
+    arrives — the pusher thread mimics the browser's setInterval loop."""
+    import io as _io
+    import threading
+    import time
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    buf = _io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (30, 40, 3), dtype=np.uint8)).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+    stop = threading.Event()
+    results = []
+
+    def pusher():
+        while not stop.is_set():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{browser_server.port}/ingest",
+                data=jpeg,
+                headers={"Content-Type": "image/jpeg"},
+                method="POST",
+            )
+            results.append(json.loads(urllib.request.urlopen(req, timeout=30).read())["ok"])
+            time.sleep(0.25)
+
+    t = threading.Thread(target=pusher, daemon=True)
+    t.start()
+    try:
+        body = _get(browser_server, "/snapshot", timeout=180).read()
+    finally:
+        stop.set()
+        t.join(timeout=5)
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    assert results and all(results)
+
+
+def test_ingest_rejects_garbage(browser_server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{browser_server.port}/ingest",
+        data=b"not an image",
+        headers={"Content-Type": "image/jpeg"},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400

@@ -129,6 +129,43 @@ def test_sharded_da3_small_variant_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref.depth), rtol=2e-5, atol=2e-6)
 
 
+def test_tp_head_major_collective_audit():
+    """VERDICT weak-#5: sharding the torch-layout packed qkv ``[3D, D]``
+    contiguously over ``model`` misaligns with heads and forces one qkv
+    activation all-gather per block.  The head-major layout
+    (``parallel/tp_layout.py``) eliminates it: compiled HLO must show zero
+    all-gathers and exactly the two Megatron all-reduces per block
+    (after attn.proj and mlp.fc2)."""
+    import re
+
+    from burn_depth_tpu.parallel import vit_to_head_major
+
+    mesh = make_mesh(model=2)
+    cfg = DinoViTConfig(img_size=56, patch_size=14, embed_dim=64, depth=2, num_heads=4)
+    params = init_dinov2(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 56, 56))
+
+    def fn(p, xb):
+        return dinov2_forward(p, xb, cfg, attn_impl="jnp").x_norm_patchtokens
+
+    ref = fn(params, x)
+    hm = vit_to_head_major(params, cfg.num_heads)
+    # the layout permutation alone must be numerics-preserving
+    np.testing.assert_allclose(np.asarray(fn(hm, x)), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+    counts = {}
+    for label, p in (("legacy", params), ("head_major", hm)):
+        step = compile_serving_step(fn, p, mesh, tp_rules=vit_tp_rules())
+        np.testing.assert_allclose(np.asarray(step(x)), np.asarray(ref), rtol=2e-5, atol=2e-6)
+        txt = step.fn.lower(step.params, x).compile().as_text()
+        counts[label] = (
+            len(re.findall(r"all-gather(?:-start)?\(", txt)),
+            len(re.findall(r"all-reduce(?:-start)?\(", txt)),
+        )
+    assert counts["legacy"][0] == cfg.depth, counts  # 1 activation gather / block
+    assert counts["head_major"] == (0, 2 * cfg.depth), counts  # Megatron-only
+
+
 def test_u8_ingest_matches_f32_pipeline():
     """with_u8_ingest == host-side normalize + f32 upload, numerically."""
     from burn_depth_tpu.api.predict import IMAGENET_MEAN, IMAGENET_STD

@@ -1,0 +1,142 @@
+"""Int8 serving-tier tests (``ops/quant.py``) — CPU-jit.
+
+The reference has no quantization story (Burn f16 storage / f32 compute);
+this tier is a TPU-native addition (BENCH.md round 2).  These tests pin:
+the weight quantizer's layout/scale math, static-vs-dynamic activation
+quantization accuracy on a real ViT block stack, and that the one-pass jitted
+calibration (``calibrate_amax``) records exactly what an eager capture would.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from burn_depth_tpu.ops.quant import (
+    calibrate_amax,
+    capture_amax,
+    int8_linear,
+    quantize_linear_params,
+    quantize_vit_blocks,
+)
+from burn_depth_tpu.vit.dinov2 import DinoViTConfig, dinov2_forward, init_dinov2
+
+
+def _tiny_vit():
+    cfg = DinoViTConfig(img_size=56, patch_size=14, embed_dim=64, depth=2, num_heads=4)
+    params = init_dinov2(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 56, 56))
+    return cfg, params, x
+
+
+def test_weight_quant_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(0), (16, 8)) * 0.1
+    p = quantize_linear_params({"weight": w, "bias": jnp.zeros((16,))})
+    assert p["weight_i8"].shape == (8, 16) and p["weight_i8"].dtype == jnp.int8
+    # dequantized weight must match within half a quantization step per channel
+    w_dq = p["weight_i8"].T.astype(jnp.float32) * p["scale"][:, None]
+    step = np.asarray(p["scale"])[:, None]
+    assert np.all(np.abs(np.asarray(w_dq - w)) <= 0.5 * step + 1e-7)
+
+
+def test_int8_linear_close_to_float():
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 33, 64))
+    w = jax.random.normal(jax.random.PRNGKey(2), (48, 64)) * 0.05
+    b = jax.random.normal(jax.random.PRNGKey(3), (48,)) * 0.01
+    ref = np.asarray(x @ w.T + b)
+    scale = np.abs(ref).mean()
+    p = quantize_linear_params({"weight": w, "bias": b})
+    # dynamic per-token scales
+    got = np.asarray(int8_linear(x, p["weight_i8"], p["scale"], p["bias"]))
+    assert np.abs(got - ref).mean() / scale < 0.03
+    # static calibrated scale
+    p_s = quantize_linear_params({"weight": w, "bias": b}, x_scale=float(jnp.max(jnp.abs(x))))
+    got_s = np.asarray(
+        int8_linear(x, p_s["weight_i8"], p_s["scale"], p_s["bias"], x_scale=p_s["x_scale"])
+    )
+    assert np.abs(got_s - ref).mean() / scale < 0.03
+
+
+def test_calibrate_amax_matches_eager_capture():
+    cfg, params, x = _tiny_vit()
+
+    def fwd(p, xb):
+        return dinov2_forward(p, xb, cfg, attn_impl="jnp").x_norm_patchtokens
+
+    jit_vals = calibrate_amax(fwd, params, x)
+    sink: list = []
+    with capture_amax(sink):
+        fwd(params, x)  # eager
+    eager_vals = [float(v) for v in sink]
+    assert len(jit_vals) == len(eager_vals) == 4 * cfg.depth  # qkv,proj,fc1,fc2 per block
+    np.testing.assert_allclose(jit_vals, eager_vals, rtol=1e-5)
+
+
+def test_quantized_vit_close_to_float():
+    cfg, params, x = _tiny_vit()
+
+    def fwd(p, xb):
+        return dinov2_forward(p, xb, cfg, attn_impl="jnp").x_norm_patchtokens
+
+    ref = np.asarray(fwd(params, x))
+    scales = calibrate_amax(fwd, params, x)
+    for q in (
+        quantize_vit_blocks(params),  # dynamic
+        quantize_vit_blocks(params, iter(scales)),  # static calibrated
+    ):
+        got = np.asarray(fwd(q, x))
+        # relaxed serving tier: int8 drift well under the bf16 tier's own noise
+        mae = np.abs(got - ref).mean()
+        scale = np.abs(ref).mean()
+        assert mae / scale < 0.05, (mae, scale)
+
+
+def test_quantize_vit_model_api():
+    """DepthPro.quantize_vit quantizes all three encoders' blocks and the
+    quantized model still runs end-to-end (tiny config)."""
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 3, cfg.img_size, cfg.img_size))
+    qm = model.quantize_vit(calibration_input=x)
+    for enc_name in ("patch_encoder", "image_encoder"):
+        blk = qm.params["encoder"][enc_name]["blocks"][0]
+        assert "weight_i8" in blk["attn"]["qkv"] and "x_scale" in blk["attn"]["qkv"]
+    out = qm.infer(x)
+    assert np.isfinite(np.asarray(out.depth)).all()
+
+
+def test_int8_impl_equivalence():
+    """The Pallas kernels (interpret mode on CPU) must match the XLA int8
+    path bit-for-bit up to f32 rounding — same quant/dequant math."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 70, 64))
+    w = jax.random.normal(jax.random.PRNGKey(2), (48, 64)) * 0.05
+    p = quantize_linear_params(
+        {"weight": w, "bias": jnp.ones((48,)) * 0.01}, x_scale=float(jnp.max(jnp.abs(x)))
+    )
+    ref = int8_linear(x, p["weight_i8"], p["scale"], p["bias"], impl="xla", x_scale=p["x_scale"])
+    for impl in ("pallas_stat", "pallas_s8in"):
+        got = int8_linear(x, p["weight_i8"], p["scale"], p["bias"], impl=impl, x_scale=p["x_scale"])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-6)
+
+
+def test_quantize_vit_da3_api():
+    """DA3.quantize_vit quantizes the backbone blocks (both model families
+    carry the int8 serving tier); calibration is safe with no camera context
+    (the camera-encoder trunk shares _block_forward but doesn't run)."""
+    from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+
+    for cfg_fn in (DepthAnything3Config.metric_large, DepthAnything3Config.small):
+        cfg = dataclasses.replace(cfg_fn(), image_size=28, attn_impl="jnp")
+        model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 28, 28)) * 0.3
+        ref = np.asarray(model.infer(x).depth)
+        qm = model.quantize_vit(calibration_input=x)
+        blk = qm.params["backbone"]["pretrained"]["blocks"][0]
+        assert "weight_i8" in blk["attn"]["qkv"] and "x_scale" in blk["attn"]["qkv"]
+        got = np.asarray(qm.infer(x).depth)
+        assert np.isfinite(got).all()
+        # int8 drift stays small relative to the depth scale
+        assert np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-6) < 0.2

@@ -174,3 +174,51 @@ def test_pos_embed_interpolation_changes_grid():
     x = np.ones((1, 3, 56, 42), np.float32)  # 4x3 grid vs 2x2 checkpoint grid
     out = dinov2_forward(params, x, cfg)
     assert out.x_norm_patchtokens.shape == (1, 12, cfg.embed_dim)
+
+
+def test_rope_convention_matches_dinov3_oracle():
+    """VERDICT weak-#4: pin the RoPE rotation convention and frequency
+    schedule against a public torch oracle (transformers' DINOv3 ViT, the
+    published rotate-half axial-2D formulation).  Our ``_apply_rope`` on
+    ``[B,H,T,hd]`` with prefix passthrough must equal
+    ``dinov3_vit.apply_rotary_pos_emb`` given the same angles; and our
+    per-axis frequency schedule must equal DINOv3's
+    ``base**(-arange(0,1,4/hd))`` up to the coordinate parameterization
+    (we use integer patch indices; upstream DA3's exact coordinate scale
+    remains unverifiable offline — documented in PARITY.md)."""
+    from transformers.models.dinov3_vit.modeling_dinov3_vit import apply_rotary_pos_emb
+
+    from burn_depth_tpu.vit.dinov2 import _apply_rope, _rope_angles
+
+    cfg = DinoViTConfig.vits(img_size=56, patch_size=14, depth=1).da3_small_variant()
+    gh = gw = 56 // 14
+    hd = cfg.head_dim
+    angles = _rope_angles(cfg, gh, gw)  # [N, hd//2]
+    assert angles.shape == (gh * gw, hd // 2)
+
+    # frequency schedule == DINOv3's inv_freq (theirs: base**-arange(0,1,4/hd))
+    inv_freq_dinov3 = cfg.rope_base ** -np.arange(0, 1, 4 / hd)
+    # row 1 = (y=0, x=1): x-angles live in the SECOND half-block and equal inv_freq
+    np.testing.assert_allclose(angles[1, hd // 4 :], inv_freq_dinov3, rtol=1e-6)
+    np.testing.assert_allclose(angles[1, : hd // 4], 0.0, atol=0)  # y=0
+    # row gw = (y=1, x=0): y-angles in the first half-block
+    np.testing.assert_allclose(angles[gw, : hd // 4], inv_freq_dinov3, rtol=1e-6)
+
+    rng = np.random.default_rng(0)
+    b, h, n_prefix = 2, cfg.num_heads, 2
+    t = n_prefix + gh * gw
+    q = rng.standard_normal((b, h, t, hd)).astype(np.float32)
+    k = rng.standard_normal((b, h, t, hd)).astype(np.float32)
+
+    cos = np.cos(angles).astype(np.float32)
+    sin = np.sin(angles).astype(np.float32)
+    ours_q = np.asarray(_apply_rope(jax.numpy.asarray(q), cos, sin, n_prefix))
+    ours_k = np.asarray(_apply_rope(jax.numpy.asarray(k), cos, sin, n_prefix))
+
+    # DINOv3 applies tiled [N, hd] angles with rotate_half
+    cos_t = torch.from_numpy(np.tile(cos, (1, 2)))
+    sin_t = torch.from_numpy(np.tile(sin, (1, 2)))
+    with torch.no_grad():
+        q_t, k_t = apply_rotary_pos_emb(torch.from_numpy(q), torch.from_numpy(k), cos_t, sin_t)
+    np.testing.assert_allclose(ours_q, q_t.numpy(), atol=1e-6)
+    np.testing.assert_allclose(ours_k, k_t.numpy(), atol=1e-6)
