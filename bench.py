@@ -59,6 +59,9 @@ def main() -> None:
         t0 = time.perf_counter()
         model = model.quantize_vit(calibration_input=calib)
         log(f"int8 ViT serving tier (BENCH_INT8={int8_mode}) prepared in {time.perf_counter() - t0:.1f}s")
+    if os.environ.get("BENCH_NHWC", "0") != "0":
+        model = model.to_nhwc_tail()
+        log("NHWC decoder+head serving layout")
 
     fn = jax.jit(lambda p, x: model._infer_fn(p, x).depth)
     x = jax.device_put(

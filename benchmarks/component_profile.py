@@ -36,15 +36,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(label, fn, x):
-    """Time jit(fn) over K dependent calls (out feeds a tiny input nudge)."""
+def timeit(label, fn, params, x):
+    """Time jit(fn) over K dependent calls (out feeds a tiny input nudge).
+
+    ``params`` MUST ride as a jit argument: closing over the flagship param
+    tree inlines ~0.7 GB of weights as HLO constants and makes XLA's
+    constant-folding pass run for >30 min (both round-2 profile attempts
+    died to this)."""
     jfn = jax.jit(fn)
 
     def chain(k):
         xi = x
         out = None
         for _ in range(k):
-            out = jfn(xi)
+            out = jfn(params, xi)
             leaf = jax.tree_util.tree_leaves(out)[0]
             xi = x + (leaf.ravel()[0] * 1e-12).astype(x.dtype)
         jax.block_until_ready(out)
@@ -55,10 +60,6 @@ def timeit(label, fn, x):
     dt = (time.perf_counter() - t0) / K * 1e3
     log(f"{label:28s}: {dt:8.2f} ms")
     return dt
-
-
-def serialized(component):
-    return component
 
 
 def main():
@@ -76,14 +77,13 @@ def main():
 
     # 1. full infer (sanity tie-out with bench.py)
     x_full = jax.random.normal(jax.random.PRNGKey(2), (1, 3, size, size), jnp.bfloat16)
-    timeit("full_infer", serialized(lambda x: model._infer_fn(params, x).depth), x_full)
+    timeit("full_infer", lambda p, x: model._infer_fn(p, x).depth, params, x_full)
 
     # 2. whole encoder (pyramid + 35-tile ViT + merges + projections)
     timeit(
         "encoder_forward",
-        serialized(
-            lambda x: enc_mod.encoder_forward(enc, enc["patch_encoder"], enc["image_encoder"], x, cfg)[0]
-        ),
+        lambda p, x: enc_mod.encoder_forward(p, p["patch_encoder"], p["image_encoder"], x, cfg)[0],
+        enc,
         x_full,
     )
 
@@ -91,11 +91,10 @@ def main():
     tiles = jax.random.normal(jax.random.PRNGKey(3), (35, 3, 384, 384), jnp.bfloat16)
     timeit(
         "patch_vit_35x384",
-        serialized(
-            lambda t: dinov2_forward(
-                enc["patch_encoder"], t, cfg.patch_encoder, hook_ids=cfg.hook_ids, attn_impl=cfg.attn_impl
-            ).x_norm_patchtokens
-        ),
+        lambda p, t: dinov2_forward(
+            p, t, cfg.patch_encoder, hook_ids=cfg.hook_ids, attn_impl=cfg.attn_impl
+        ).x_norm_patchtokens,
+        enc["patch_encoder"],
         tiles,
     )
 
@@ -109,16 +108,19 @@ def main():
     ]
     log(f"  feature shapes: {[tuple(f.shape) for f in feats]}")
 
-    def dec_fn(f0):
-        fs = [f0, *feats[1:]]
-        return decoder_forward(params["decoder"], fs)[0]
+    def dec_fn(bundle, f0):
+        dp, rest = bundle
+        return decoder_forward(dp, [f0, *rest])[0]
 
-    timeit("decoder", serialized(dec_fn), feats[0])
+    timeit("decoder", dec_fn, (params["decoder"], feats[1:]), feats[0])
 
     # 5. depth head
-    dec_out_shape = jax.eval_shape(dec_fn, jax.ShapeDtypeStruct(feats[0].shape, feats[0].dtype))
+    dec_out_shape = jax.eval_shape(
+        lambda f0: dec_fn((params["decoder"], feats[1:]), f0),
+        jax.ShapeDtypeStruct(feats[0].shape, feats[0].dtype),
+    )
     dh_in = jax.random.normal(jax.random.PRNGKey(20), dec_out_shape.shape, dec_out_shape.dtype)
-    timeit("depth_head", serialized(lambda x: _depth_head_forward(params["head"], x)), dh_in)
+    timeit("depth_head", lambda p, x: _depth_head_forward(p, x), params["head"], dh_in)
 
     # 6. fov head (incl. its own ViT pass at 384²)
     lowres_shape = jax.eval_shape(
@@ -135,12 +137,11 @@ def main():
     if "fov" in params:
         timeit(
             "fov_head",
-            serialized(
-                lambda x: fov_forward(
-                    params["fov"], params["fov"].get("encoder"), cfg.fov_encoder, x, lowres,
-                    cfg.decoder_features, attn_impl=cfg.attn_impl,
-                )
+            lambda bundle, x: fov_forward(
+                bundle[0], bundle[0].get("encoder"), cfg.fov_encoder, x, bundle[1],
+                cfg.decoder_features, attn_impl=cfg.attn_impl,
             ),
+            (params["fov"], lowres),
             x_full,
         )
 
@@ -148,9 +149,8 @@ def main():
     img1 = jax.random.normal(jax.random.PRNGKey(22), (1, 3, 384, 384), jnp.bfloat16)
     timeit(
         "image_vit_1x384",
-        serialized(
-            lambda t: dinov2_forward(enc["image_encoder"], t, cfg.image_encoder, attn_impl=cfg.attn_impl).x_norm_patchtokens
-        ),
+        lambda p, t: dinov2_forward(p, t, cfg.image_encoder, attn_impl=cfg.attn_impl).x_norm_patchtokens,
+        enc["image_encoder"],
         img1,
     )
 

@@ -22,7 +22,7 @@ sys.path.insert(0, ".")
 import benchmarks._cache  # noqa: F401  (persistent XLA compile cache)
 
 import jax
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: F401
 
 from burn_depth_tpu.ops.activations import gelu
 from burn_depth_tpu.ops.norm import layer_norm
@@ -59,8 +59,7 @@ def main():
     # print every dot/convolution/fusion line (truncated), plus fusion bodies
     # that contain a dot.
     lines = txt.splitlines()
-    in_fusion_with_dot: list[str] = []
-    for i, line in enumerate(lines):
+    for line in lines:
         s = line.strip()
         if re.search(r"= .*(dot|convolution)\(", s) or "fusion(" in s:
             print(s[:400])
@@ -73,7 +72,6 @@ def main():
                 ls = ln_.strip()
                 if ls:
                     print("   ", ls[:300])
-    total_bytes = 0
     print("\n--- (end) ---")
 
 

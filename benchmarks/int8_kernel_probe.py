@@ -76,7 +76,7 @@ def make_chain(form, m_tile):
         if form == "bf16":
             return (jnp.dot(x, q["w_bf16"]) + q["bias"]).astype(x.dtype)
         if form == "xla_stat":
-            return int8_linear(x, q["w_i8"], q["w_scale"], q["bias"], x_scale=q["xs"])
+            return int8_linear(x, q["w_i8"], q["w_scale"], q["bias"], x_scale=q["xs"], impl="xla")
         if form == "pal_stat":
             return int8_matmul_static(x, q["w_i8"], q["scale_vec"], q["bias"], q["xs"], m_tile=m_tile)
         if form == "pal_s8in":
@@ -129,7 +129,9 @@ def main():
     p = mk(key)
 
     # numeric sanity: pallas forms vs xla_stat on one linear
-    ref = int8_linear(x, p["fc1"]["w_i8"], p["fc1"]["w_scale"], p["fc1"]["bias"], x_scale=p["fc1"]["xs"])
+    ref = int8_linear(
+        x, p["fc1"]["w_i8"], p["fc1"]["w_scale"], p["fc1"]["bias"], x_scale=p["fc1"]["xs"], impl="xla"
+    )
     got = int8_matmul_static(x, p["fc1"]["w_i8"], p["fc1"]["scale_vec"], p["fc1"]["bias"], p["fc1"]["xs"])
     import numpy as np
 

@@ -14,7 +14,14 @@ import jax
 import jax.numpy as jnp
 
 from burn_depth_tpu.ops.activations import relu
-from burn_depth_tpu.ops.conv import conv2d, conv_transpose2d
+from burn_depth_tpu.ops.conv import (
+    conv2d,
+    conv2d_nhwc,
+    conv_transpose2d,
+    conv_transpose2d_nhwc,
+    conv_weight_to_hwio,
+    convt_weight_to_hwio,
+)
 
 
 def init_decoder(rng: jax.Array, dims_encoder: Sequence[int], dim_decoder: int, dtype=jnp.float32) -> dict:
@@ -55,13 +62,45 @@ def init_decoder(rng: jax.Array, dims_encoder: Sequence[int], dim_decoder: int, 
     return {"convs": convs, "fusions": fusions}
 
 
+def decoder_to_nhwc(params: dict) -> dict:
+    """Serving-layout transform: convert every decoder conv weight to HWIO
+    and mark with the ``weight_hwio`` key.  ``decoder_forward`` detects the
+    layout and runs NHWC end-to-end (the TPU's native feature-minor conv
+    layout) with one transpose at entry/exit; checkpoints keep torch NCHW."""
+
+    def cv(p):
+        return None if p is None else {"weight_hwio": conv_weight_to_hwio(p["weight"]), "bias": p.get("bias")}
+
+    def cvt(p):
+        return None if p is None else {"weight_hwio": convt_weight_to_hwio(p["weight"]), "bias": p.get("bias")}
+
+    return {
+        "convs": [cv(c) for c in params["convs"]],
+        "fusions": [
+            {
+                "resnet1": {"conv1": cv(f["resnet1"]["conv1"]), "conv2": cv(f["resnet1"]["conv2"])},
+                "resnet2": {"conv1": cv(f["resnet2"]["conv1"]), "conv2": cv(f["resnet2"]["conv2"])},
+                "deconv": cvt(f["deconv"]),
+                "out_conv": cv(f["out_conv"]),
+            }
+            for f in params["fusions"]
+        ],
+    }
+
+
+def _cv(x: jnp.ndarray, p: dict, padding=0) -> jnp.ndarray:
+    if "weight_hwio" in p:
+        return conv2d_nhwc(x, p["weight_hwio"], p.get("bias"), padding=padding)
+    return conv2d(x, p["weight"], p.get("bias"), padding=padding)
+
+
 def _residual_block(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """``ResidualBlock`` (``decoder.rs:74-87``): relu→conv→relu→conv + skip.
     (No batch-norm variant is ever instantiated by the model.)"""
     out = relu(x)
-    out = conv2d(out, p["conv1"]["weight"], p["conv1"]["bias"], padding=1)
+    out = _cv(out, p["conv1"], padding=1)
     out = relu(out)
-    out = conv2d(out, p["conv2"]["weight"], p["conv2"]["bias"], padding=1)
+    out = _cv(out, p["conv2"], padding=1)
     return out + x
 
 
@@ -73,8 +112,11 @@ def _fusion(p: dict, x0: jnp.ndarray, x1: Optional[jnp.ndarray]) -> jnp.ndarray:
         x = x + _residual_block(p["resnet1"], x1)
     x = _residual_block(p["resnet2"], x)
     if p["deconv"] is not None:
-        x = conv_transpose2d(x, p["deconv"]["weight"], stride=2)
-    return conv2d(x, p["out_conv"]["weight"], p["out_conv"]["bias"])
+        if "weight_hwio" in p["deconv"]:
+            x = conv_transpose2d_nhwc(x, p["deconv"]["weight_hwio"], stride=2)
+        else:
+            x = conv_transpose2d(x, p["deconv"]["weight"], stride=2)
+    return _cv(x, p["out_conv"])
 
 
 def decoder_forward(params: dict, encodings: Sequence[jnp.ndarray]):
@@ -87,13 +129,17 @@ def decoder_forward(params: dict, encodings: Sequence[jnp.ndarray]):
     n = len(encodings)
     if n != len(params["convs"]):
         raise ValueError(f"got {n} encoder levels, expected {len(params['convs'])}")
+    nhwc = any(c is not None and "weight_hwio" in c for c in params["convs"])
+    if nhwc:
+        encodings = [jnp.transpose(e, (0, 2, 3, 1)) for e in encodings]
 
     def project(level, x):
         conv = params["convs"][level]
         if conv is None:
             return x
-        pad = (conv["weight"].shape[-1] - 1) // 2
-        return conv2d(x, conv["weight"], None, padding=pad)
+        w = conv.get("weight_hwio", conv.get("weight"))
+        k = w.shape[0] if "weight_hwio" in conv else w.shape[-1]
+        return _cv(x, {**conv, "bias": None}, padding=(k - 1) // 2)
 
     features = project(n - 1, encodings[n - 1])
     lowres_features = features
@@ -105,4 +151,9 @@ def decoder_forward(params: dict, encodings: Sequence[jnp.ndarray]):
         features = _fusion(params["fusions"][level], features, projected)
         fusion_outputs.append(features)
     fusion_outputs.reverse()
+    if nhwc:
+        to_nchw = lambda t: jnp.transpose(t, (0, 3, 1, 2))  # noqa: E731
+        features = to_nchw(features)
+        lowres_features = to_nchw(lowres_features)
+        fusion_outputs = [to_nchw(t) for t in fusion_outputs]
     return features, lowres_features, fusion_outputs

@@ -118,8 +118,30 @@ def _init_depth_head(rng: jax.Array, dim_decoder: int, dtype=jnp.float32) -> dic
     return head
 
 
+def head_to_nhwc(p: dict) -> dict:
+    """Serving-layout transform for the depth head (see ``decoder_to_nhwc``)."""
+    from burn_depth_tpu.ops.conv import conv_weight_to_hwio, convt_weight_to_hwio
+
+    out = {
+        name: {"weight_hwio": conv_weight_to_hwio(p[name]["weight"]), "bias": p[name]["bias"]}
+        for name in ("conv0", "conv1", "conv_out")
+    }
+    out["deconv"] = {"weight_hwio": convt_weight_to_hwio(p["deconv"]["weight"]), "bias": p["deconv"]["bias"]}
+    return out
+
+
 def _depth_head_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """``DepthHead::forward`` (``mod.rs:105-112``)."""
+    if "weight_hwio" in p["conv0"]:
+        from burn_depth_tpu.ops.conv import conv2d_nhwc, conv_transpose2d_nhwc
+
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        x = conv2d_nhwc(x, p["conv0"]["weight_hwio"], p["conv0"]["bias"], padding=1)
+        x = conv_transpose2d_nhwc(x, p["deconv"]["weight_hwio"], p["deconv"]["bias"], stride=2)
+        x = conv2d_nhwc(x, p["conv1"]["weight_hwio"], p["conv1"]["bias"], padding=1)
+        x = relu(x)
+        x = conv2d_nhwc(x, p["conv_out"]["weight_hwio"], p["conv_out"]["bias"])
+        return jnp.transpose(relu(x), (0, 3, 1, 2))
     x = conv2d(x, p["conv0"]["weight"], p["conv0"]["bias"], padding=1)
     x = conv_transpose2d(x, p["deconv"]["weight"], p["deconv"]["bias"], stride=2)
     x = conv2d(x, p["conv1"]["weight"], p["conv1"]["bias"], padding=1)
@@ -182,6 +204,17 @@ class DepthPro:
     @property
     def img_size(self) -> int:
         return self.config.img_size
+
+    def to_nhwc_tail(self) -> "DepthPro":
+        """Serving-layout transform: run the decoder + depth head in NHWC
+        (the TPU's native feature-minor conv layout).  Checkpoint-facing
+        params keep torch NCHW; compose with ``quantize_vit`` freely."""
+        from burn_depth_tpu.models.depth_pro.decoder import decoder_to_nhwc
+
+        params = dict(self.params)
+        params["decoder"] = decoder_to_nhwc(params["decoder"])
+        params["head"] = head_to_nhwc(params["head"])
+        return DepthPro(self.config, params)
 
     def quantize_vit(self, calibration_input: Optional[jnp.ndarray] = None) -> "DepthPro":
         """Opt-in int8 serving tier (``Policy.SERVING_INT8``): per-channel

@@ -86,3 +86,77 @@ def conv_transpose2d(
     if bias is not None:
         out = out + bias.astype(out.dtype)[None, :, None, None]
     return out
+
+
+# --------------------------------------------------------------------------
+# NHWC variants (serving layout).
+#
+# The TPU's native conv layout is feature-minor: NHWC activations put the
+# channel dim on the 128-lane axis with no relayout.  Weights are converted
+# once at model-transform time (``HWIO``); the NCHW entry points above stay
+# the checkpoint-facing layout.
+# --------------------------------------------------------------------------
+
+
+def conv2d_nhwc(
+    x: jnp.ndarray,
+    weight_hwio: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride=1,
+    padding=0,
+    dilation=1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """``x: [N,H,W,C]``, ``weight: [kh,kw,I/g,O]`` -> ``[N,H,W,O]``."""
+    stride = _pair(stride)
+    dilation = _pair(dilation)
+    pad_h, pad_w = _pair(padding)
+    out = lax.conv_general_dilated(
+        x,
+        weight_hwio.astype(x.dtype),
+        window_strides=stride,
+        padding=((pad_h, pad_h), (pad_w, pad_w)),
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def conv_transpose2d_nhwc(
+    x: jnp.ndarray,
+    weight_hwio: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride=1,
+    padding=0,
+) -> jnp.ndarray:
+    """NHWC fractionally-strided conv.  ``weight_hwio`` must already be the
+    flipped/IO-swapped kernel in ``[kh,kw,I,O]`` (see ``convt_weight_to_hwio``)."""
+    stride = _pair(stride)
+    pad_h, pad_w = _pair(padding)
+    kh, kw = weight_hwio.shape[0], weight_hwio.shape[1]
+    out = lax.conv_general_dilated(
+        x,
+        weight_hwio.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((kh - 1 - pad_h, kh - 1 - pad_h), (kw - 1 - pad_w, kw - 1 - pad_w)),
+        lhs_dilation=stride,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def conv_weight_to_hwio(weight) -> jnp.ndarray:
+    """torch Conv2d ``[O,I,kh,kw]`` -> ``[kh,kw,I,O]``."""
+    return jnp.transpose(weight, (2, 3, 1, 0))
+
+
+def convt_weight_to_hwio(weight) -> jnp.ndarray:
+    """torch ConvTranspose2d ``[I,O,kh,kw]`` -> pre-flipped ``[kh,kw,I,O]``
+    ready for ``conv_transpose2d_nhwc``."""
+    w = jnp.flip(weight, axis=(2, 3))  # [I,O,kh,kw] spatially flipped
+    return jnp.transpose(w, (2, 3, 0, 1))

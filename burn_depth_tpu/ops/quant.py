@@ -105,7 +105,19 @@ def default_int8_impl() -> str:
     params always use XLA)."""
     import os
 
-    return os.environ.get("BDT_INT8_IMPL", "pallas_s8in" if _on_tpu() else "xla")
+    return os.environ.get("BDT_INT8_IMPL", "xla")
+
+
+def _pallas_int8_enabled() -> bool:
+    """Measured on the v5e (benchmarks/int8_kernel_probe.py): the Pallas int8
+    kernels run at 84/72 TFLOP/s vs bf16's 128 on the ViT-L block stack —
+    Mosaic does not map ``s8 x s8 -> s32`` onto the native-rate int8 MXU path
+    — and their 24-block chains take >20 min to compile.  The kernels are
+    kept for probing (``BDT_ALLOW_PALLAS_INT8=1`` re-enables them in
+    ``int8_linear``); production dispatch falls back to XLA."""
+    import os
+
+    return os.environ.get("BDT_ALLOW_PALLAS_INT8", "0") == "1"
 
 
 def int8_linear(
@@ -136,6 +148,8 @@ def int8_linear(
     """
     if impl == "auto":
         impl = default_int8_impl() if x_scale is not None else "xla"
+    if impl in ("pallas_stat", "pallas_s8in") and not _pallas_int8_enabled():
+        impl = "xla"
     if impl in ("pallas_stat", "pallas_s8in") and x_scale is not None:
         from burn_depth_tpu.ops.int8_matmul import int8_matmul_s8in, int8_matmul_static
 

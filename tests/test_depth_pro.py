@@ -270,3 +270,26 @@ def test_verify_restored_metric_depth_stage():
     assert "metric_depth(restored)" in names
     st = next(s for s in report.stages if s.name == "metric_depth(restored)")
     assert st.max_abs < 1e-5  # same restore path → near-exact
+
+
+def test_nhwc_tail_matches_nchw():
+    """to_nhwc_tail (serving layout: NHWC decoder + depth head) must be
+    numerically identical to the NCHW checkpoint layout."""
+    import dataclasses as _dc
+
+    import jax
+    import numpy as np
+
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.img_size, cfg.img_size)) * 0.4
+    ref = model.infer(x)
+    got = model.to_nhwc_tail().infer(x)
+    np.testing.assert_allclose(
+        np.asarray(got.depth), np.asarray(ref.depth), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.focallength_px), np.asarray(ref.focallength_px), rtol=1e-4
+    )

@@ -108,9 +108,10 @@ def test_quantize_vit_model_api():
     assert np.isfinite(np.asarray(out.depth)).all()
 
 
-def test_int8_impl_equivalence():
+def test_int8_impl_equivalence(monkeypatch):
     """The Pallas kernels (interpret mode on CPU) must match the XLA int8
     path bit-for-bit up to f32 rounding — same quant/dequant math."""
+    monkeypatch.setenv("BDT_ALLOW_PALLAS_INT8", "1")  # kernels are probe-gated
     x = jax.random.normal(jax.random.PRNGKey(1), (3, 70, 64))
     w = jax.random.normal(jax.random.PRNGKey(2), (48, 64)) * 0.05
     p = quantize_linear_params(
@@ -140,3 +141,17 @@ def test_quantize_vit_da3_api():
         assert np.isfinite(got).all()
         # int8 drift stays small relative to the depth scale
         assert np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-6) < 0.2
+
+
+def test_int8_composes_with_nhwc_tail():
+    """quantize_vit + to_nhwc_tail compose (the full serving configuration)."""
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 3, cfg.img_size, cfg.img_size))
+    serving = model.quantize_vit(calibration_input=x).to_nhwc_tail()
+    out = serving.infer(x)
+    assert np.isfinite(np.asarray(out.depth)).all()
+    assert "weight_hwio" in serving.params["head"]["conv0"]
+    assert "weight_i8" in serving.params["encoder"]["patch_encoder"]["blocks"][0]["attn"]["qkv"]

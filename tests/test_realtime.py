@@ -117,9 +117,15 @@ def test_camera_source_drains_to_latest_and_converts_bgr():
     # the marker was written to BGR channel 0 (blue) -> RGB channel 2
     assert first[..., 2].max() == first[0, 0, 2]
     assert first[..., 0].max() == 0 and first[..., 1].max() == 0
-    time.sleep(0.2)  # let the pump thread outrun the reader
-    later = src.read()
-    assert later is not None
+    # let the pump thread outrun the reader; under a loaded CI box the pump
+    # may be starved, so poll (bounded) instead of one fixed sleep
+    later = None
+    for _ in range(50):
+        time.sleep(0.2)
+        later = src.read()
+        assert later is not None
+        if int(later[0, 0, 2]) > int(first[0, 0, 2]) + 1:
+            break
     # drain-latest: we must have skipped ahead, not replayed the next frame
     assert int(later[0, 0, 2]) > int(first[0, 0, 2]) + 1
     src.close()
