@@ -9,6 +9,7 @@ math.  This probe times 24-block chains of increasing scope:
   relayout  : linears + the real qkv [B,T,3D]->[3,B,H,T,hd] and
               [B,H,T,hd]->[B,T,D] transposes (attention itself replaced by v)
   attn_pal  : full real block (_block_forward) with the Pallas flash kernel
+  attn_nop  : same, BDT_ATTN_NOPAD=1 (no 64->128 head-dim padding)
   attn_jnp  : full real block with jnp attention
 
 Run: python benchmarks/attn_probe.py
@@ -80,7 +81,7 @@ def make_chain(form, bp):
                 elif form == "relayout":
                     c = block_linears(c, True)
                 else:
-                    c = _block_forward(p, c, CFG, i, None, 1, "pallas" if form == "attn_pal" else "jnp")
+                    c = _block_forward(p, c, CFG, i, None, 1, "jnp" if form == "attn_jnp" else "pallas")
             return c
 
         return lax.fori_loop(0, iters, body, x)
@@ -108,9 +109,27 @@ def main():
     x = jax.random.normal(key, (B, T, D), jnp.bfloat16)
     bp = jax.tree.map(lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, mk_block_params(key))
 
+    import os
+
+    import numpy as np
+
+    # numeric cross-check: pad / nopad / jnp paths must agree
+    xb = x[:2]
+    os.environ["BDT_ATTN_NOPAD"] = "0"
+    ref = np.asarray(_block_forward(bp, xb, CFG, 0, None, 1, "pallas"), np.float32)
+    os.environ["BDT_ATTN_NOPAD"] = "1"
+    nop = np.asarray(_block_forward(bp, xb, CFG, 0, None, 1, "pallas"), np.float32)
+    jn = np.asarray(_block_forward(bp, xb, CFG, 0, None, 1, "jnp"), np.float32)
+    log(f"nopad-vs-pad max abs {np.abs(nop - ref).max():.2e}; pallas-vs-jnp {np.abs(ref - jn).max():.2e}")
+    os.environ["BDT_ATTN_NOPAD"] = "0"
+
     run("linears", make_chain("linears", bp), bp, x, LIN_FLOPS)
     run("relayout", make_chain("relayout", bp), bp, x, LIN_FLOPS)
+    os.environ["BDT_ATTN_NOPAD"] = "0"
     run("attn_pal", make_chain("attn_pal", bp), bp, x, LIN_FLOPS + ATTN_FLOPS)
+    os.environ["BDT_ATTN_NOPAD"] = "1"
+    run("attn_nop", make_chain("attn_nop", bp), bp, x, LIN_FLOPS + ATTN_FLOPS)
+    os.environ["BDT_ATTN_NOPAD"] = "0"
     run("attn_jnp", make_chain("attn_jnp", bp), bp, x, LIN_FLOPS + ATTN_FLOPS)
 
 

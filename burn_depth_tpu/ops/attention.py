@@ -100,9 +100,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "quiet_softmax", "q_block", "head_group")
+    jax.jit, static_argnames=("scale", "quiet_softmax", "q_block", "head_group", "pad_hd")
 )
-def _attention_pallas(q, k, v, scale: float, quiet_softmax: bool, q_block: int = 0, head_group: int = 0):
+def _attention_pallas(
+    q, k, v, scale: float, quiet_softmax: bool, q_block: int = 0, head_group: int = 0,
+    pad_hd: bool = True,
+):
     b, h, t, hd = q.shape
     bh = b * h
     t_pad = _round_up(t, 128)
@@ -118,7 +121,10 @@ def _attention_pallas(q, k, v, scale: float, quiet_softmax: bool, q_block: int =
         q_block = _round_up(t, 16) if fits else 512
     q_block = min(q_block, t_pad)
     tq_pad = _round_up(t, q_block)
-    hd_pad = _round_up(hd, 128)
+    # pad_hd=False: a block whose minor dim equals the FULL array dim is legal
+    # in Mosaic even when <128, and skipping the 64→128 pad halves the qk^T
+    # contraction work AND removes three whole-tensor pad copies per call.
+    hd_pad = _round_up(hd, 128) if pad_hd or hd % 8 else hd
 
     if head_group <= 0:
         # Largest G with the f32 score block [G, q_block, t_pad] ≲ 8 MB
@@ -262,7 +268,10 @@ def multi_head_attention(
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "jnp"
     if impl == "pallas":
-        return _attention_pallas(q, k, v, scale=scale, quiet_softmax=quiet_softmax)
+        import os
+
+        pad_hd = os.environ.get("BDT_ATTN_NOPAD", "0") != "1"
+        return _attention_pallas(q, k, v, scale=scale, quiet_softmax=quiet_softmax, pad_hd=pad_hd)
     if impl == "jnp":
         return _attention_jnp(q, k, v, scale, quiet_softmax)
     if impl == "splash":

@@ -106,7 +106,14 @@ def test_depth_pro_int8_tier_drift_vs_hf(oracle_pair):
     """Quantify the SERVING_INT8 relaxed-parity tier at flagship geometry:
     the int8 model (calibrated static scales, all three encoders quantized)
     must stay within an order of magnitude of the float gate vs the torch
-    oracle.  Documents the tier's drift so the bench headline can cite it."""
+    oracle.
+
+    Caveat (measured): with RANDOM weights the DINOv2 layerscale gammas are
+    at their ~1e-5 init, which suppresses every block's contribution and with
+    it the visible int8 drift (~6e-6 here).  Real-checkpoint gammas are O(1),
+    so this test is a structural/regression gate, not a drift bound — the
+    realistic tier drift must be measured against real weights (PARITY.md
+    known-gaps)."""
     from burn_depth_tpu.models.depth_pro import DepthPro
 
     hf, cfg, params = oracle_pair
