@@ -168,8 +168,14 @@ class DepthAnything3:
         x: jnp.ndarray,
         extrinsics: Optional[jnp.ndarray],
         intrinsics: Optional[jnp.ndarray],
+        views: int = 1,
     ):
-        """``forward_with_camera_internal`` (``mod.rs:495-564``)."""
+        """``forward_with_camera_internal`` (``mod.rs:495-564``).
+
+        ``views`` S > 1 (multi-view extension, beyond the reference's S=1
+        surface): ``x`` is ``[B0·S, 3, H, W]``; the backbone's alternating
+        blocks attend cross-view, the head and camera decode stay per-view.
+        """
         cfg = self.config
         _, _, height, width = x.shape
         if height % cfg.patch_size or width % cfg.patch_size:
@@ -191,6 +197,7 @@ class DepthAnything3:
             hook_ids=cfg.hook_block_ids,
             camera_token=camera_token,
             attn_impl=cfg.attn_impl,
+            views=views,
         )
         hooks = out.hooks
 
@@ -258,6 +265,35 @@ class DepthAnything3:
         uncached calls are the same program — equality holds by construction
         (the property the reference asserts in ``mod.rs:652-668``)."""
         return self.infer(x)
+
+    def infer_multiview(self, x: jnp.ndarray) -> DepthAnything3Inference:
+        """Multi-view inference (extension beyond the reference; upstream DA3
+        supports S>1 with within-view/cross-view alternating attention —
+        SURVEY §2 #10 notes the reference only exercises S=1).
+
+        ``x: [B, S, 3, H, W]`` -> outputs with leading ``[B, S]``: depth /
+        confidence ``[B, S, H, W]``, per-view pose/extrinsics/intrinsics.
+        Requires a backbone variant with ``alt_block_start`` set (DA3-small);
+        for S=1 this is exactly ``infer``."""
+        b, s_views = x.shape[0], x.shape[1]
+        flat = x.reshape(b * s_views, *x.shape[2:])
+        head_out, camera_pred, _ = self._forward_internal(
+            self.params, flat, None, None, views=s_views
+        )
+        inf = self._finalize(head_out, camera_pred)
+
+        def unflatten(a):
+            return None if a is None else a.reshape(b, s_views, *a.shape[1:])
+
+        return DepthAnything3Inference(
+            depth=unflatten(inf.depth),
+            depth_confidence=unflatten(inf.depth_confidence),
+            aux=unflatten(inf.aux),
+            aux_confidence=unflatten(inf.aux_confidence),
+            pose_encoding=unflatten(inf.pose_encoding),
+            extrinsics=unflatten(inf.extrinsics),
+            intrinsics=unflatten(inf.intrinsics),
+        )
 
     def infer_with_camera(
         self, x: jnp.ndarray, extrinsics: jnp.ndarray, intrinsics: jnp.ndarray

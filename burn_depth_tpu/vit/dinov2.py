@@ -255,9 +255,29 @@ def _interpolate_pos_embed(pos_embed: jnp.ndarray, cfg: DinoViTConfig, grid_h: i
     return jnp.concatenate([cls_pe, patch_pe], axis=1)
 
 
+def _is_global_block(cfg: DinoViTConfig, block_idx: int) -> bool:
+    """Multi-view attention schedule: blocks below ``alt_block_start`` are
+    view-local; from it on, blocks alternate cross-view ("global") and
+    view-local, starting global.  For S=1 the distinction is a no-op, which
+    is exactly the reference's behavior (it only exercises S=1 and the
+    alternating blocks are mathematically degenerate there — SURVEY §2 #10).
+    The S>1 schedule is our reconstruction of upstream DA3's
+    within-view/cross-view interleave; it is config-explicit so a different
+    upstream convention is a one-line change."""
+    if cfg.alt_block_start is None or block_idx < cfg.alt_block_start:
+        return False
+    return (block_idx - cfg.alt_block_start) % 2 == 0
+
+
 def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
-                   rope: Optional[tuple], num_prefix: int, attn_impl: str) -> jnp.ndarray:
-    """Pre-norm DINOv2 block: ``x += ls1·attn(norm1(x)); x += ls2·mlp(norm2(x))``."""
+                   rope: Optional[tuple], num_prefix: int, attn_impl: str,
+                   view_count: int = 1) -> jnp.ndarray:
+    """Pre-norm DINOv2 block: ``x += ls1·attn(norm1(x)); x += ls2·mlp(norm2(x))``.
+
+    ``view_count`` > 1: ``x`` is ``[B0·S, T, D]`` (views flattened into the
+    batch).  View-local blocks attend within each view; global blocks merge
+    the view axis into the sequence — RoPE/qk-norm are applied per view
+    BEFORE the merge, so positions stay view-relative."""
     d = cfg.embed_dim
     h = cfg.num_heads
     hd = cfg.head_dim
@@ -280,7 +300,19 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
         cos, sin = rope
         q = _apply_rope(q, cos, sin, num_prefix)
         k = _apply_rope(k, cos, sin, num_prefix)
-    attn_out = multi_head_attention(q, k, v, quiet_softmax=cfg.quiet_softmax, impl=attn_impl)
+    s = view_count
+    if s > 1 and _is_global_block(cfg, block_idx):
+        b0 = b // s
+
+        def merge(a):  # [B0·S, H, T, hd] -> [B0, H, S·T, hd]
+            return a.reshape(b0, s, h, t, hd).transpose(0, 2, 1, 3, 4).reshape(b0, h, s * t, hd)
+
+        attn_out = multi_head_attention(
+            merge(q), merge(k), merge(v), quiet_softmax=cfg.quiet_softmax, impl=attn_impl
+        )
+        attn_out = attn_out.reshape(b0, h, s, t, hd).transpose(0, 2, 1, 3, 4).reshape(b, h, t, hd)
+    else:
+        attn_out = multi_head_attention(q, k, v, quiet_softmax=cfg.quiet_softmax, impl=attn_impl)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(b, t, d)
     attn_out = qlinear(attn_out, bp["attn"]["proj"])
     x = x + attn_out * bp["ls1"]["gamma"].astype(x.dtype)
@@ -299,14 +331,20 @@ def dinov2_forward(
     hook_ids: Sequence[int] = (),
     camera_token: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
+    views: int = 1,
 ) -> DinoOutput:
     """Run the ViT.  ``x: [B, 3, H, W]`` with H, W divisible by patch_size.
 
     ``hook_ids`` are 0-based block indices; the tap is the block's raw output
     (``normalize_intermediate_tokens=false``, reference ``vit.rs:63``).
     ``camera_token: [B, D]`` overrides the learned placeholder (DA3-small).
+    ``views`` S > 1: ``x`` is ``[B0·S, 3, H, W]`` (a multi-view set flattened
+    into the batch, views of a set contiguous); blocks past
+    ``alt_block_start`` alternate cross-view attention (``_is_global_block``).
     """
     b, _, height, width = x.shape
+    if views > 1 and b % views:
+        raise ValueError(f"batch {b} not divisible by views {views}")
     gh, gw = height // cfg.patch_size, width // cfg.patch_size
 
     pe = params["patch_embed"]["proj"]
@@ -356,7 +394,9 @@ def dinov2_forward(
     hooks_raw: dict[int, jnp.ndarray] = {}
     prev_out = None
     for i in range(cfg.depth):
-        x_new = _block_forward(params["blocks"][i], x_seq, cfg, i, rope, num_prefix, attn_impl)
+        x_new = _block_forward(
+            params["blocks"][i], x_seq, cfg, i, rope, num_prefix, attn_impl, view_count=views
+        )
         if i in hook_ids:
             if cfg.cat_token:
                 pair_prev = prev_out if prev_out is not None else x_seq
