@@ -184,3 +184,26 @@ def test_u8_ingest_matches_f32_pipeline():
     got = with_u8_ingest(f)(model.params, jnp.asarray(u8))
     want = f(model.params, jnp.asarray(f32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_serving_step_composes_with_tiers():
+    """The full serving configuration — int8 ViT + NHWC tail + DP mesh —
+    compiles and matches the plain single-device model within the int8
+    tier's tolerance (the tiers are param-tree transforms, so the serving
+    step needs no special handling)."""
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, cfg.img_size, cfg.img_size)) * 0.3
+    ref = np.asarray(model._infer_fn(model.params, x).depth)
+
+    serving = model.quantize_vit(calibration_input=x[:1]).to_nhwc_tail()
+    mesh = make_mesh()  # pure DP
+    step = compile_serving_step(
+        lambda p, xb: serving._infer_fn(p, xb).depth, serving.params, mesh
+    )
+    out = np.asarray(step(x))
+    assert out.shape == ref.shape
+    scale = np.abs(ref).mean() + 1e-6
+    assert np.abs(out - ref).mean() / scale < 0.2  # int8 tier tolerance
