@@ -113,8 +113,10 @@ def main():
 
     import numpy as np
 
-    # numeric cross-check: pad / nopad / jnp paths must agree
-    xb = x[:2]
+    # numeric cross-check: pad / nopad / jnp paths must agree.  Use the FULL
+    # batch: B=2 creates a new head-group (g=4) kernel instance whose Mosaic
+    # remote compile was observed to hang >18 min.
+    xb = x
     os.environ["BDT_ATTN_NOPAD"] = "0"
     ref = np.asarray(_block_forward(bp, xb, CFG, 0, None, 1, "pallas"), np.float32)
     os.environ["BDT_ATTN_NOPAD"] = "1"
@@ -130,6 +132,9 @@ def main():
     os.environ["BDT_ATTN_NOPAD"] = "1"
     run("attn_nop", make_chain("attn_nop", bp), bp, x, LIN_FLOPS + ATTN_FLOPS)
     os.environ["BDT_ATTN_NOPAD"] = "0"
+    os.environ["BDT_ATTN_EXP_BF16"] = "1"
+    run("attn_eb16", make_chain("attn_eb16", bp), bp, x, LIN_FLOPS + ATTN_FLOPS)
+    os.environ["BDT_ATTN_EXP_BF16"] = "0"
     run("attn_jnp", make_chain("attn_jnp", bp), bp, x, LIN_FLOPS + ATTN_FLOPS)
 
 

@@ -59,16 +59,31 @@ def _attention_jnp(q, k, v, scale: float, quiet_softmax: bool):
 # --------------------------------------------------------------------------
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, quiet: bool):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, quiet: bool,
+                  exp_bf16: bool = False):
     """One (batch·head-group, q-block) grid cell: full-K attention for a
     group of G heads at once.  Grouping amortizes per-grid-step overhead —
     at 577 tokens a single (batch·head) cell is only ~0.2 MFLOP of MXU work,
     so the 560-cell grid was step-overhead-bound.
 
+    The kernel is VPU-softmax-bound, NOT matmul-bound (attn_probe round 2:
+    attention adds 3.0 ms/block while its two matmuls are ~0.3 ms), so every
+    full-score-matrix elementwise pass matters.  Two passes are eliminated
+    exactly:
+
+    * no padded-key mask: padded k columns are ZERO, so their scores are 0
+      and their softmax weight is ``exp(-m)`` each; clamping ``m`` at ≥ 0
+      keeps the shift stable (m ≥ true max always), the denominator is
+      corrected by the closed form ``pad_count·exp(-m)``, and padded v rows
+      are zero so they add nothing to the output.
+    * the ``p / denom`` normalization moves from the [Bq, Tp] score matrix to
+      the [Bq, hd] OUTPUT of the AV matmul (10x fewer elements at hd=64).
+
+    ``exp_bf16``: run the exp pass in bf16 (packed 2/lane on the VPU) —
+    serving-tier knob, ~0.4% weight error; default f32.
+
     q/k/v stay in their storage dtype (bf16 on the serving path) so the MXU
-    runs its native bf16×bf16→f32 passes — upcasting inputs to f32 first
-    would decompose each matmul into multiple slow f32 MXU passes.  The
-    softmax itself is f32 (``preferred_element_type`` accumulation).
+    runs its native bf16×bf16→f32 passes.
     """
     q = q_ref[...]  # [G, Bq, hd]
     k = k_ref[...]  # [G, Tp, hd]
@@ -76,23 +91,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, qui
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [G, Bq, Tp] f32
+    ) * scale  # [G, Bq, Tp] f32; padded key columns are exactly 0
 
-    # Mask padded keys (key dim is the last axis of [G, Bq, Tp]).
     t_pad = s.shape[-1]
-    if t_pad != seq_len:
-        key_ids = lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
-        s = jnp.where(key_ids < seq_len, s, -jnp.inf)
-
+    pad_count = t_pad - seq_len
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
+    if pad_count:
+        m = jnp.maximum(m, 0.0)  # ≥ the padded columns' score, keeps shift valid
+    z = s - m
+    if exp_bf16:
+        p = jnp.exp(z.astype(jnp.bfloat16))
+    else:
+        p = jnp.exp(z)
+    denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+    if pad_count:
+        denom = denom - pad_count * jnp.exp(-m)
     if quiet:
         denom = denom + jnp.exp(-m)
-    p = (p / denom).astype(v.dtype)  # back to storage dtype for the AV matmul
-    o_ref[...] = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[...] = (out / denom).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -100,11 +119,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "quiet_softmax", "q_block", "head_group", "pad_hd")
+    jax.jit,
+    static_argnames=("scale", "quiet_softmax", "q_block", "head_group", "pad_hd", "exp_bf16"),
 )
 def _attention_pallas(
     q, k, v, scale: float, quiet_softmax: bool, q_block: int = 0, head_group: int = 0,
-    pad_hd: bool = True,
+    pad_hd: bool = True, exp_bf16: bool = False,
 ):
     b, h, t, hd = q.shape
     bh = b * h
@@ -145,7 +165,9 @@ def _attention_pallas(
 
     grid = (bh // g, tq_pad // q_block)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, seq_len=t, quiet=quiet_softmax),
+        functools.partial(
+            _flash_kernel, scale=scale, seq_len=t, quiet=quiet_softmax, exp_bf16=exp_bf16
+        ),
         out_shape=jax.ShapeDtypeStruct((bh, tq_pad, hd_pad), q.dtype),
         grid=grid,
         in_specs=[
@@ -271,7 +293,10 @@ def multi_head_attention(
         import os
 
         pad_hd = os.environ.get("BDT_ATTN_NOPAD", "0") != "1"
-        return _attention_pallas(q, k, v, scale=scale, quiet_softmax=quiet_softmax, pad_hd=pad_hd)
+        exp_bf16 = os.environ.get("BDT_ATTN_EXP_BF16", "0") == "1"
+        return _attention_pallas(
+            q, k, v, scale=scale, quiet_softmax=quiet_softmax, pad_hd=pad_hd, exp_bf16=exp_bf16
+        )
     if impl == "jnp":
         return _attention_jnp(q, k, v, scale, quiet_softmax)
     if impl == "splash":
