@@ -67,19 +67,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, qui
     so the 560-cell grid was step-overhead-bound.
 
     The kernel is VPU-softmax-bound, NOT matmul-bound (attn_probe round 2:
-    attention adds 3.0 ms/block while its two matmuls are ~0.3 ms), so every
-    full-score-matrix elementwise pass matters.  Two passes are eliminated
-    exactly:
+    attention adds 3.0 ms/block while its two matmuls are ~0.3 ms).  A
+    "lean" rewrite (mask-free denominator correction + division deferred to
+    the AV output) was measured 40% SLOWER in f32 (10.1 vs 7.2 ms/block) —
+    Mosaic scheduled the restructured passes worse, a reminder that its
+    fusion behavior can invert source-level op counts.  This is the measured-
+    fastest formulation; the one surviving knob:
 
-    * no padded-key mask: padded k columns are ZERO, so their scores are 0
-      and their softmax weight is ``exp(-m)`` each; clamping ``m`` at ≥ 0
-      keeps the shift stable (m ≥ true max always), the denominator is
-      corrected by the closed form ``pad_count·exp(-m)``, and padded v rows
-      are zero so they add nothing to the output.
-    * the ``p / denom`` normalization moves from the [Bq, Tp] score matrix to
-      the [Bq, hd] OUTPUT of the AV matmul (10x fewer elements at hd=64).
-
-    ``exp_bf16``: run the exp pass in bf16 (packed 2/lane on the VPU) —
+    ``exp_bf16``: exp + divide passes in bf16 (packed 2/lane on the VPU) —
     serving-tier knob, ~0.4% weight error; default f32.
 
     q/k/v stay in their storage dtype (bf16 on the serving path) so the MXU
@@ -91,27 +86,31 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, qui
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [G, Bq, Tp] f32; padded key columns are exactly 0
+    ) * scale  # [G, Bq, Tp] f32
 
+    # Mask padded keys (key dim is the last axis of [G, Bq, Tp]).
     t_pad = s.shape[-1]
-    pad_count = t_pad - seq_len
+    if t_pad != seq_len:
+        key_ids = lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+        s = jnp.where(key_ids < seq_len, s, -jnp.inf)
+
     m = jnp.max(s, axis=-1, keepdims=True)
-    if pad_count:
-        m = jnp.maximum(m, 0.0)  # ≥ the padded columns' score, keeps shift valid
     z = s - m
     if exp_bf16:
         p = jnp.exp(z.astype(jnp.bfloat16))
+        denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+        if quiet:
+            denom = denom + jnp.exp(-m)
+        p = (p / denom.astype(jnp.bfloat16)).astype(v.dtype)
     else:
         p = jnp.exp(z)
-    denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-    if pad_count:
-        denom = denom - pad_count * jnp.exp(-m)
-    if quiet:
-        denom = denom + jnp.exp(-m)
-    out = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    o_ref[...] = (out / denom).astype(o_ref.dtype)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        if quiet:
+            denom = denom + jnp.exp(-m)
+        p = (p / denom).astype(v.dtype)
+    o_ref[...] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
