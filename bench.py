@@ -50,7 +50,10 @@ def main() -> None:
 
     size = config.img_size
     model = DepthPro.init(jax.random.PRNGKey(0), config, dtype=jnp.bfloat16)
-    int8_mode = os.environ.get("BENCH_INT8", "0")  # 0 | 1 (dynamic) | static
+    # Default = the fastest measured serving tier (int8-static ViT linears,
+    # 195.9-199.1 ms vs bf16's 213.9 at 1536² b=1 — BENCH.md round 2).
+    # BENCH_INT8=0 benches the parity-assured bf16 tier instead.
+    int8_mode = os.environ.get("BENCH_INT8", "static")  # 0 | 1 (dynamic) | static
     int8 = int8_mode != "0"
     if int8:
         calib = None
