@@ -60,7 +60,7 @@ def _attention_jnp(q, k, v, scale: float, quiet_softmax: bool):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, quiet: bool,
-                  exp_bf16: bool = False):
+                  exp_bf16: bool = False, no_max: bool = False):
     """One (batch·head-group, q-block) grid cell: full-K attention for a
     group of G heads at once.  Grouping amortizes per-grid-step overhead —
     at 577 tokens a single (batch·head) cell is only ~0.2 MFLOP of MXU work,
@@ -77,6 +77,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, qui
     ``exp_bf16``: exp + divide passes in bf16 (packed 2/lane on the VPU) —
     serving-tier knob, ~0.4% weight error; default f32.
 
+    ``no_max`` (serving knob ``BDT_ATTN_NOMAX=1``): skip the max-reduce +
+    subtract passes AND the pad mask.  Padded keys score exactly 0 (zero
+    pads), so their output contribution is killed by the zero-padded V rows
+    and the denominator over-count is the compile-time constant
+    ``t_pad - seq_len``.  Scores are clamped at 60 so a pathological logit
+    cannot overflow f32 exp (legit ViT logits are well below; the clamp is
+    one VPU pass vs the two reduce/sub passes it replaces).
+
     q/k/v stay in their storage dtype (bf16 on the serving path) so the MXU
     runs its native bf16×bf16→f32 passes.
     """
@@ -86,10 +94,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, qui
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [G, Bq, Tp] f32
+    )  # [G, Bq, Tp] f32
+    if scale != 1.0:  # callers fold power-of-two scales into q (bf16-exact)
+        s = s * scale
+
+    t_pad = s.shape[-1]
+    if no_max:
+        s = jnp.minimum(s, 60.0)
+        p = jnp.exp(s)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        # padded keys contribute exp(0)=1 each; quiet-softmax adds the
+        # un-shifted "+1" (exact here since m is not subtracted).
+        correction = (1.0 if quiet else 0.0) - float(t_pad - seq_len)
+        if correction:
+            denom = denom + correction
+        p = (p / denom).astype(v.dtype)
+        o_ref[...] = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+        return
 
     # Mask padded keys (key dim is the last axis of [G, Bq, Tp]).
-    t_pad = s.shape[-1]
     if t_pad != seq_len:
         key_ids = lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
         s = jnp.where(key_ids < seq_len, s, -jnp.inf)
@@ -113,17 +138,65 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, qui
     ).astype(o_ref.dtype)
 
 
+def _flash_kernel_interleaved(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
+                              quiet: bool, chunks: int):
+    """Probe variant: split the head group into ``chunks`` and emit the op
+    stream software-pipelined — the QK^T matmul of chunk i+1 is issued before
+    the softmax of chunk i — so Mosaic's scheduler can overlap MXU and VPU
+    work across chunks.  The monolithic kernel's chain (dot → softmax → dot
+    over the whole [G, Bq, Tp] block) serializes the units; the kernel is
+    VPU-softmax-bound (attn_probe: ~3 ms/block vs ~0.3 ms of matmul), so any
+    overlap is pure win IF the scheduler takes the bait."""
+
+    def qk(i):
+        lo = i * q_ref.shape[0] // chunks
+        hi = (i + 1) * q_ref.shape[0] // chunks
+        s = jax.lax.dot_general(
+            q_ref[lo:hi], k_ref[lo:hi], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return s if scale == 1.0 else s * scale
+
+    def softmax_av(i, s):
+        t_pad = s.shape[-1]
+        if t_pad != seq_len:
+            key_ids = lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+            s = jnp.where(key_ids < seq_len, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        if quiet:
+            denom = denom + jnp.exp(-m)
+        lo = i * q_ref.shape[0] // chunks
+        hi = (i + 1) * q_ref.shape[0] // chunks
+        p = (p / denom).astype(v_ref.dtype)
+        o_ref[lo:hi] = jax.lax.dot_general(
+            p, v_ref[lo:hi], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+    prev = qk(0)
+    for i in range(1, chunks):
+        cur = qk(i)  # MXU for chunk i while the VPU drains chunk i-1
+        softmax_av(i - 1, prev)
+        prev = cur
+    softmax_av(chunks - 1, prev)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "quiet_softmax", "q_block", "head_group", "pad_hd", "exp_bf16"),
+    static_argnames=(
+        "scale", "quiet_softmax", "q_block", "head_group", "pad_hd", "exp_bf16", "no_max",
+        "interleave",
+    ),
 )
 def _attention_pallas(
     q, k, v, scale: float, quiet_softmax: bool, q_block: int = 0, head_group: int = 0,
-    pad_hd: bool = True, exp_bf16: bool = False,
+    pad_hd: bool = True, exp_bf16: bool = False, no_max: bool = False, interleave: int = 0,
 ):
     b, h, t, hd = q.shape
     bh = b * h
@@ -163,10 +236,18 @@ def _attention_pallas(
     vf = jnp.pad(vf, ((0, 0), (0, t_pad - t), (0, hd_pad - hd)))
 
     grid = (bh // g, tq_pad // q_block)
+    if interleave > 1 and g > 1:
+        kernel = functools.partial(
+            _flash_kernel_interleaved, scale=scale, seq_len=t, quiet=quiet_softmax,
+            chunks=min(interleave, g),
+        )
+    else:
+        kernel = functools.partial(
+            _flash_kernel, scale=scale, seq_len=t, quiet=quiet_softmax, exp_bf16=exp_bf16,
+            no_max=no_max,
+        )
     out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, seq_len=t, quiet=quiet_softmax, exp_bf16=exp_bf16
-        ),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((bh, tq_pad, hd_pad), q.dtype),
         grid=grid,
         in_specs=[
@@ -293,8 +374,11 @@ def multi_head_attention(
 
         pad_hd = os.environ.get("BDT_ATTN_NOPAD", "0") != "1"
         exp_bf16 = os.environ.get("BDT_ATTN_EXP_BF16", "0") == "1"
+        no_max = os.environ.get("BDT_ATTN_NOMAX", "0") == "1"
+        interleave = int(os.environ.get("BDT_ATTN_INTERLEAVE", "0"))
         return _attention_pallas(
-            q, k, v, scale=scale, quiet_softmax=quiet_softmax, pad_hd=pad_hd, exp_bf16=exp_bf16
+            q, k, v, scale=scale, quiet_softmax=quiet_softmax, pad_hd=pad_hd,
+            exp_bf16=exp_bf16, no_max=no_max, interleave=interleave,
         )
     if impl == "jnp":
         return _attention_jnp(q, k, v, scale, quiet_softmax)

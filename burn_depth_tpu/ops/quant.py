@@ -80,16 +80,21 @@ def quantize_linear_params(p: dict, x_scale: Optional[float] = None) -> dict:
     """Convert a ``{"weight", "bias"}`` linear param dict to its int8 form
     ``{"weight_i8" [K, N], "scale" [N], "bias"}`` (bias kept in f32).
 
+    A head-major qkv pack (``weight_hm``, ``parallel/tp_layout.py``) quantizes
+    to ``weight_hm_i8`` — same math, permuted output rows — so the int8 tier
+    composes with tensor parallelism (``vit_tp_rules_int8``).
+
     ``x_scale``: a calibrated per-tensor abs-max for this linear's input.
     When given, the activation quantization at run time becomes a pure
     elementwise multiply+round that XLA fuses into the producing op (no
     per-token reduction pass) — measured ~10% faster end-to-end than the
     dynamic-scale path at the ViT-L shapes.
     """
-    w_i8, scale = quantize_weight_per_channel(p["weight"])
+    head_major = "weight_hm" in p
+    w_i8, scale = quantize_weight_per_channel(p["weight_hm"] if head_major else p["weight"])
     bias = p.get("bias")
     out = {
-        "weight_i8": w_i8,
+        ("weight_hm_i8" if head_major else "weight_i8"): w_i8,
         "scale": scale,
         "bias": None if bias is None else bias.astype(jnp.float32),
     }
@@ -190,9 +195,14 @@ def int8_linear(
 
 
 def qlinear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """Dispatch on param-dict form: int8 (``weight_i8``) or float (``weight``)."""
+    """Dispatch on param-dict form: int8 (``weight_i8``/``weight_hm_i8``) or
+    float (``weight``/``weight_hm``)."""
     if "weight_i8" in p:
         return int8_linear(x, p["weight_i8"], p["scale"], p.get("bias"), x_scale=p.get("x_scale"))
+    if "weight_hm_i8" in p:
+        return int8_linear(
+            x, p["weight_hm_i8"], p["scale"], p.get("bias"), x_scale=p.get("x_scale")
+        )
     if "weight_hm" in p:
         # head-major TP layout (parallel/tp_layout.py) — same math, permuted rows
         from burn_depth_tpu.ops.linear import linear

@@ -28,4 +28,4 @@ from burn_depth_tpu.parallel.mesh import (  # noqa: F401
     shard_params,
 )
 from burn_depth_tpu.parallel.tp_layout import to_head_major, vit_to_head_major  # noqa: F401
-from burn_depth_tpu.parallel.tp_rules import vit_tp_rules  # noqa: F401
+from burn_depth_tpu.parallel.tp_rules import vit_tp_rules, vit_tp_rules_int8  # noqa: F401

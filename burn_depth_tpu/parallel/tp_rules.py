@@ -36,3 +36,34 @@ def vit_tp_rules(prefix: str = "") -> list[Rule]:
         (rf"{p}blocks/\d+/mlp/fc1/bias$", P(MODEL_AXIS)),
         (rf"{p}blocks/\d+/mlp/fc2/weight$", P(None, MODEL_AXIS)),
     ]
+
+
+def vit_tp_rules_int8(prefix: str = "") -> list[Rule]:
+    """TP rules for an int8-quantized ViT subtree (``quantize_vit_blocks``).
+
+    The int8 weights are stored transposed (``[K, N]``,
+    ``ops/quant.py::quantize_weight_per_channel``), so column-parallel layers
+    shard axis 1 and row-parallel layers shard axis 0 — the mirror image of
+    the float rules.  Per-output-channel ``scale`` vectors follow their
+    layer's output sharding; row-parallel scales stay replicated (their N is
+    unsharded).  Calibrated ``x_scale`` scalars replicate via the default
+    rule.
+
+    Compose with the head-major layout (``to_head_major`` BEFORE
+    ``quantize_vit`` — it needs the float weights) so the qkv N-axis slices
+    stay head-aligned; the plain ``weight_i8`` qkv rule is kept for
+    completeness but splits q/k/v segments unevenly across chips, which costs
+    an activation all-gather per block (see ``parallel/tp_layout.py``).
+    """
+    p = prefix
+    return [
+        (rf"{p}blocks/\d+/attn/qkv/weight_hm_i8$", P(None, MODEL_AXIS)),
+        (rf"{p}blocks/\d+/attn/qkv/weight_i8$", P(None, MODEL_AXIS)),
+        (rf"{p}blocks/\d+/attn/qkv/scale$", P(MODEL_AXIS)),
+        (rf"{p}blocks/\d+/attn/qkv/bias$", P(MODEL_AXIS)),
+        (rf"{p}blocks/\d+/attn/proj/(weight_i8|weight_hm_i8)$", P(MODEL_AXIS, None)),
+        (rf"{p}blocks/\d+/mlp/fc1/weight_i8$", P(None, MODEL_AXIS)),
+        (rf"{p}blocks/\d+/mlp/fc1/scale$", P(MODEL_AXIS)),
+        (rf"{p}blocks/\d+/mlp/fc1/bias$", P(MODEL_AXIS)),
+        (rf"{p}blocks/\d+/mlp/fc2/weight_i8$", P(MODEL_AXIS, None)),
+    ] + vit_tp_rules(prefix)

@@ -36,6 +36,7 @@ a Pallas flash-attention kernel on TPU and a jnp reference path elsewhere.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Sequence
 
 import jax
@@ -285,7 +286,7 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
 
     y = layer_norm(x, bp["norm1"]["weight"], bp["norm1"]["bias"], cfg.ln_eps)
     qkv = qlinear(y, bp["attn"]["qkv"])  # [B,T,3D]
-    if "weight_hm" in bp["attn"]["qkv"]:
+    if "weight_hm" in bp["attn"]["qkv"] or "weight_hm_i8" in bp["attn"]["qkv"]:
         # head-major TP layout (parallel/tp_layout.py): rows ordered [H,3,hd]
         # so the model-axis shard factors through H — no qkv all-gather.
         qkv = qkv.reshape(b, t, h, 3, hd)
@@ -300,6 +301,14 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
         cos, sin = rope
         q = _apply_rope(q, cos, sin, num_prefix)
         k = _apply_rope(k, cos, sin, num_prefix)
+    # Fold a power-of-two softmax scale into q (bf16-EXACT: pure exponent
+    # shift; hd=64 -> 0.125 for every preset here).  The in-kernel score
+    # multiply then drops a full [G, Bq, Tp] f32 VPU pass per block; XLA
+    # fuses this small [B,H,T,hd] multiply into the preceding transpose.
+    scale = float(hd) ** -0.5
+    if math.log2(scale).is_integer():
+        q = q * jnp.asarray(scale, q.dtype)
+        scale = 1.0
     s = view_count
     if s > 1 and _is_global_block(cfg, block_idx):
         b0 = b // s
@@ -308,11 +317,14 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
             return a.reshape(b0, s, h, t, hd).transpose(0, 2, 1, 3, 4).reshape(b0, h, s * t, hd)
 
         attn_out = multi_head_attention(
-            merge(q), merge(k), merge(v), quiet_softmax=cfg.quiet_softmax, impl=attn_impl
+            merge(q), merge(k), merge(v), scale=scale, quiet_softmax=cfg.quiet_softmax,
+            impl=attn_impl,
         )
         attn_out = attn_out.reshape(b0, h, s, t, hd).transpose(0, 2, 1, 3, 4).reshape(b, h, t, hd)
     else:
-        attn_out = multi_head_attention(q, k, v, quiet_softmax=cfg.quiet_softmax, impl=attn_impl)
+        attn_out = multi_head_attention(
+            q, k, v, scale=scale, quiet_softmax=cfg.quiet_softmax, impl=attn_impl
+        )
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(b, t, d)
     attn_out = qlinear(attn_out, bp["attn"]["proj"])
     x = x + attn_out * bp["ls1"]["gamma"].astype(x.dtype)

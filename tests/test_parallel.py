@@ -207,3 +207,45 @@ def test_serving_step_composes_with_tiers():
     assert out.shape == ref.shape
     scale = np.abs(ref).mean() + 1e-6
     assert np.abs(out - ref).mean() / scale < 0.2  # int8 tier tolerance
+
+
+def test_tp_int8_composition():
+    """Round-3 backlog #9: the int8 serving tier composes with tensor
+    parallelism.  Head-major layout first (needs float weights), then
+    quantize, then shard with ``vit_tp_rules_int8``: sharded output must
+    match the single-device int8 forward, with zero all-gathers (the
+    quantized qkv pack's N-axis slices stay head-aligned)."""
+    import re
+
+    from burn_depth_tpu.ops.quant import quantize_vit_blocks
+    from burn_depth_tpu.parallel import vit_to_head_major, vit_tp_rules_int8
+
+    mesh = make_mesh(model=2)
+    cfg = DinoViTConfig(img_size=56, patch_size=14, embed_dim=64, depth=2, num_heads=4)
+    params = init_dinov2(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 56, 56))
+
+    q8 = quantize_vit_blocks(vit_to_head_major(params, cfg.num_heads))
+    assert "weight_hm_i8" in q8["blocks"][0]["attn"]["qkv"]
+
+    def fn(p, xb):
+        return dinov2_forward(p, xb, cfg, attn_impl="jnp").x_norm_patchtokens
+
+    ref = fn(q8, x)  # single-device int8 forward
+
+    step = compile_serving_step(fn, q8, mesh, tp_rules=vit_tp_rules_int8())
+    out = step(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    q8_qkv = step.params["blocks"][0]["attn"]["qkv"]
+    assert q8_qkv["weight_hm_i8"].sharding.spec == P(None, "model")
+    assert q8_qkv["scale"].sharding.spec == P("model")
+    assert step.params["blocks"][0]["mlp"]["fc2"]["weight_i8"].sharding.spec == P("model", None)
+
+    txt = step.fn.lower(step.params, x).compile().as_text()
+    gathers = len(re.findall(r"all-gather(?:-start)?\(", txt))
+    reduces = len(re.findall(r"all-reduce(?:-start)?\(", txt))
+    # Megatron psums (proj/fc2) + dynamic-amax max-reduces on the two
+    # row-parallel inputs: at most 4 per block, and no activation gathers.
+    assert gathers == 0, txt[:2000]
+    assert reduces <= 4 * cfg.depth, reduces
