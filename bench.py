@@ -65,6 +65,9 @@ def main() -> None:
     if os.environ.get("BENCH_NHWC", "0") != "0":
         model = model.to_nhwc_tail()
         log("NHWC decoder+head serving layout")
+    if os.environ.get("BENCH_STACK", "0") != "0":
+        model = model.stack_dual_encoders()
+        log("stacked image+fov dual-encoder pass")
 
     fn = jax.jit(lambda p, x: model._infer_fn(p, x).depth)
     x = jax.device_put(

@@ -158,13 +158,19 @@ def encoder_forward(
     x: jnp.ndarray,
     cfg,
     debug: bool = False,
+    stacked_image_fov: dict | None = None,
 ):
     """``DepthProEncoder::forward_with_debug`` (``encoder.rs:321-454``).
 
     Returns the 5 feature maps (+ a debug dict of the 16 intermediates when
     ``debug=True``, matching the reference's ``EncoderDebug`` taps).
+
+    ``stacked_image_fov`` (serving, ``DepthPro.stack_dual_encoders``): a
+    weight-stacked [image_encoder; fov_encoder] tree — the two B=1 384²
+    passes run as ONE stacked pass and the fov patch tokens are returned as
+    a third output (the fov head consumes them via ``precomputed_tokens``).
     """
-    from burn_depth_tpu.vit.dinov2 import dinov2_forward
+    from burn_depth_tpu.vit.dinov2 import dinov2_forward, dinov2_forward_stacked
 
     batch = x.shape[0]
     patch_size = cfg.patch_encoder.img_size  # 384
@@ -208,8 +214,17 @@ def encoder_forward(
     merged_x2 = x2_enc
 
     # global image encoder on the 384² thumbnail (encoder.rs:409-421)
-    img_out = dinov2_forward(image_vit_params, x2_tiles, cfg.image_encoder, attn_impl=cfg.attn_impl)
-    global_features = reshape_feature(img_out.x_norm_patchtokens, out_size, out_size, 0)
+    fov_tokens = None
+    if stacked_image_fov is not None:
+        both = dinov2_forward_stacked(
+            stacked_image_fov, x2_tiles, cfg.image_encoder, attn_impl=cfg.attn_impl
+        )
+        image_patchtokens, fov_tokens = both[0], both[1]
+    else:
+        image_patchtokens = dinov2_forward(
+            image_vit_params, x2_tiles, cfg.image_encoder, attn_impl=cfg.attn_impl
+        ).x_norm_patchtokens
+    global_features = reshape_feature(image_patchtokens, out_size, out_size, 0)
     global_features = conv_transpose2d(
         global_features, params["upsample_lowres"]["weight"], params["upsample_lowres"]["bias"], stride=2
     )
@@ -229,7 +244,7 @@ def encoder_forward(
     ]
 
     if not debug:
-        return features, None
+        return (features, None) if stacked_image_fov is None else (features, None, fov_tokens)
     dbg = {
         "latent0": merged_latent0,
         "latent1": merged_latent1,
@@ -247,4 +262,4 @@ def encoder_forward(
         "merged_x1": merged_x1,
         "merged_x2": merged_x2,
     }
-    return features, dbg
+    return (features, dbg) if stacked_image_fov is None else (features, dbg, fov_tokens)

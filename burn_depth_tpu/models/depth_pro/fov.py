@@ -72,9 +72,17 @@ def fov_forward(
     lowres_feature: jnp.ndarray,
     num_features: int,
     attn_impl: str = "auto",
+    precomputed_tokens: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """``FOVNetwork::forward`` (``fov.rs:168-236``) → ``[B]`` fovx degrees."""
-    if vit_params is None:
+    """``FOVNetwork::forward`` (``fov.rs:168-236``) → ``[B]`` fovx degrees.
+
+    ``precomputed_tokens``: fov-encoder patch tokens already computed by the
+    stacked dual-encoder pass (``DepthPro.stack_dual_encoders``) — the ViT
+    pass here is skipped.  Numerically identical: the stacked pass consumes
+    the same 0.25x resize (the encoder pyramid's x2) the resize below
+    produces, and XLA CSEs the duplicate resize anyway.
+    """
+    if vit_params is None and precomputed_tokens is None:
         out = _apply_blocks(params["head_blocks"], lowres_feature, final_no_relu=True)
         return out.reshape(out.shape[0])
 
@@ -86,8 +94,11 @@ def fov_forward(
         features = relu(conv2d(features, p["weight"], p["bias"], stride=2, padding=1))
 
     # third ViT pass on the 0.25x image (fov.rs:189-227)
-    x_small = resize_bilinear_scale(x, (0.25, 0.25), align_corners=False)
-    tokens = dinov2_forward(vit_params, x_small, vit_cfg, attn_impl=attn_impl).x_norm_patchtokens
+    if precomputed_tokens is not None:
+        tokens = precomputed_tokens
+    else:
+        x_small = resize_bilinear_scale(x, (0.25, 0.25), align_corners=False)
+        tokens = dinov2_forward(vit_params, x_small, vit_cfg, attn_impl=attn_impl).x_norm_patchtokens
     projected = linear(tokens, params["encoder_proj"]["weight"], params["encoder_proj"]["bias"])
     b, t, _ = projected.shape
     encoded = projected.transpose(0, 2, 1).reshape(features.shape)

@@ -247,14 +247,44 @@ class DepthPro:
             params["fov"] = fov
         return DepthPro(self.config, params)
 
+    def stack_dual_encoders(self) -> "DepthPro":
+        """Serving transform: run the global image encoder and the FOV
+        encoder — two B=1 ViT-L passes over the SAME 384² pyramid level
+        (``encoder.rs:409-415``, ``fov.rs:189-227``) — as ONE weight-stacked
+        pass (``vit/dinov2.py::dinov2_forward_stacked``).  B=1 ViT passes are
+        ~2.6x less efficient per sample than batched ones (BENCH.md);
+        numerics are unchanged.  Composes after ``quantize_vit`` (the stacked
+        tree may be int8)."""
+        from burn_depth_tpu.vit.dinov2 import stack_vit_params
+
+        if "fov" not in self.params or self.params["fov"].get("encoder") is None:
+            raise ValueError("stack_dual_encoders needs the FOV encoder variant")
+        if self.config.image_encoder != self.config.fov_encoder:
+            raise ValueError("image/fov encoder configs differ — cannot stack")
+        params = dict(self.params)
+        enc = dict(params["encoder"])
+        fov = dict(params["fov"])
+        enc["image_fov_stacked"] = stack_vit_params([enc.pop("image_encoder"), fov.pop("encoder")])
+        fov["encoder"] = None
+        params["encoder"] = enc
+        params["fov"] = fov
+        return DepthPro(self.config, params)
+
     # ---- forward ---------------------------------------------------------
     def _forward_internal(self, params: dict, x: jnp.ndarray, debug: bool = False):
         """``forward_internal`` (``mod.rs:210-252``)."""
         cfg = self.config
         enc = params["encoder"]
-        features, enc_dbg = enc_mod.encoder_forward(
-            enc, enc["patch_encoder"], enc["image_encoder"], x, cfg, debug=debug
-        )
+        fov_tokens = None
+        if "image_fov_stacked" in enc:
+            features, enc_dbg, fov_tokens = enc_mod.encoder_forward(
+                enc, enc["patch_encoder"], None, x, cfg, debug=debug,
+                stacked_image_fov=enc["image_fov_stacked"],
+            )
+        else:
+            features, enc_dbg = enc_mod.encoder_forward(
+                enc, enc["patch_encoder"], enc["image_encoder"], x, cfg, debug=debug
+            )
         feats, lowres, fusion_outputs = decoder_forward(params["decoder"], features)
         canonical = _depth_head_forward(params["head"], feats)
 
@@ -268,6 +298,7 @@ class DepthPro:
                 lowres,
                 cfg.decoder_features,
                 attn_impl=cfg.attn_impl,
+                precomputed_tokens=fov_tokens,
             )
         if debug:
             return canonical, feats, lowres, fusion_outputs, fov_deg, enc_dbg

@@ -215,6 +215,45 @@ def qlinear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     return linear(x, p["weight"], p.get("bias"))
 
 
+def qlinear_stacked(x: jnp.ndarray, p: dict) -> jnp.ndarray:
+    """Weight-stacked linear for the dual-encoder pass
+    (``vit/dinov2.py::dinov2_forward_stacked``): ``x [S, B, T, K]`` with a
+    leading model axis, weights stacked the same way.
+
+    Float form: ``weight [S, O, K]``; int8 form: ``weight_i8 [S, K, N]`` with
+    ``scale [S, N]`` (+ optional ``x_scale [S]``).  The batched ``dot_general``
+    contracts per-S exactly like the unstacked path, so numerics match the
+    two separate passes bit-for-bit.
+    """
+    if "weight_i8" in p:
+        w, w_scale = p["weight_i8"], p["scale"]
+        x_scale = p.get("x_scale")
+        if x_scale is not None:
+            inv = (127.0 / x_scale).astype(x.dtype)[:, None, None, None]
+            x_i8 = jnp.clip(jnp.round((x * inv).astype(jnp.float32)), -127, 127).astype(jnp.int8)
+            dq = (x_scale / 127.0)[:, None, None, None]
+        else:
+            amax = jnp.maximum(
+                jnp.max(jnp.abs(x), axis=-1, keepdims=True), jnp.asarray(1e-6, x.dtype)
+            )
+            inv = jnp.asarray(127.0, x.dtype) / amax
+            x_i8 = jnp.clip(jnp.round((x * inv).astype(jnp.float32)), -127, 127).astype(jnp.int8)
+            dq = amax.astype(jnp.float32) / 127.0
+        acc = jax.lax.dot_general(
+            x_i8, w, dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # [S, B, T, N]
+        out = acc.astype(jnp.float32) * dq * w_scale[:, None, None, :]
+        if p.get("bias") is not None:
+            out = out + p["bias"][:, None, None, :]
+        return out.astype(x.dtype)
+    w = p["weight"].astype(x.dtype)  # [S, O, K]
+    out = jnp.einsum("sbtk,sok->sbto", x, w)
+    if p.get("bias") is not None:
+        out = out + p["bias"][:, None, None, :].astype(out.dtype)
+    return out
+
+
 def quantize_vit_blocks(vit_params: dict, scales: Optional[Iterator[float]] = None) -> dict:
     """Quantize the four hot linears (qkv/proj/fc1/fc2) of every transformer
     block in a DINOv2 param tree; everything else (patch embed, norms,

@@ -336,6 +336,121 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
     return x + y * bp["ls2"]["gamma"].astype(x.dtype)
 
 
+def stack_vit_params(params_list: Sequence[dict]) -> dict:
+    """Stack S structurally-identical ViT param trees along a new leading
+    axis (serving transform for ``dinov2_forward_stacked``).  Works on float
+    and int8 trees alike; ``None`` leaves (absent biases) must match."""
+    import jax as _jax
+
+    def stack(*leaves):
+        if leaves[0] is None:
+            if any(l is not None for l in leaves):
+                raise ValueError("mismatched None leaves across stacked ViTs")
+            return None
+        return jnp.stack(leaves)
+
+    return _jax.tree.map(stack, *params_list, is_leaf=lambda l: l is None)
+
+
+def dinov2_forward_stacked(
+    stacked: dict, x: jnp.ndarray, cfg: DinoViTConfig, attn_impl: str = "auto"
+) -> jnp.ndarray:
+    """Run S weight-stacked *plain* ViTs (identical config, no hooks / RoPE /
+    camera / cat-token) over the SAME input batch in one pass; returns
+    ``x_norm_patchtokens [S, B, N, D]``.
+
+    Serving optimization for Depth Pro: the global image encoder and the FOV
+    encoder are two B=1 ViT-L passes over the identical 384² pyramid level
+    (``encoder.rs:409-415`` + ``fov.rs:189-227`` both consume the 0.25x
+    resize), and a B=1 ViT pass is ~2.6x less efficient per sample than the
+    batched pass (BENCH.md component profile).  Linears/norms get a stacked
+    model axis; attention folds S into the kernel batch (it has no weights),
+    so numerics match the two separate passes.
+    """
+    if cfg.rope_start is not None or cfg.use_camera_token or cfg.cat_token:
+        raise ValueError("dinov2_forward_stacked supports plain ViTs only")
+    from burn_depth_tpu.ops.quant import qlinear_stacked
+
+    s = stacked["cls_token"].shape[0]
+    b, _, height, width = x.shape
+    gh, gw = height // cfg.patch_size, width // cfg.patch_size
+    d = cfg.embed_dim
+    h = cfg.num_heads
+    hd = cfg.head_dim
+
+    pe = stacked["patch_embed"]["proj"]
+    toks = []
+    for i in range(s):  # S small convs; stacking convs over weights buys nothing
+        t = conv2d(x, pe["weight"][i], None if pe["bias"] is None else pe["bias"][i],
+                   stride=cfg.patch_size)
+        toks.append(t.reshape(b, d, gh * gw).transpose(0, 2, 1))
+    xs = jnp.stack(toks)  # [S, B, N, D]
+
+    # cls_token leaf [1,1,D] stacks to [S,1,1,D] — broadcast the middle dim
+    cls = jnp.broadcast_to(stacked["cls_token"].astype(xs.dtype), (s, b, 1, d))
+    if cfg.num_register_tokens:
+        regs = jnp.broadcast_to(
+            stacked["register_tokens"].astype(xs.dtype),
+            (s, b, cfg.num_register_tokens, d),
+        )
+        xs = jnp.concatenate([cls, regs, xs], axis=2)
+    else:
+        xs = jnp.concatenate([cls, xs], axis=2)
+
+    pos = jnp.stack(
+        [_interpolate_pos_embed(stacked["pos_embed"][i], cfg, gh, gw)[0] for i in range(s)]
+    ).astype(xs.dtype)[:, None]  # [S, 1, T0, D]
+    if cfg.num_register_tokens:
+        xs = jnp.concatenate(
+            [
+                xs[:, :, :1] + pos[:, :, :1],
+                xs[:, :, 1 : 1 + cfg.num_register_tokens],
+                xs[:, :, 1 + cfg.num_register_tokens :] + pos[:, :, 1:],
+            ],
+            axis=2,
+        )
+    else:
+        xs = xs + pos
+
+    num_prefix = 1 + cfg.num_register_tokens
+    t_len = xs.shape[2]
+
+    def ln(z, p):
+        w = None if p["weight"] is None else p["weight"][:, None, None, :]
+        bb = None if p.get("bias") is None else p["bias"][:, None, None, :]
+        return layer_norm(z, w, bb, cfg.ln_eps)
+
+    scale = float(hd) ** -0.5
+    fold = math.log2(scale).is_integer()
+    for bi in range(cfg.depth):
+        bp = stacked["blocks"][bi]
+        y = ln(xs, bp["norm1"])
+        qkv = qlinear_stacked(y, bp["attn"]["qkv"])  # [S, B, T, 3D]
+        qkv = qkv.reshape(s, b, t_len, 3, h, hd)
+        q, k, v = (qkv.transpose(3, 0, 1, 4, 2, 5)[i] for i in range(3))  # [S,B,H,T,hd]
+        q = q.reshape(s * b, h, t_len, hd)
+        k = k.reshape(s * b, h, t_len, hd)
+        v = v.reshape(s * b, h, t_len, hd)
+        if fold:
+            q = q * jnp.asarray(scale, q.dtype)
+        attn = multi_head_attention(
+            q, k, v, scale=1.0 if fold else scale, quiet_softmax=cfg.quiet_softmax,
+            impl=attn_impl,
+        )
+        attn = attn.reshape(s, b, h, t_len, hd).transpose(0, 1, 3, 2, 4).reshape(s, b, t_len, d)
+        attn = qlinear_stacked(attn, bp["attn"]["proj"])
+        xs = xs + attn * bp["ls1"]["gamma"][:, None, None, :].astype(xs.dtype)
+
+        y = ln(xs, bp["norm2"])
+        y = qlinear_stacked(y, bp["mlp"]["fc1"])
+        y = gelu(y)
+        y = qlinear_stacked(y, bp["mlp"]["fc2"])
+        xs = xs + y * bp["ls2"]["gamma"][:, None, None, :].astype(xs.dtype)
+
+    xs = ln(xs, stacked["norm"])
+    return xs[:, :, num_prefix:]
+
+
 def dinov2_forward(
     params: dict,
     x: jnp.ndarray,

@@ -293,3 +293,44 @@ def test_nhwc_tail_matches_nchw():
     np.testing.assert_allclose(
         np.asarray(got.focallength_px), np.asarray(ref.focallength_px), rtol=1e-4
     )
+
+
+def test_stack_dual_encoders_matches_unstacked():
+    """``stack_dual_encoders`` (serving transform: image+fov ViT passes fused
+    into one weight-stacked pass) must be numerics-preserving — the stacked
+    batched dot contracts per-model exactly like the two separate passes."""
+    import numpy as np
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.img_size, cfg.img_size)) * 0.4
+
+    ref = model.infer(x)
+    stacked = model.stack_dual_encoders()
+    assert "image_encoder" not in stacked.params["encoder"]
+    assert stacked.params["fov"]["encoder"] is None
+    got = stacked.infer(x)
+
+    np.testing.assert_allclose(
+        np.asarray(got.depth), np.asarray(ref.depth), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.fovx_deg), np.asarray(ref.fovx_deg), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_stack_dual_encoders_composes_with_int8():
+    """Transform order quantize → stack: the stacked tree carries int8 leaves
+    and still matches the unstacked int8 model."""
+    import numpy as np
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.img_size, cfg.img_size)) * 0.4
+
+    q = model.quantize_vit()
+    ref = q.infer(x)
+    got = q.stack_dual_encoders().infer(x)
+    np.testing.assert_allclose(
+        np.asarray(got.depth), np.asarray(ref.depth), rtol=1e-4, atol=1e-5
+    )
