@@ -53,6 +53,31 @@ def conv2d(
     return out
 
 
+def _convt_mm_enabled() -> bool:
+    import os
+
+    return os.environ.get("BDT_CONVT_MM", "0") == "1"
+
+
+def _conv_transpose2d_matmul(x, weight, bias, sh: int, sw: int) -> jnp.ndarray:
+    """``k == stride`` transposed conv as matmul + depth-to-space.
+
+    With no output overlap, ``out[b,o,sh·i+di,sw·j+dj] = Σ_c x[b,c,i,j]·
+    W[c,o,di,dj]`` — a per-pixel linear to ``O·sh·sw`` features followed by a
+    pixel shuffle.  Avoids the zero-inserting fractionally-strided conv
+    lowering and gives the MXU an ``N = O·sh·sw`` contraction (512 for the
+    2x2 s2 deconvs) instead of ``N = O`` with 3/4 of the dilated taps zero.
+    """
+    b, c, h, w = x.shape
+    o = weight.shape[1]
+    wm = weight.reshape(c, o * sh * sw).astype(x.dtype)  # (o, di, dj) minor order
+    y = jnp.einsum("bchw,cf->bhwf", x, wm)
+    y = y.reshape(b, h, w, o, sh, sw).transpose(0, 3, 1, 4, 2, 5).reshape(b, o, h * sh, w * sw)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)[None, :, None, None]
+    return y
+
+
 def conv_transpose2d(
     x: jnp.ndarray,
     weight: jnp.ndarray,
@@ -66,12 +91,15 @@ def conv_transpose2d(
     fractionally-strided convolution: dilate the input by ``stride``, convolve
     with the spatially-flipped, IO-swapped kernel, pad ``k-1-p``.  Every convT
     in these models has ``k == stride`` (2x2 s2 / 4x4 s4, e.g. reference
-    ``encoder.rs:60-68``, ``dpt.rs:164-191``) so there is no output overlap,
-    but the general form is implemented and torch-tested.
+    ``encoder.rs:60-68``, ``dpt.rs:164-191``) so there is no output overlap;
+    ``BDT_CONVT_MM=1`` routes that case through the matmul + depth-to-space
+    form (``_conv_transpose2d_matmul``) instead.
     """
     stride = _pair(stride)
     pad_h, pad_w = _pair(padding)
     kh, kw = weight.shape[2], weight.shape[3]
+    if (kh, kw) == stride and (pad_h, pad_w) == (0, 0) and _convt_mm_enabled():
+        return _conv_transpose2d_matmul(x, weight, bias, kh, kw)
     # [I,O,kh,kw] -> flip spatial -> [O,I,kh,kw]
     w = jnp.flip(weight, axis=(2, 3)).swapaxes(0, 1)
     out = lax.conv_general_dilated(

@@ -176,6 +176,22 @@ def int8_linear(
         # fuses into the producer; clipping handles post-calibration outliers.
         inv = (127.0 / x_scale).astype(x.dtype)
         x_i8 = jnp.clip(jnp.round((x * inv).astype(jnp.float32)), -127, 127).astype(jnp.int8)
+        import os
+
+        if os.environ.get("BDT_INT8_EPILOGUE", "f32") == "bf16":
+            # v3 of int8_epilogue_probe: folded bf16 scale-vector dequant —
+            # 145 vs 112 TFLOP/s-equivalent on the 24-block linear chain.
+            # bf16 dequant rounds the epilogue (~0.4%); serving-tier-only.
+            acc = jax.lax.dot_general(
+                x_i8, weight_i8,
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            scale_vec = ((x_scale / 127.0) * w_scale).astype(jnp.bfloat16)
+            out = acc.astype(jnp.bfloat16) * scale_vec
+            if bias is not None:
+                out = out + bias.astype(jnp.bfloat16)
+            return out.astype(x.dtype)
         dq = x_scale / 127.0
     else:
         amax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), jnp.asarray(1e-6, x.dtype))

@@ -147,3 +147,22 @@ def test_preprocessing_rejects_bad_length():
 
     with pytest.raises(ValueError):
         rgb_to_input_tensor(bytes(5), 1, 2)
+
+
+def test_convt_matmul_path_matches_dilated():
+    """BDT_CONVT_MM=1 routes k==stride transposed convs through matmul +
+    depth-to-space — must match the fractionally-strided conv exactly."""
+    import jax
+
+    from burn_depth_tpu.ops.conv import _conv_transpose2d_matmul
+
+    rng = jax.random.PRNGKey(0)
+    for (k, s), (c, o) in [((2, 2), (16, 24)), ((4, 4), (8, 8))]:
+        kx, kw, kb = jax.random.split(jax.random.fold_in(rng, k * 10 + c), 3)
+        x = jax.random.normal(kx, (2, c, 6, 5))
+        w = jax.random.normal(kw, (c, o, k, k)) * 0.1
+        b = jax.random.normal(kb, (o,))
+        ref = conv_transpose2d(x, w, b, stride=s)
+        got = _conv_transpose2d_matmul(x, w, b, s, s)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
