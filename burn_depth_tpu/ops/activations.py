@@ -10,7 +10,23 @@ import jax.numpy as jnp
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     """Exact (erf-based) GELU — torch ``nn.GELU()`` default, as used by
-    DINOv2 MLPs and DA3's camera pose branch (``camera.rs:224-231``)."""
+    DINOv2 MLPs and DA3's camera pose branch (``camera.rs:224-231``).
+
+    Serving knob ``BDT_GELU`` (linear_shape_probe: the erf epilogue drops the
+    fc1+fc2 chain from 142 to 104 TFLOP/s-equivalent — the MLP activation is
+    a first-order VPU cost at [35,577,4096]):
+
+    * ``erf`` (default) — exact, the parity form;
+    * ``tanh`` — torch ``approximate='gelu_tanh'``, |err| ≲ 1e-3;
+    * ``sigmoid`` — ``x·σ(1.702x)``, |err| ≲ 0.02 absolute, cheapest.
+    """
+    import os
+
+    form = os.environ.get("BDT_GELU", "erf")
+    if form == "tanh":
+        return jax.nn.gelu(x, approximate=True)
+    if form == "sigmoid":
+        return x * jax.nn.sigmoid(1.702 * x)
     return jax.nn.gelu(x, approximate=False)
 
 

@@ -4,6 +4,8 @@ This is the self-contained analog of the reference's golden-dump strategy
 (SURVEY.md §4): torch is the oracle, random weights, hard tolerances.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -166,3 +168,37 @@ def test_convt_matmul_path_matches_dilated():
         got = _conv_transpose2d_matmul(x, w, b, s, s)
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_gelu_serving_forms_close_to_erf(monkeypatch):
+    """BDT_GELU serving forms stay within their documented error budgets."""
+    import os
+
+    from burn_depth_tpu.ops.activations import gelu
+
+    x = jnp.linspace(-6, 6, 4001, dtype=jnp.float32)
+    ref = np.asarray(gelu(x))
+    monkeypatch.setitem(os.environ, "BDT_GELU", "tanh")
+    tanh_err = np.abs(np.asarray(gelu(x)) - ref).max()
+    monkeypatch.setitem(os.environ, "BDT_GELU", "sigmoid")
+    sig_err = np.abs(np.asarray(gelu(x)) - ref).max()
+    assert tanh_err < 3e-3, tanh_err
+    assert sig_err < 2.5e-2, sig_err
+
+
+def test_layer_norm_mixed_close_to_f32(monkeypatch):
+    """BDT_LN=mixed (f32 reductions, bf16 normalize passes) ~1e-2 of the
+    f32 island on bf16 inputs; exact fallback on f32 inputs."""
+    import os
+
+    x = (jax.random.normal(jax.random.PRNGKey(0), (4, 64, 256)) * 3 + 0.5).astype(jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(1), (256,)) * 0.5 + 1
+    b = jax.random.normal(jax.random.PRNGKey(2), (256,)) * 0.1
+    ref = np.asarray(layer_norm(x, w, b)).astype(np.float32)
+    monkeypatch.setitem(os.environ, "BDT_LN", "mixed")
+    got = np.asarray(layer_norm(x, w, b)).astype(np.float32)
+    rel = (np.abs(got - ref) / (np.abs(ref) + 1.0)).max()  # bf16 ulp-level
+    assert rel < 0.02, rel
+    # f32 inputs ignore the knob entirely
+    xf = x.astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(layer_norm(xf, w, b)), np.asarray(layer_norm(xf, w, b)))
