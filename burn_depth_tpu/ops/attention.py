@@ -92,11 +92,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, qui
     k = k_ref[...]  # [G, Tp, hd]
     v = v_ref[...]  # [G, Tp, hd]
 
+    import os
+
+    # bf16 score-matrix knob: halves VPU/VMEM width of every softmax pass at
+    # ~0.7% relative output error.  The dot still accumulates f32 (this
+    # Mosaic rejects bf16 dot accumulators) and downcasts immediately after.
+    bf16_scores = os.environ.get("BDT_ATTN_BF16_SCORES", "0") == "1"
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # [G, Bq, Tp] f32
+    )  # [G, Bq, Tp]
+    if bf16_scores:
+        s = s.astype(jnp.bfloat16)
     if scale != 1.0:  # callers fold power-of-two scales into q (bf16-exact)
-        s = s * scale
+        s = s * jnp.asarray(scale, s.dtype)
 
     t_pad = s.shape[-1]
     if no_max:
