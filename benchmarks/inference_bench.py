@@ -42,9 +42,20 @@ def bench_depth_pro(timer: Timer) -> None:
     emit("depth_pro_infer_1536_b1", timer.run(fn, model.params, x)["mean_s"], 1)
 
 
-def bench_da3(timer: Timer, variant: str) -> None:
+def bench_da3(timer: Timer, variant: str, serving: bool = False) -> None:
     cfg = DepthAnything3Config.small() if variant == "small" else DepthAnything3Config.metric_large()
     model = DepthAnything3.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    tag = ""
+    if serving:
+        # same relaxed tier as bench.py's default: int8-static ViT linears +
+        # tanh GELU + bf16 folded-scale dequant
+        import os
+
+        os.environ.setdefault("BDT_GELU", "tanh")
+        os.environ.setdefault("BDT_INT8_EPILOGUE", "bf16")
+        calib = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, 518, 518), jnp.bfloat16)
+        model = model.quantize_vit(calibration_input=calib)
+        tag = "_serving"
 
     def f(p, x):
         head_out, camera_pred, _ = model._forward_internal(p, x, None, None)
@@ -52,7 +63,7 @@ def bench_da3(timer: Timer, variant: str) -> None:
 
     fn = jax.jit(f)
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 518, 518), jnp.bfloat16)
-    emit(f"depth_anything3_{variant}_infer_518_b1", timer.run(fn, model.params, x)["mean_s"], 1)
+    emit(f"depth_anything3_{variant}_infer_518_b1{tag}", timer.run(fn, model.params, x)["mean_s"], 1)
 
 
 def bench_streaming(timer: Timer, batch: int = 8) -> None:
@@ -81,6 +92,10 @@ def main() -> int:
         bench_da3(timer, "metric_large")
     if "da3_small" in which:
         bench_da3(timer, "small")
+    if "da3_large_serving" in which:
+        bench_da3(timer, "metric_large", serving=True)
+    if "da3_small_serving" in which:
+        bench_da3(timer, "small", serving=True)
     if "stream" in which:
         bench_streaming(timer)
     print(json.dumps({"hbm": device_memory_stats()}), file=sys.stderr)

@@ -178,7 +178,23 @@ def int8_linear(
         x_i8 = jnp.clip(jnp.round((x * inv).astype(jnp.float32)), -127, 127).astype(jnp.int8)
         import os
 
-        if os.environ.get("BDT_INT8_EPILOGUE", "f32") == "bf16":
+        epi = os.environ.get("BDT_INT8_EPILOGUE", "f32")
+        if epi == "pref":
+            # s8 x s8 dot emitted with a bf16 result type: the [M, N]
+            # accumulator XLA materializes in HBM (int8_hlo_audit: 330 MB of
+            # s32 per fc1) shrinks to half the bytes and the convert fusion
+            # disappears.  Epilogue matches the bf16 form otherwise.
+            acc = jax.lax.dot_general(
+                x_i8, weight_i8,
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.bfloat16,
+            )
+            scale_vec = ((x_scale / 127.0) * w_scale).astype(jnp.bfloat16)
+            out = acc * scale_vec
+            if bias is not None:
+                out = out + bias.astype(jnp.bfloat16)
+            return out.astype(x.dtype)
+        if epi == "bf16":
             # v3 of int8_epilogue_probe: folded bf16 scale-vector dequant —
             # 145 vs 112 TFLOP/s-equivalent on the 24-block linear chain.
             # bf16 dequant rounds the epilogue (~0.4%); serving-tier-only.
