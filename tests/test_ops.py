@@ -202,3 +202,35 @@ def test_layer_norm_mixed_close_to_f32(monkeypatch):
     # f32 inputs ignore the knob entirely
     xf = x.astype(jnp.float32)
     np.testing.assert_array_equal(np.asarray(layer_norm(xf, w, b)), np.asarray(layer_norm(xf, w, b)))
+
+
+def test_conv3x3_pallas_matches_xla_nhwc():
+    """Pallas 3x3 SAME conv (interpret mode) — plain and with the fused
+    ResidualBlock epilogue (relu_in + bias + residual) — vs conv2d_nhwc."""
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    import burn_depth_tpu.ops.conv3x3_pallas as m
+    from burn_depth_tpu.ops.conv import conv2d_nhwc
+
+    orig = m.pl.pallas_call
+    m.pl.pallas_call = functools.partial(pl.pallas_call, interpret=True)
+    try:
+        rng = jax.random.PRNGKey(0)
+        n, h, w, c, o = 2, 12, 16, 8, 8
+        x = jax.random.normal(jax.random.fold_in(rng, 1), (n, h, w, c))
+        wt = jax.random.normal(jax.random.fold_in(rng, 2), (3, 3, c, o)) * 0.1
+        b = jax.random.normal(jax.random.fold_in(rng, 3), (o,))
+        res = jax.random.normal(jax.random.fold_in(rng, 4), (n, h, w, o))
+
+        ref = jnp.maximum(conv2d_nhwc(jnp.maximum(x, 0), wt, b, padding=1) + res, 0)
+        got = m.conv3x3_nhwc_pallas(x, wt, b, residual=res, relu_in=True, relu_out=True, tile_h=4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+        got2 = m.conv3x3_nhwc_pallas(x, wt, tile_h=3)
+        ref2 = conv2d_nhwc(x, wt, None, padding=1)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=1e-4)
+    finally:
+        m.pl.pallas_call = orig
