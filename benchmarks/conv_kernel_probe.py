@@ -45,7 +45,9 @@ def bench(label, fn, x, w, flops):
         for _ in range(k):
             out = jfn(xi, w)
             xi = x + (out.ravel()[0] * 1e-12).astype(x.dtype)
-        jax.block_until_ready(out)
+        # device_get, not block_until_ready: through the axon tunnel
+        # block_until_ready can return before execution completes.
+        _ = jax.device_get(out.ravel()[:8])
 
     chain(2)
     best = float("inf")

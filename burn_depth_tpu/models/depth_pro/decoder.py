@@ -88,15 +88,38 @@ def decoder_to_nhwc(params: dict) -> dict:
     }
 
 
+def _pallas_conv3() -> bool:
+    import os
+
+    return os.environ.get("BDT_CONV3_PALLAS", "0") == "1"
+
+
 def _cv(x: jnp.ndarray, p: dict, padding=0) -> jnp.ndarray:
     if "weight_hwio" in p:
-        return conv2d_nhwc(x, p["weight_hwio"], p.get("bias"), padding=padding)
+        w = p["weight_hwio"]
+        if _pallas_conv3() and w.shape[0] == 3 and w.shape[1] == 3 and padding == 1:
+            from burn_depth_tpu.ops.conv3x3_pallas import conv3x3_nhwc_pallas
+
+            return conv3x3_nhwc_pallas(x, w, p.get("bias"))
+        return conv2d_nhwc(x, w, p.get("bias"), padding=padding)
     return conv2d(x, p["weight"], p.get("bias"), padding=padding)
 
 
 def _residual_block(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """``ResidualBlock`` (``decoder.rs:74-87``): relu→conv→relu→conv + skip.
-    (No batch-norm variant is ever instantiated by the model.)"""
+    (No batch-norm variant is ever instantiated by the model.)
+
+    NHWC + ``BDT_CONV3_PALLAS=1``: both convs run the Pallas 3x3 kernel with
+    the relu pre-activations and the ``+ x`` skip fused into the kernel
+    epilogues (``ops/conv3x3_pallas.py``) — no elementwise passes leave VMEM.
+    """
+    if "weight_hwio" in p["conv1"] and _pallas_conv3():
+        from burn_depth_tpu.ops.conv3x3_pallas import conv3x3_nhwc_pallas
+
+        out = conv3x3_nhwc_pallas(x, p["conv1"]["weight_hwio"], p["conv1"].get("bias"),
+                                  relu_in=True)
+        return conv3x3_nhwc_pallas(out, p["conv2"]["weight_hwio"], p["conv2"].get("bias"),
+                                   relu_in=True, residual=x)
     out = relu(x)
     out = _cv(out, p["conv1"], padding=1)
     out = relu(out)

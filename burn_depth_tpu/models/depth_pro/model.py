@@ -133,13 +133,20 @@ def head_to_nhwc(p: dict) -> dict:
 def _depth_head_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """``DepthHead::forward`` (``mod.rs:105-112``)."""
     if "weight_hwio" in p["conv0"]:
+        from burn_depth_tpu.models.depth_pro.decoder import _pallas_conv3
         from burn_depth_tpu.ops.conv import conv2d_nhwc, conv_transpose2d_nhwc
 
         x = jnp.transpose(x, (0, 2, 3, 1))
-        x = conv2d_nhwc(x, p["conv0"]["weight_hwio"], p["conv0"]["bias"], padding=1)
-        x = conv_transpose2d_nhwc(x, p["deconv"]["weight_hwio"], p["deconv"]["bias"], stride=2)
-        x = conv2d_nhwc(x, p["conv1"]["weight_hwio"], p["conv1"]["bias"], padding=1)
-        x = relu(x)
+        if _pallas_conv3():
+            from burn_depth_tpu.ops.conv3x3_pallas import conv3x3_nhwc_pallas
+
+            x = conv3x3_nhwc_pallas(x, p["conv0"]["weight_hwio"], p["conv0"]["bias"])
+            x = conv_transpose2d_nhwc(x, p["deconv"]["weight_hwio"], p["deconv"]["bias"], stride=2)
+            x = conv3x3_nhwc_pallas(x, p["conv1"]["weight_hwio"], p["conv1"]["bias"], relu_out=True)
+        else:
+            x = conv2d_nhwc(x, p["conv0"]["weight_hwio"], p["conv0"]["bias"], padding=1)
+            x = conv_transpose2d_nhwc(x, p["deconv"]["weight_hwio"], p["deconv"]["bias"], stride=2)
+            x = relu(conv2d_nhwc(x, p["conv1"]["weight_hwio"], p["conv1"]["bias"], padding=1))
         x = conv2d_nhwc(x, p["conv_out"]["weight_hwio"], p["conv_out"]["bias"])
         return jnp.transpose(relu(x), (0, 3, 1, 2))
     x = conv2d(x, p["conv0"]["weight"], p["conv0"]["bias"], padding=1)

@@ -3,15 +3,15 @@
 Target: the DPT decoder's fusion stack (reference ``decoder.rs:47-141``) —
 3x3 C=256 convs at up to 768² run at ~91 TFLOP/s under XLA's conv lowering
 (BENCH.md component profile); this kernel formulates the conv as 9 shifted
-``[th·W, C] x [C, O]`` MXU matmuls with the weights VMEM-resident across the
+``[th·tw, C] x [C, O]`` MXU matmuls with the weights VMEM-resident across the
 whole grid and the f32 accumulator never leaving VMEM.
 
-Halo handling: the input block is ``th+2`` rows via ``pl.Element`` indexing
-(element-granular start ``i·th - 1``, one row of zero padding at each edge);
-the column halo is a VMEM ``jnp.pad`` inside the kernel (cheap VPU copy).
+Halo handling: the input is SAME-padded once in HBM (rows AND columns — one
+cheap elementwise pass; this Mosaic supports neither low ``pl.Element``
+padding nor mixed Element/Blocked specs), and each grid cell fetches a
+``(th+2, tw+2)`` window via element-granular ``pl.Element`` starts.
 
-Fused epilogues (they are free VPU passes over the accumulator while it is
-still in VMEM):
+Fused epilogues (free VPU passes over the VMEM-resident accumulator):
 * ``relu_in``  — relu on the *input* (the ResidualBlock's pre-activation,
   ``decoder.rs:74-87`` relu→conv ordering);
 * ``residual`` — add a skip tensor to the output (the block's ``+ x``);
@@ -34,32 +34,22 @@ except ImportError:  # pragma: no cover
 from jax._src.pallas.core import Element
 
 
-def _kernel(x_ref, w_ref, o_ref, *, th: int, n_tiles: int, relu_in: bool, relu_out: bool,
+def _kernel(x_ref, w_ref, o_ref, *, th: int, tw: int, relu_in: bool, relu_out: bool,
             bias_ref=None, res_ref=None):
-    x = x_ref[0]  # [th+2, W, C]; rows 0 and th+1 are halo
-    # Out-of-bounds halo rows (first/last tile) read back garbage — zero them.
-    j = pl.program_id(1)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=0)
-    valid = jnp.logical_and(
-        jnp.logical_or(j > 0, row_ids > 0),
-        jnp.logical_or(j < n_tiles - 1, row_ids < th + 1),
-    )
-    x = jnp.where(valid, x, 0)
+    x = x_ref[0]  # [th+2, tw+2, C] (SAME-padded array, fully in-bounds)
     if relu_in:
         x = jnp.maximum(x, 0)
     w = w_ref[...]  # [3, 3, C, O]
-    hw = x.shape[1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))  # column halo in VMEM
     acc = None
     for dy in range(3):
         for dx in range(3):
-            lhs = xp[dy : dy + th, dx : dx + hw].reshape(th * hw, -1)
+            lhs = x[dy : dy + th, dx : dx + tw].reshape(th * tw, -1)
             part = jax.lax.dot_general(
                 lhs, w[dy, dx], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc = part if acc is None else acc + part
-    out = acc.reshape(th, hw, -1)
+    out = acc.reshape(th, tw, -1)
     if bias_ref is not None:
         out = out + bias_ref[...].astype(out.dtype)
     if res_ref is not None:
@@ -69,7 +59,7 @@ def _kernel(x_ref, w_ref, o_ref, *, th: int, n_tiles: int, relu_in: bool, relu_o
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("relu_in", "relu_out", "tile_h"))
+@functools.partial(jax.jit, static_argnames=("relu_in", "relu_out", "tile_h", "tile_w"))
 def conv3x3_nhwc_pallas(
     x: jnp.ndarray,  # [N, H, W, C]
     w_hwio: jnp.ndarray,  # [3, 3, C, O]
@@ -77,40 +67,46 @@ def conv3x3_nhwc_pallas(
     residual: jnp.ndarray | None = None,  # [N, H, W, O]
     relu_in: bool = False,
     relu_out: bool = False,
-    tile_h: int = 0,
+    tile_h: int = 8,
+    tile_w: int = 0,
 ) -> jnp.ndarray:
     n, h, w, c = x.shape
     o = w_hwio.shape[-1]
-    if tile_h <= 0:
-        # acc f32 [th, W, O] + input [th+2, W, C] bf16 within ~12 MB VMEM
-        budget = 11 * 1024 * 1024
-        th = max(1, budget // (w * o * 4 + w * c * 2 + w * o * 2))
-        while th > 1 and h % th:
-            th -= 1
-        tile_h = th
     th = tile_h
-    grid = (n, h // th)
+    while th > 1 and h % th:
+        th -= 1
+    if tile_w <= 0:
+        # budget ≤ ~10 MB incl. Mosaic double buffering:
+        # 2·x[(th+2)(tw+2)C·2] + 2·w[9CO·2] + 2·out[th·tw·O·2] + acc f32
+        tile_w = 256
+    tw = tile_w
+    while tw > 1 and w % tw:
+        tw -= 1
+    grid = (n, h // th, w // tw)
+
+    # SAME-pad once in HBM: this Mosaic rejects low Element padding, so all
+    # halo reads must be in-bounds on the padded array.  The fetched window's
+    # second-to-last dim must be 8-divisible — round the window width up and
+    # right-pad the array to keep the extra columns in-bounds.
+    tb = -(-(tw + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + tb - (tw + 2)), (0, 0)))
 
     in_specs = [
-        # Element semantics: index_map returns the INTERIOR element start;
-        # the (1, 1) padding extends the fetched block one row beyond each
-        # side (OOB rows carry unspecified values — masked in the kernel).
         pl.BlockSpec(
-            (1, Element(th + 2, (1, 1)), w, c),
-            lambda i, j: (i, j * th, 0, 0),
+            (Element(1), Element(th + 2), Element(tb), Element(c)),
+            lambda i, j, k: (i, j * th, k * tw, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec((3, 3, c, o), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, c, o), lambda i, j, k: (0, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [x, w_hwio]
-    bias_ref = res_ref = None
-    kern_kw = dict(th=th, n_tiles=h // th, relu_in=relu_in, relu_out=relu_out)
+    args = [xp, w_hwio]
+    kern_kw = dict(th=th, tw=tw, relu_in=relu_in, relu_out=relu_out)
     if bias is not None:
-        in_specs.append(pl.BlockSpec((o,), lambda i, j: (0,), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((o,), lambda i, j, k: (0,), memory_space=pltpu.VMEM))
         args.append(bias)
     if residual is not None:
         in_specs.append(
-            pl.BlockSpec((1, th, w, o), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, th, tw, o), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM)
         )
         args.append(residual)
 
@@ -131,5 +127,7 @@ def conv3x3_nhwc_pallas(
         out_shape=jax.ShapeDtypeStruct((n, h, w, o), x.dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, th, w, o), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, th, tw, o), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM
+        ),
     )(*args)

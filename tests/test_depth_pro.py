@@ -334,3 +334,26 @@ def test_stack_dual_encoders_composes_with_int8():
     np.testing.assert_allclose(
         np.asarray(got.depth), np.asarray(ref.depth), rtol=1e-4, atol=1e-5
     )
+
+
+def test_nhwc_pallas_conv_route_matches(monkeypatch):
+    """BDT_CONV3_PALLAS=1 + NHWC tail: decoder/head 3x3 convs through the
+    Pallas kernel (interpret mode on CPU) must match the XLA route."""
+    import functools
+    import os
+
+    from jax.experimental import pallas as pl
+
+    import burn_depth_tpu.ops.conv3x3_pallas as m
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.img_size, cfg.img_size)) * 0.4
+    ref = model.to_nhwc_tail().infer(x)
+
+    monkeypatch.setitem(os.environ, "BDT_CONV3_PALLAS", "1")
+    monkeypatch.setattr(m.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    got = model.to_nhwc_tail().infer(x)
+    np.testing.assert_allclose(
+        np.asarray(got.depth), np.asarray(ref.depth), rtol=2e-5, atol=2e-6
+    )
