@@ -227,10 +227,14 @@ def _attention_pallas(
     hd_pad = _round_up(hd, 128) if pad_hd or hd % 8 else hd
 
     if head_group <= 0:
-        # Largest G with the f32 score block [G, q_block, t_pad] ≲ 8 MB
+        # Largest G with the score block [G, q_block, t_pad] ≲ 8 MB
         # (G=5 measured best for the 35×577 Depth Pro batch: 215.8 ms vs
         # 219.8 at G=2 and 224.5 ungrouped; G=8 exceeds VMEM at compile).
-        budget = 8 * 1024 * 1024 // (q_block * t_pad * 4)
+        # bf16 scores halve the bytes — G can reach 8 (70 vs 112 grid cells).
+        import os
+
+        score_bytes = 2 if os.environ.get("BDT_ATTN_BF16_SCORES", "0") == "1" else 4
+        budget = 8 * 1024 * 1024 // (q_block * t_pad * score_bytes)
         head_group = max(1, min(8, budget))
     g = head_group
     while bh % g:
