@@ -230,11 +230,9 @@ def _attention_pallas(
         # Largest G with the score block [G, q_block, t_pad] ≲ 8 MB
         # (G=5 measured best for the 35×577 Depth Pro batch: 215.8 ms vs
         # 219.8 at G=2 and 224.5 ungrouped; G=8 exceeds VMEM at compile).
-        # bf16 scores halve the bytes — G can reach 8 (70 vs 112 grid cells).
-        import os
-
-        score_bytes = 2 if os.environ.get("BDT_ATTN_BF16_SCORES", "0") == "1" else 4
-        budget = 8 * 1024 * 1024 // (q_block * t_pad * score_bytes)
+        # (G=8 under bf16 scores was probed and VMEM-OOMs — the q/k/v blocks
+        # and softmax temporaries grow with G too; budget stays f32-sized.)
+        budget = 8 * 1024 * 1024 // (q_block * t_pad * 4)
         head_group = max(1, min(8, budget))
     g = head_group
     while bh % g:
@@ -330,6 +328,84 @@ def _attention_pallas_packed(qkv, scale: float, quiet_softmax: bool, q_block: in
         ],
         out_specs=pl.BlockSpec(
             (1, q_block, g * hd), lambda i, j, q: (i, q, j), memory_space=pltpu.VMEM
+        ),
+    )(qkv_p, qkv_p, qkv_p)
+    return out[:, :t]
+
+
+def _flash_kernel_packed4(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, quiet: bool):
+    """4-D packed cell: q_ref [1, Bq, G, hd], k/v_ref [1, Tp, G, hd] are
+    slices of the same [B, T, 3H, hd] array (dim-2 index_maps offset by 0/H/
+    2H), so the [B,H,T,hd] relayouts never exist in HBM; the (token, head)
+    transpose happens on 3-D VMEM blocks (the 5-D variant crashed Mosaic)."""
+    q = q_ref[0].swapaxes(0, 1)  # [G, Bq, hd]
+    k = k_ref[0].swapaxes(0, 1)  # [G, Tp, hd]
+    v = v_ref[0].swapaxes(0, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    if scale != 1.0:
+        s = s * scale
+    t_pad = s.shape[-1]
+    if t_pad != seq_len:
+        key_ids = lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+        s = jnp.where(key_ids < seq_len, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    if quiet:
+        denom = denom + jnp.exp(-m)
+    p = (p / denom).astype(v.dtype)
+    out = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [G, Bq, hd]
+    g, bq, hd = out.shape
+    o_ref[0] = out.swapaxes(0, 1).reshape(bq, g * hd).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "quiet_softmax", "head_group", "q_block")
+)
+def _attention_pallas_packed4(qkv3, num_heads: int, scale: float, quiet_softmax: bool,
+                              head_group: int = 8, q_block: int = 256):
+    """``qkv3: [B, T, 3H, hd]`` (row order [3, H] — the packed projection's
+    natural reshape) → ``[B, T, H·hd]``.
+
+    Mosaic constrains the block's second-to-last dim (the head slice) to a
+    multiple of 8 → ``head_group=8``; the f32 score block [8, q_block, Tp]
+    forces a q split.  K/V block indices are q-invariant and q is the
+    minor-most grid dim, so K/V are fetched once per (batch, head-group)."""
+    b, t, three_h, hd = qkv3.shape
+    h = num_heads
+    if h % head_group:
+        raise ValueError(f"packed4 needs head_group | num_heads ({head_group} vs {h})")
+    g = head_group
+    t_pad = _round_up(t, 128)
+    qb = min(q_block, t_pad)
+    tq_pad = _round_up(t, qb)
+
+    qkv_p = jnp.pad(qkv3, ((0, 0), (0, max(t_pad, tq_pad) - t), (0, 0), (0, 0)))
+    grid = (b, h // g, tq_pad // qb)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_packed4, scale=scale, seq_len=t, quiet=quiet_softmax),
+        out_shape=jax.ShapeDtypeStruct((b, tq_pad, h * hd), qkv3.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, qb, g, hd), lambda i, j, q: (i, q, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, t_pad, g, hd), lambda i, j, q: (i, 0, h // g + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t_pad, g, hd), lambda i, j, q: (i, 0, 2 * (h // g) + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, qb, g * hd), lambda i, j, q: (i, q, j), memory_space=pltpu.VMEM
         ),
     )(qkv_p, qkv_p, qkv_p)
     return out[:, :t]

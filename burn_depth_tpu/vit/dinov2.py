@@ -286,6 +286,35 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
 
     y = layer_norm(x, bp["norm1"]["weight"], bp["norm1"]["bias"], cfg.ln_eps)
     qkv = qlinear(y, bp["attn"]["qkv"])  # [B,T,3D]
+
+    import os
+
+    if (
+        os.environ.get("BDT_ATTN_PACKED4", "0") == "1"
+        and attn_impl in ("auto", "pallas")
+        and "weight_hm" not in bp["attn"]["qkv"]
+        and "weight_hm_i8" not in bp["attn"]["qkv"]
+        and "q_norm" not in bp["attn"]
+        and cfg.rope_start is None
+        and view_count == 1
+        and h % 8 == 0
+    ):
+        # Packed 4-D attention: consume [B,T,3H,hd] directly — the two HBM
+        # qkv relayouts and the output transpose never materialize.
+        from burn_depth_tpu.ops.attention import _attention_pallas_packed4
+
+        attn_out = _attention_pallas_packed4(
+            qkv.reshape(b, t, 3 * h, hd), h, scale=float(hd) ** -0.5,
+            quiet_softmax=cfg.quiet_softmax,
+        )  # [B, T, D]
+        attn_out = qlinear(attn_out, bp["attn"]["proj"])
+        x = x + attn_out * bp["ls1"]["gamma"].astype(x.dtype)
+        y = layer_norm(x, bp["norm2"]["weight"], bp["norm2"]["bias"], cfg.ln_eps)
+        y = qlinear(y, bp["mlp"]["fc1"])
+        y = gelu(y)
+        y = qlinear(y, bp["mlp"]["fc2"])
+        return x + y * bp["ls2"]["gamma"].astype(x.dtype)
+
     if "weight_hm" in bp["attn"]["qkv"] or "weight_hm_i8" in bp["attn"]["qkv"]:
         # head-major TP layout (parallel/tp_layout.py): rows ordered [H,3,hd]
         # so the model-axis shard factors through H — no qkv all-gather.

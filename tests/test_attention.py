@@ -94,3 +94,32 @@ def test_packed_qkv_kernel_matches_head_major():
     finally:
         pl.pallas_call = real_call
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("t,quiet", [(37, False), (300, True)])
+def test_packed4_kernel_matches_jnp(t, quiet):
+    """Interpret-mode 4-D packed kernel ([B,T,3H,hd] in-place q/k/v slices)
+    == jnp head-major path; t=300 forces a q-block split + key padding."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from burn_depth_tpu.ops import attention as A
+
+    b, h, hd = 2, 8, 16
+    qkv5 = jax.random.normal(jax.random.PRNGKey(1), (b, t, 3, h, hd), jnp.float32)
+    ref = A.attention_packed_qkv(qkv5, quiet_softmax=quiet, impl="jnp")
+
+    import jax.experimental.pallas as pl
+
+    real_call = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(real_call, interpret=True)
+        got = A._attention_pallas_packed4(
+            qkv5.reshape(b, t, 3 * h, hd), h, scale=hd ** -0.5,
+            quiet_softmax=quiet, q_block=256,
+        )
+    finally:
+        pl.pallas_call = real_call
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
