@@ -67,6 +67,11 @@ def main() -> None:
         t0 = time.perf_counter()
         model = model.quantize_vit(calibration_input=calib)
         log(f"int8 ViT serving tier (BENCH_INT8={int8_mode}) prepared in {time.perf_counter() - t0:.1f}s")
+    fuse_mode = os.environ.get("BENCH_FUSE_TAIL", "0")
+    if fuse_mode != "0":
+        model = model.fuse_tail(head=fuse_mode in ("1", "head"),
+                                decoder=fuse_mode in ("1", "decoder"))
+        log(f"fused tail ({fuse_mode}): phase-packed head deconv+conv1 / decoder out_conv fold")
     if os.environ.get("BENCH_NHWC", "0") != "0":
         model = model.to_nhwc_tail()
         log("NHWC decoder+head serving layout")

@@ -88,6 +88,40 @@ def decoder_to_nhwc(params: dict) -> dict:
     }
 
 
+def fold_decoder_outconv(params: dict) -> dict:
+    """Serving transform: fold each fusion block's 1x1 ``out_conv`` into the
+    preceding ``deconv`` (``decoder.rs:119-134`` applies them back-to-back
+    with nothing between — one linear map).  ``W'[c,o',·,·] = Σ_o
+    Wd[c,o,·,·]·Wout[o',o]``; the out_conv bias moves onto the deconv (plus
+    ``Wout @ bd`` if the deconv ever carries one).  Removes a 256-ch 1x1 conv
+    at the UPSAMPLED resolution per level (~100 GFLOP total at 1536²).
+    Level 0 has no deconv and keeps its out_conv.  NCHW trees only."""
+    f32 = jnp.float32
+
+    def fold(fusion):
+        if fusion["deconv"] is None or "weight" not in fusion["deconv"]:
+            return fusion
+        wd = fusion["deconv"]["weight"].astype(f32)  # [I, O, kh, kw]
+        wout = fusion["out_conv"]["weight"].astype(f32)  # [O', O, 1, 1]
+        dtype = fusion["deconv"]["weight"].dtype
+        w_new = jnp.einsum("iokl,po->ipkl", wd, wout[:, :, 0, 0])
+        b_new = fusion["out_conv"].get("bias")
+        b_new = None if b_new is None else b_new.astype(f32)
+        bd = fusion["deconv"].get("bias")
+        if bd is not None:
+            thru = jnp.einsum("po,o->p", wout[:, :, 0, 0], bd.astype(f32))
+            b_new = thru if b_new is None else b_new + thru
+        out = dict(fusion)
+        out["deconv"] = {
+            "weight": w_new.astype(dtype),
+            "bias": None if b_new is None else b_new.astype(dtype),
+        }
+        out["out_conv"] = None
+        return out
+
+    return {"convs": params["convs"], "fusions": [fold(f) for f in params["fusions"]]}
+
+
 def _pallas_conv3() -> bool:
     import os
 
@@ -136,9 +170,11 @@ def _fusion(p: dict, x0: jnp.ndarray, x1: Optional[jnp.ndarray]) -> jnp.ndarray:
     x = _residual_block(p["resnet2"], x)
     if p["deconv"] is not None:
         if "weight_hwio" in p["deconv"]:
-            x = conv_transpose2d_nhwc(x, p["deconv"]["weight_hwio"], stride=2)
+            x = conv_transpose2d_nhwc(x, p["deconv"]["weight_hwio"], p["deconv"].get("bias"), stride=2)
         else:
-            x = conv_transpose2d(x, p["deconv"]["weight"], stride=2)
+            x = conv_transpose2d(x, p["deconv"]["weight"], p["deconv"].get("bias"), stride=2)
+    if p["out_conv"] is None:  # folded into the deconv (fold_decoder_outconv)
+        return x
     return _cv(x, p["out_conv"])
 
 

@@ -130,8 +130,109 @@ def head_to_nhwc(p: dict) -> dict:
     return out
 
 
+def fuse_depth_head(p: dict) -> dict:
+    """Exact algebraic fusion of the head's ``deconv(2x2,s2) -> conv1(3x3)``
+    pair (serving transform).
+
+    The reference head (``mod.rs:105-112``) has NO nonlinearity between the
+    deconv and conv1, so the pair is one linear map.  Each output phase
+    ``(di,dj)`` of the stride-2 upsample reads a 2x2 window of the deconv's
+    input, so the composite is a single 3x3 conv at the LOW resolution
+    producing ``4·32`` phase-packed channels — full 128-lane MXU tiles at
+    768² instead of a 32-channel conv at 1536² (measured 54 TFLOP/s, the
+    model's worst MXU shape) plus a zero-inserting deconv lowering.
+
+    The deconv bias flows through conv1's taps; with zero padding its
+    contribution is constant in the interior and loses exactly the taps that
+    fall outside the map at the 1-pixel border.  Row/col validity separate,
+    so the correction is 4 edge vectors + 4 corner add-backs
+    (inclusion–exclusion), applied to the phase-packed map before relu.
+
+    ``conv_out`` (1x1, 32->1, per phase) commutes with the final
+    depth-to-space and becomes a 4-group pointwise conv — the relayout then
+    moves 1 channel at 768²x4 instead of 32 at 1536².
+    """
+    f32 = jnp.float32
+    w1 = p["conv1"]["weight"].astype(f32)  # [M=32, C, 3, 3]
+    b1 = p["conv1"]["bias"].astype(f32)  # [M]
+    wd = p["deconv"]["weight"].astype(f32)  # [C, C, 2, 2] (torch convT [I,O,kh,kw])
+    bd = p["deconv"]["bias"].astype(f32)  # [C]
+    m_ch, c_in = w1.shape[0], w1.shape[1]
+    dtype = p["conv1"]["weight"].dtype
+
+    # (conv1 tap a, deconv phase dr, composite tap u) for output phase d:
+    # out row 2i+d reads z rows 2i+d+a-1 = 2·(i+u-1) + dr.
+    def taps(d):
+        return [(0, 1, 0), (1, 0, 1), (2, 1, 1)] if d == 0 else [(0, 0, 1), (1, 1, 1), (2, 0, 2)]
+
+    k = jnp.zeros((2, 2, m_ch, c_in, 3, 3), f32)
+    for di in (0, 1):
+        for a, dr, u in taps(di):
+            for dj in (0, 1):
+                for bta, dc, v in taps(dj):
+                    contrib = jnp.einsum("mo,co->mc", w1[:, :, a, bta], wd[:, :, dr, dc])
+                    k = k.at[di, dj, :, :, u, v].add(contrib)
+    k = k.reshape(4 * m_ch, c_in, 3, 3)  # out-channel order (di, dj, m)
+
+    # deconv-bias-through-conv1 table S[a, b, m] and its edge/corner sums
+    s = jnp.einsum("moab,o->abm", w1, bd)  # [3, 3, M]
+    total = s.sum(axis=(0, 1))  # [M] — all 9 taps (interior)
+    zeros = jnp.zeros_like(total)
+
+    def phases(vecs):  # [4, M] -> [4M] in (di, dj, m) order
+        return jnp.concatenate(vecs)
+
+    r0, r2 = s[0].sum(0), s[2].sum(0)
+    c0, c2 = s[:, 0].sum(0), s[:, 2].sum(0)
+    fused = {
+        "weight": k.astype(dtype),
+        "bias": jnp.tile(total + b1, 4).astype(dtype),
+        # edge corrections: the dropped-tap sums, per phase (di, dj)
+        "row0": phases([-r0, -r0, zeros, zeros]).astype(dtype),  # di=0 at i=0
+        "rowl": phases([zeros, zeros, -r2, -r2]).astype(dtype),  # di=1 at i=H-1
+        "col0": phases([-c0, zeros, -c0, zeros]).astype(dtype),  # dj=0 at j=0
+        "coll": phases([zeros, -c2, zeros, -c2]).astype(dtype),  # dj=1 at j=W-1
+        # corner add-backs (row & col drops overlap)
+        "c00": phases([s[0, 0], zeros, zeros, zeros]).astype(dtype),
+        "c0l": phases([zeros, s[0, 2], zeros, zeros]).astype(dtype),
+        "cl0": phases([zeros, zeros, s[2, 0], zeros]).astype(dtype),
+        "cll": phases([zeros, zeros, zeros, s[2, 2]]).astype(dtype),
+    }
+    wout = p["conv_out"]["weight"].astype(f32)  # [1, M, 1, 1]
+    bout = p["conv_out"]["bias"].astype(f32)  # [1]
+    out_grouped = {
+        "weight": jnp.tile(wout, (4, 1, 1, 1)).astype(dtype),  # [4, M, 1, 1], groups=4
+        "bias": jnp.tile(bout, 4).astype(dtype),
+    }
+    return {"conv0": dict(p["conv0"]), "fused": fused, "out_grouped": out_grouped}
+
+
+def _depth_head_forward_fused(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Fused-head forward (see ``fuse_depth_head``); NCHW in/out."""
+    f = p["fused"]
+    x = conv2d(x, p["conv0"]["weight"], p["conv0"]["bias"], padding=1)
+    y = conv2d(x, f["weight"], f["bias"], padding=1)  # [B, 4M, H, W]
+    y = y.at[:, :, 0, :].add(f["row0"][None, :, None])
+    y = y.at[:, :, -1, :].add(f["rowl"][None, :, None])
+    y = y.at[:, :, :, 0].add(f["col0"][None, :, None])
+    y = y.at[:, :, :, -1].add(f["coll"][None, :, None])
+    y = y.at[:, :, 0, 0].add(f["c00"][None, :])
+    y = y.at[:, :, 0, -1].add(f["c0l"][None, :])
+    y = y.at[:, :, -1, 0].add(f["cl0"][None, :])
+    y = y.at[:, :, -1, -1].add(f["cll"][None, :])
+    y = relu(y)
+    y = conv2d(y, p["out_grouped"]["weight"], p["out_grouped"]["bias"], groups=4)  # [B, 4, H, W]
+    y = relu(y)
+    b, _, h, w = y.shape
+    # depth-to-space: channel (di, dj) -> pixel (2i+di, 2j+dj)
+    y = y.reshape(b, 2, 2, h, w).transpose(0, 3, 1, 4, 2).reshape(b, 1, 2 * h, 2 * w)
+    return y
+
+
 def _depth_head_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """``DepthHead::forward`` (``mod.rs:105-112``)."""
+    if "fused" in p:
+        return _depth_head_forward_fused(p, x)
     if "weight_hwio" in p["conv0"]:
         from burn_depth_tpu.models.depth_pro.decoder import _pallas_conv3
         from burn_depth_tpu.ops.conv import conv2d_nhwc, conv_transpose2d_nhwc
@@ -221,6 +322,23 @@ class DepthPro:
         params = dict(self.params)
         params["decoder"] = decoder_to_nhwc(params["decoder"])
         params["head"] = head_to_nhwc(params["head"])
+        return DepthPro(self.config, params)
+
+    def fuse_tail(self, head: bool = True, decoder: bool = True) -> "DepthPro":
+        """Serving transform: algebraically fuse the head's deconv→conv1 pair
+        into one phase-packed 3x3 conv (``fuse_depth_head``) and fold each
+        decoder fusion block's 1x1 ``out_conv`` into its preceding deconv
+        weights (``fold_decoder_outconv``).  Numerics-preserving up to one
+        f32 weight-product rounding; NCHW params (apply before
+        ``to_nhwc_tail``-style layout changes, which it does not compose
+        with)."""
+        from burn_depth_tpu.models.depth_pro.decoder import fold_decoder_outconv
+
+        params = dict(self.params)
+        if decoder:
+            params["decoder"] = fold_decoder_outconv(params["decoder"])
+        if head:
+            params["head"] = fuse_depth_head(params["head"])
         return DepthPro(self.config, params)
 
     def quantize_vit(self, calibration_input: Optional[jnp.ndarray] = None) -> "DepthPro":

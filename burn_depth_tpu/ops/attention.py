@@ -35,6 +35,37 @@ def _on_tpu() -> bool:
         return False
 
 
+_LOG2E = 1.4426950408889634
+
+
+def _exp2_mode() -> bool:
+    """Serving knob ``BDT_ATTN_EXP2=1``: exponentiate scores with ``exp2``
+    and have callers fold ``scale·log2e`` into q.  ``exp`` lowers to
+    ``exp2(x·log2e)`` on the VPU — pre-folding the base change into the tiny
+    ``[B,H,T,hd]`` q tensor drops a full ``[G,Bq,Tp]`` multiply pass per
+    block.  Costs one bf16 rounding of q (~0.2% rel) — serving tier only.
+    Only active when dispatch reaches the Pallas kernel (TPU)."""
+    import os
+
+    return os.environ.get("BDT_ATTN_EXP2", "0") == "1" and _on_tpu()
+
+
+def fold_softmax_scale(q: jnp.ndarray, scale: float, impl: str = "auto"):
+    """Fold the softmax scale into q where it costs nothing.
+
+    Returns ``(q', residual_scale)``.  Power-of-two scales (hd=64 → 0.125
+    everywhere here) fold bf16-EXACTLY (pure exponent shift).  Under
+    ``BDT_ATTN_EXP2=1`` (and a Pallas-bound dispatch) ``scale·log2e`` is
+    folded instead and the kernel uses ``exp2`` — see ``_exp2_mode``."""
+    import math
+
+    if impl in ("auto", "pallas") and _exp2_mode():
+        return q * jnp.asarray(scale * _LOG2E, q.dtype), 1.0
+    if math.log2(scale).is_integer():
+        return q * jnp.asarray(scale, q.dtype), 1.0
+    return q, scale
+
+
 # --------------------------------------------------------------------------
 # jnp reference path
 # --------------------------------------------------------------------------
@@ -106,10 +137,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, qui
     if scale != 1.0:  # callers fold power-of-two scales into q (bf16-exact)
         s = s * jnp.asarray(scale, s.dtype)
 
+    # BDT_ATTN_EXP2: scores arrive pre-multiplied by log2e (folded into q by
+    # fold_softmax_scale); exponentiate base-2 — no hidden base-change pass.
+    expf = jnp.exp2 if _exp2_mode() else jnp.exp
+
     t_pad = s.shape[-1]
     if no_max:
-        s = jnp.minimum(s, 60.0)
-        p = jnp.exp(s)
+        s = jnp.minimum(s, 60.0 * (_LOG2E if expf is jnp.exp2 else 1.0))
+        p = expf(s)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         # padded keys contribute exp(0)=1 each; quiet-softmax adds the
         # un-shifted "+1" (exact here since m is not subtracted).
@@ -130,16 +165,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, qui
     m = jnp.max(s, axis=-1, keepdims=True)
     z = s - m
     if exp_bf16:
-        p = jnp.exp(z.astype(jnp.bfloat16))
+        p = expf(z.astype(jnp.bfloat16))
         denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
         if quiet:
-            denom = denom + jnp.exp(-m)
+            denom = denom + expf(-m)
         p = (p / denom.astype(jnp.bfloat16)).astype(v.dtype)
     else:
-        p = jnp.exp(z)
+        p = expf(z)
         denom = jnp.sum(p, axis=-1, keepdims=True)
         if quiet:
-            denom = denom + jnp.exp(-m)
+            denom = denom + expf(-m)
         p = (p / denom).astype(v.dtype)
     o_ref[...] = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
@@ -338,7 +373,7 @@ def _flash_kernel_packed4(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: 
     slices of the same [B, T, 3H, hd] array (dim-2 index_maps offset by 0/H/
     2H), so the [B,H,T,hd] relayouts never exist in HBM; the (token, head)
     transpose happens on 3-D VMEM blocks (the 5-D variant crashed Mosaic)."""
-    q = q_ref[0].swapaxes(0, 1)  # [G, Bq, hd]
+    q = q_ref[0].swapaxes(0, 1)  # [G, Bq, hd] — Mosaic needs batch dim at pos 0
     k = k_ref[0].swapaxes(0, 1)  # [G, Tp, hd]
     v = v_ref[0].swapaxes(0, 1)
 
@@ -360,15 +395,14 @@ def _flash_kernel_packed4(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: 
     out = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [G, Bq, hd]
-    g, bq, hd = out.shape
-    o_ref[0] = out.swapaxes(0, 1).reshape(bq, g * hd).astype(o_ref.dtype)
+    o_ref[0] = out.swapaxes(0, 1).astype(o_ref.dtype)  # [Bq, G, hd]
 
 
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "quiet_softmax", "head_group", "q_block")
 )
 def _attention_pallas_packed4(qkv3, num_heads: int, scale: float, quiet_softmax: bool,
-                              head_group: int = 8, q_block: int = 256):
+                              head_group: int = 8, q_block: int = 128):
     """``qkv3: [B, T, 3H, hd]`` (row order [3, H] — the packed projection's
     natural reshape) → ``[B, T, H·hd]``.
 
@@ -389,7 +423,7 @@ def _attention_pallas_packed4(qkv3, num_heads: int, scale: float, quiet_softmax:
     grid = (b, h // g, tq_pad // qb)
     out = pl.pallas_call(
         functools.partial(_flash_kernel_packed4, scale=scale, seq_len=t, quiet=quiet_softmax),
-        out_shape=jax.ShapeDtypeStruct((b, tq_pad, h * hd), qkv3.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, tq_pad, h, hd), qkv3.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -405,10 +439,11 @@ def _attention_pallas_packed4(qkv3, num_heads: int, scale: float, quiet_softmax:
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, qb, g * hd), lambda i, j, q: (i, q, j), memory_space=pltpu.VMEM
+            (1, qb, g, hd), lambda i, j, q: (i, q, j, 0), memory_space=pltpu.VMEM
         ),
     )(qkv_p, qkv_p, qkv_p)
-    return out[:, :t]
+    # [B, Tq, H, hd] -> [B, T, D]: contiguous minor dims, a free reshape.
+    return out[:, :t].reshape(b, t, h * hd)
 
 
 def attention_packed_qkv(

@@ -334,10 +334,10 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
     # shift; hd=64 -> 0.125 for every preset here).  The in-kernel score
     # multiply then drops a full [G, Bq, Tp] f32 VPU pass per block; XLA
     # fuses this small [B,H,T,hd] multiply into the preceding transpose.
-    scale = float(hd) ** -0.5
-    if math.log2(scale).is_integer():
-        q = q * jnp.asarray(scale, q.dtype)
-        scale = 1.0
+    # (Under BDT_ATTN_EXP2 the fold also absorbs log2e — ops/attention.py.)
+    from burn_depth_tpu.ops.attention import fold_softmax_scale
+
+    q, scale = fold_softmax_scale(q, float(hd) ** -0.5, attn_impl)
     s = view_count
     if s > 1 and _is_global_block(cfg, block_idx):
         b0 = b // s

@@ -96,6 +96,27 @@ def test_packed_qkv_kernel_matches_head_major():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("quiet", [False, True])
+def test_exp2_mode_matches_standard(monkeypatch, quiet):
+    """BDT_ATTN_EXP2 (scale·log2e folded into q + in-kernel exp2) must equal
+    the standard exp softmax: exp2(x·log2e) ≡ exp(x)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from burn_depth_tpu.ops import attention as A
+
+    monkeypatch.setenv("BDT_ATTN_EXP2", "1")
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)
+
+    q, k, v = _qkv(b=1, h=2, t=130, d=64, seed=5)
+    ref = np.asarray(A._attention_jnp(q, k, v, 64.0**-0.5, quiet))
+    qf, scale = A.fold_softmax_scale(jnp.asarray(q), 64.0**-0.5, "pallas")
+    assert scale == 1.0
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(A._attention_pallas(qf, jnp.asarray(k), jnp.asarray(v), 1.0, quiet))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("t,quiet", [(37, False), (300, True)])
 def test_packed4_kernel_matches_jnp(t, quiet):
     """Interpret-mode 4-D packed kernel ([B,T,3H,hd] in-place q/k/v slices)

@@ -295,6 +295,55 @@ def test_nhwc_tail_matches_nchw():
     )
 
 
+def test_fused_head_matches_sequential():
+    """``fuse_depth_head`` (deconv→conv1 fused into a phase-packed 3x3 conv +
+    grouped 1x1) must reproduce the sequential head exactly, including the
+    1-pixel border where the deconv bias loses out-of-bounds conv1 taps.
+    Small odd spatial dims + nonzero conv_out/deconv biases stress every
+    edge/corner correction."""
+    import numpy as np
+
+    from burn_depth_tpu.models.depth_pro.model import (
+        _depth_head_forward,
+        _init_depth_head,
+        fuse_depth_head,
+    )
+
+    rng = jax.random.PRNGKey(3)
+    head = _init_depth_head(rng, 64)
+    # exercise the conv_out bias path (init zeroes it, reference mod.rs:92-95)
+    head["conv_out"]["bias"] = jnp.full_like(head["conv_out"]["bias"], 0.37)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 64, 7, 9)) * 0.5
+
+    ref = _depth_head_forward(head, x)
+    got = _depth_head_forward(fuse_depth_head(head), x)
+    assert got.shape == ref.shape == (2, 1, 14, 18)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fuse_tail_matches_base():
+    """``fuse_tail`` (fused head + decoder out_conv folded into deconvs) is a
+    numerics-preserving serving transform end-to-end."""
+    import numpy as np
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, cfg.img_size, cfg.img_size)) * 0.4
+
+    ref = model.infer(x)
+    fused = model.fuse_tail()
+    assert "fused" in fused.params["head"]
+    assert fused.params["decoder"]["fusions"][1]["out_conv"] is None
+    assert fused.params["decoder"]["fusions"][0]["out_conv"] is not None  # level 0: no deconv
+    got = fused.infer(x)
+    np.testing.assert_allclose(
+        np.asarray(got.depth), np.asarray(ref.depth), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.focallength_px), np.asarray(ref.focallength_px), rtol=1e-4
+    )
+
+
 def test_stack_dual_encoders_matches_unstacked():
     """``stack_dual_encoders`` (serving transform: image+fov ViT passes fused
     into one weight-stacked pass) must be numerics-preserving — the stacked
