@@ -67,7 +67,10 @@ def main() -> None:
         t0 = time.perf_counter()
         model = model.quantize_vit(calibration_input=calib)
         log(f"int8 ViT serving tier (BENCH_INT8={int8_mode}) prepared in {time.perf_counter() - t0:.1f}s")
-    fuse_mode = os.environ.get("BENCH_FUSE_TAIL", "0")
+    # Serving default: decoder out_conv folded into the fusion deconvs
+    # (170.2 vs 171.2 ms A/B).  The phase-packed head ("head"/"1") measured
+    # SLOWER (175.6) — opt-in only.  BENCH_FUSE_TAIL=0 disables.
+    fuse_mode = os.environ.get("BENCH_FUSE_TAIL", "decoder")
     if fuse_mode != "0":
         model = model.fuse_tail(head=fuse_mode in ("1", "head"),
                                 decoder=fuse_mode in ("1", "decoder"))

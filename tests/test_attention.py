@@ -97,6 +97,28 @@ def test_packed_qkv_kernel_matches_head_major():
 
 
 @pytest.mark.parametrize("quiet", [False, True])
+def test_no_max_kernel_matches_standard(quiet):
+    """``no_max=True`` (serving knob): clamp-only softmax with the
+    compile-time pad-count denominator correction must match the
+    max-subtracted form at f32 tolerance, including padded T."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from burn_depth_tpu.ops import attention as A
+
+    q, k, v = _qkv(b=1, h=2, t=130, d=64, seed=6)
+    ref = np.asarray(A._attention_jnp(q, k, v, 64.0**-0.5, quiet))
+    with pltpu.force_tpu_interpret_mode():
+        ours = np.asarray(
+            A._attention_pallas(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 64.0**-0.5, quiet,
+                no_max=True,
+            )
+        )
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("quiet", [False, True])
 def test_exp2_mode_matches_standard(monkeypatch, quiet):
     """BDT_ATTN_EXP2 (scale·log2e folded into q + in-kernel exp2) must equal
     the standard exp softmax: exp2(x·log2e) ≡ exp(x)."""
