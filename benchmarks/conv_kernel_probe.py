@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from burn_depth_tpu.ops.conv import conv2d_nhwc
 from burn_depth_tpu.ops.conv3x3_pallas import conv3x3_nhwc_pallas
+from burn_depth_tpu.ops.winograd3x3_pallas import conv3x3_wino_pallas
 
 CASES = [
     ("dec_768_c256", 1, 768, 768, 256, 256),
@@ -77,6 +78,18 @@ def main():
             wt,
             flops,
         )
+        # Winograd F(2x2,3x3): 2.25x fewer MXU FLOPs (TFLOP/s shown is the
+        # *direct-form equivalent* rate for comparability).
+        for th, tw in ((16, 128), (8, 256)):
+            bench(
+                f"wino {name} th{th}xtw{tw}",
+                lambda xx, ww, th=th, tw=tw: conv3x3_wino_pallas(
+                    xx, ww, tile_h=th, tile_w=tw
+                ),
+                x,
+                wt,
+                flops,
+            )
 
 
 if __name__ == "__main__":

@@ -122,16 +122,49 @@ def fold_decoder_outconv(params: dict) -> dict:
     return {"convs": params["convs"], "fusions": [fold(f) for f in params["fusions"]]}
 
 
-def _pallas_conv3() -> bool:
+def _pallas_conv3_mode() -> str:
+    """``BDT_CONV3_PALLAS``: "1" routes every NHWC 3x3 through the Pallas
+    kernel (in-context REJECTED, BENCH.md); "head0" routes only the depth
+    head's 256->128 conv0 @768² — the one conv where the kernel beat XLA
+    isolated (6.45 vs 9.07 ms) without the pathological 1536² O=32 case."""
     import os
 
-    return os.environ.get("BDT_CONV3_PALLAS", "0") == "1"
+    return os.environ.get("BDT_CONV3_PALLAS", "0")
+
+
+def _pallas_conv3() -> bool:
+    return _pallas_conv3_mode() == "1"
+
+
+def _wino_conv3() -> bool:
+    """``BDT_CONV3_WINO=1``: route NHWC 3x3 stride-1 convs through the
+    Winograd F(2x2,3x3) Pallas kernel (``ops/winograd3x3_pallas.py``) —
+    2.25x fewer MXU FLOPs; serving-tier numerics (bf16 transforms)."""
+    import os
+
+    return os.environ.get("BDT_CONV3_WINO", "0") == "1"
+
+
+def _wino_ok(x: jnp.ndarray) -> bool:
+    """Wino route gate: even spatial dims and >= BDT_CONV3_WINO_MIN (default
+    384 — the isolated probe's crossover; small levels are cheap anyway and
+    each extra shape costs a fresh Mosaic compile)."""
+    import os
+
+    mn = int(os.environ.get("BDT_CONV3_WINO_MIN", "384"))
+    h, w = x.shape[1], x.shape[2]
+    return h % 2 == 0 and w % 2 == 0 and min(h, w) >= mn
 
 
 def _cv(x: jnp.ndarray, p: dict, padding=0) -> jnp.ndarray:
     if "weight_hwio" in p:
         w = p["weight_hwio"]
-        if _pallas_conv3() and w.shape[0] == 3 and w.shape[1] == 3 and padding == 1:
+        is3 = w.shape[0] == 3 and w.shape[1] == 3 and padding == 1
+        if is3 and _wino_conv3() and _wino_ok(x):
+            from burn_depth_tpu.ops.winograd3x3_pallas import conv3x3_wino_pallas
+
+            return conv3x3_wino_pallas(x, w, p.get("bias"))
+        if is3 and _pallas_conv3():
             from burn_depth_tpu.ops.conv3x3_pallas import conv3x3_nhwc_pallas
 
             return conv3x3_nhwc_pallas(x, w, p.get("bias"))
@@ -147,6 +180,13 @@ def _residual_block(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     the relu pre-activations and the ``+ x`` skip fused into the kernel
     epilogues (``ops/conv3x3_pallas.py``) — no elementwise passes leave VMEM.
     """
+    if "weight_hwio" in p["conv1"] and _wino_conv3() and _wino_ok(x):
+        from burn_depth_tpu.ops.winograd3x3_pallas import conv3x3_wino_pallas
+
+        out = conv3x3_wino_pallas(x, p["conv1"]["weight_hwio"], p["conv1"].get("bias"),
+                                  relu_in=True)
+        return conv3x3_wino_pallas(out, p["conv2"]["weight_hwio"], p["conv2"].get("bias"),
+                                   relu_in=True, residual=x)
     if "weight_hwio" in p["conv1"] and _pallas_conv3():
         from burn_depth_tpu.ops.conv3x3_pallas import conv3x3_nhwc_pallas
 

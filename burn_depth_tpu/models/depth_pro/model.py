@@ -234,11 +234,33 @@ def _depth_head_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     if "fused" in p:
         return _depth_head_forward_fused(p, x)
     if "weight_hwio" in p["conv0"]:
-        from burn_depth_tpu.models.depth_pro.decoder import _pallas_conv3
+        from burn_depth_tpu.models.depth_pro.decoder import (
+            _pallas_conv3_mode,
+            _wino_conv3,
+            _wino_ok,
+        )
         from burn_depth_tpu.ops.conv import conv2d_nhwc, conv_transpose2d_nhwc
 
+        mode = _pallas_conv3_mode()
         x = jnp.transpose(x, (0, 2, 3, 1))
-        if _pallas_conv3():
+        if _wino_conv3() and _wino_ok(x):
+            # Winograd for conv0 (256->128 @768² — the model's worst conv
+            # under XLA, 34 TFLOP/s); conv1 @1536² O=32 stays XLA (2·O=64
+            # lanes would underfill the 128-lane VPU/MXU tiles).
+            from burn_depth_tpu.ops.winograd3x3_pallas import conv3x3_wino_pallas
+
+            x = conv3x3_wino_pallas(x, p["conv0"]["weight_hwio"], p["conv0"]["bias"])
+            x = conv_transpose2d_nhwc(x, p["deconv"]["weight_hwio"], p["deconv"]["bias"], stride=2)
+            x = relu(conv2d_nhwc(x, p["conv1"]["weight_hwio"], p["conv1"]["bias"], padding=1))
+        elif mode == "head0":
+            # Pallas only for conv0 (the isolated 29% win); conv1 @1536² O=32
+            # stays XLA (32/128 lanes is pathological for the kernel).
+            from burn_depth_tpu.ops.conv3x3_pallas import conv3x3_nhwc_pallas
+
+            x = conv3x3_nhwc_pallas(x, p["conv0"]["weight_hwio"], p["conv0"]["bias"])
+            x = conv_transpose2d_nhwc(x, p["deconv"]["weight_hwio"], p["deconv"]["bias"], stride=2)
+            x = relu(conv2d_nhwc(x, p["conv1"]["weight_hwio"], p["conv1"]["bias"], padding=1))
+        elif mode == "1":
             from burn_depth_tpu.ops.conv3x3_pallas import conv3x3_nhwc_pallas
 
             x = conv3x3_nhwc_pallas(x, p["conv0"]["weight_hwio"], p["conv0"]["bias"])

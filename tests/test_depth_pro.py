@@ -406,3 +406,23 @@ def test_nhwc_pallas_conv_route_matches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got.depth), np.asarray(ref.depth), rtol=2e-5, atol=2e-6
     )
+
+    # selective mode: Pallas only for the head's conv0, decoder + conv1 XLA
+    monkeypatch.setitem(os.environ, "BDT_CONV3_PALLAS", "head0")
+    got0 = model.to_nhwc_tail().infer(x)
+    np.testing.assert_allclose(
+        np.asarray(got0.depth), np.asarray(ref.depth), rtol=2e-5, atol=2e-6
+    )
+
+    # Winograd route (decoder residual blocks + head conv0); MIN=2 so the
+    # tiny-config shapes actually route (default gate is >= 384)
+    monkeypatch.setitem(os.environ, "BDT_CONV3_PALLAS", "0")
+    monkeypatch.setitem(os.environ, "BDT_CONV3_WINO", "1")
+    monkeypatch.setitem(os.environ, "BDT_CONV3_WINO_MIN", "2")
+    import burn_depth_tpu.ops.winograd3x3_pallas as wm
+
+    monkeypatch.setattr(wm.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True))
+    gotw = model.to_nhwc_tail().infer(x)
+    np.testing.assert_allclose(
+        np.asarray(gotw.depth), np.asarray(ref.depth), rtol=1e-4, atol=1e-5
+    )

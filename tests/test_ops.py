@@ -234,3 +234,41 @@ def test_conv3x3_pallas_matches_xla_nhwc():
         np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=1e-4)
     finally:
         m.pl.pallas_call = orig
+
+
+def test_conv3x3_winograd_matches_xla_nhwc():
+    """Winograd F(2x2,3x3) Pallas kernel (interpret mode) vs conv2d_nhwc —
+    plain, fused epilogues, and the tile-shrink path."""
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    import burn_depth_tpu.ops.winograd3x3_pallas as m
+    from burn_depth_tpu.ops.conv import conv2d_nhwc
+
+    orig = m.pl.pallas_call
+    m.pl.pallas_call = functools.partial(pl.pallas_call, interpret=True)
+    try:
+        rng = jax.random.PRNGKey(0)
+        n, h, w, c, o = 2, 12, 16, 8, 8
+        x = jax.random.normal(jax.random.fold_in(rng, 1), (n, h, w, c))
+        wt = jax.random.normal(jax.random.fold_in(rng, 2), (3, 3, c, o)) * 0.1
+        b = jax.random.normal(jax.random.fold_in(rng, 3), (o,))
+        res = jax.random.normal(jax.random.fold_in(rng, 4), (n, h, w, o))
+
+        ref = jnp.maximum(conv2d_nhwc(jnp.maximum(x, 0), wt, b, padding=1) + res, 0)
+        got = m.conv3x3_wino_pallas(x, wt, b, residual=res, relu_in=True, relu_out=True,
+                                    tile_h=4, tile_w=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+        # tile-shrink path: tile_h/tile_w larger than H/W shrink to fit
+        got2 = m.conv3x3_wino_pallas(x, wt, tile_h=16, tile_w=128)
+        ref2 = conv2d_nhwc(x, wt, None, padding=1)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=2e-4)
+
+        # odd spatial dims are rejected (F(2x2) needs even tiling)
+        with pytest.raises(ValueError):
+            m.conv3x3_wino_pallas(x[:, :11], wt)
+    finally:
+        m.pl.pallas_call = orig
