@@ -1,0 +1,215 @@
+"""Fine-tuning CLI (beyond-parity: the reference framework is inference-only).
+
+Runs the sharded train step (``burn_depth_tpu/train/``) on either model
+family.  Without a dataset it trains on the built-in synthetic geometric
+depth set, which makes it a self-contained end-to-end demo/smoke:
+
+    python -m burn_depth_tpu.cli.train --model depth-pro --preset tiny \\
+        --steps 20 --batch 2 --out /tmp/ft.safetensors
+
+Real fine-tuning: start from an imported checkpoint (``--checkpoint``) and
+point ``--data`` at a directory of paired ``*_rgb.png`` / ``*_depth.npy``
+files.  ``--resume`` continues from a saved train state (params + Adam
+moments + step counter — one safetensors file, ``io/checkpoint.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _build_model(args):
+    import jax
+    import jax.numpy as jnp
+
+    if args.model == "depth-pro":
+        from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+        cfg = (
+            DepthProConfig.tiny_test()
+            if args.preset == "tiny"
+            else DepthProConfig.dinov2_l16_384()
+        )
+        if args.checkpoint:
+            model = DepthPro.load_with_config(args.checkpoint, cfg)
+        else:
+            model = DepthPro.init(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32)
+        from burn_depth_tpu.train import depth_pro_objective
+
+        return model, depth_pro_objective(model, fov_weight=0.0), cfg.img_size
+    else:
+        import dataclasses
+
+        from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+
+        cfg = DepthAnything3Config.small()
+        if args.preset == "tiny":
+            cfg = dataclasses.replace(cfg, image_size=112, attn_impl="jnp")
+        if args.checkpoint:
+            model = DepthAnything3.load(args.checkpoint, cfg)
+        else:
+            model = DepthAnything3.init(jax.random.PRNGKey(args.seed), cfg)
+        from burn_depth_tpu.train import da3_objective
+
+        return model, da3_objective(model), cfg.image_size
+
+
+def _image_dir_batches(path: str, batch: int, size: int):
+    """Paired ``*_rgb.png`` / ``*_depth.npy`` loader, cycled, center-cropped."""
+    import glob
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    rgbs = sorted(glob.glob(os.path.join(path, "*_rgb.png")))
+    if not rgbs:
+        raise FileNotFoundError(f"no *_rgb.png files under {path}")
+    pairs = []
+    for r in rgbs:
+        d = r.replace("_rgb.png", "_depth.npy")
+        if os.path.exists(d):
+            pairs.append((r, d))
+    if not pairs:
+        raise FileNotFoundError(f"no *_depth.npy pairs under {path}")
+
+    def load(r, d):
+        img = np.asarray(
+            Image.open(r).convert("RGB").resize((size, size)), np.float32
+        ).transpose(2, 0, 1) / 255.0
+        dep = np.load(d).astype(np.float32)
+        if dep.shape != (size, size):
+            from PIL import Image as I
+
+            dep = np.asarray(I.fromarray(dep).resize((size, size)), np.float32)
+        return img, dep
+
+    i = 0
+    while True:
+        imgs, deps = [], []
+        for _ in range(batch):
+            img, dep = load(*pairs[i % len(pairs)])
+            imgs.append(img)
+            deps.append(dep)
+            i += 1
+        deps_np = np.stack(deps)
+        yield {
+            "image": np.stack(imgs),
+            "depth": deps_np,
+            "mask": (deps_np > 0).astype(np.float32),
+        }
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Fine-tune a depth model on TPU")
+    parser.add_argument("--model", default="depth-pro", choices=["depth-pro", "depth-anything-3"])
+    parser.add_argument("--preset", default="tiny", choices=["tiny", "full"])
+    parser.add_argument("--checkpoint", default=None, help="initial weights (safetensors)")
+    parser.add_argument("--data", default=None, help="dir of *_rgb.png/*_depth.npy pairs; default synthetic")
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--weight-decay", type=float, default=0.05)
+    parser.add_argument("--warmup", type=int, default=10)
+    parser.add_argument("--accum", type=int, default=1, help="gradient accumulation microsteps")
+    parser.add_argument("--remat", default="dots", choices=["none", "dots", "full"])
+    parser.add_argument("--bf16", action="store_true", help="bf16 compute / f32 masters")
+    parser.add_argument("--model-parallel", type=int, default=1, help="TP size (mesh = data x model)")
+    parser.add_argument("--out", default=None, help="save final params here")
+    parser.add_argument("--state-out", default=None, help="save full train state here")
+    parser.add_argument("--resume", default=None, help="resume from a saved train state")
+    parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="pin the JAX platform (the TPU plugin ignores JAX_PLATFORMS; this pins via jax.config)",
+    )
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from burn_depth_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from burn_depth_tpu.train import (
+        adamw,
+        compile_train_step,
+        prefetch_to_device,
+        synthetic_depth_batches,
+    )
+
+    model, loss_fn, size = _build_model(args)
+
+    mesh = None
+    tp_rules = ()
+    if args.model_parallel > 1 or len(jax.devices()) > 1:
+        from burn_depth_tpu.parallel import make_mesh, vit_tp_rules
+
+        mesh = make_mesh(jax.devices(), model=args.model_parallel)
+        if args.model == "depth-pro":
+            tp_rules = (
+                vit_tp_rules("encoder/patch_encoder/")
+                + vit_tp_rules("encoder/image_encoder/")
+                + vit_tp_rules("fov/encoder/")
+            )
+        else:
+            tp_rules = vit_tp_rules("backbone/pretrained/")
+
+    step = compile_train_step(
+        loss_fn,
+        model.params,
+        mesh,
+        tp_rules=tp_rules,
+        optimizer=adamw(args.lr, weight_decay=args.weight_decay, warmup_steps=args.warmup),
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        remat=args.remat,
+        accum_steps=args.accum,
+    )
+    if args.resume:
+        step.state = load_checkpoint(args.resume, step.state)
+        print(f"resumed at step {int(step.state['step'])}", flush=True)
+
+    eff_batch = args.batch * args.accum
+    gen = (
+        _image_dir_batches(args.data, eff_batch, size)
+        if args.data
+        else synthetic_depth_batches(args.seed, eff_batch, size, steps=args.steps)
+    )
+
+    def shaped(b):
+        if args.accum > 1:
+            return {
+                k: v.reshape(args.accum, args.batch, *v.shape[1:]) for k, v in b.items()
+            }
+        return b
+
+    t0 = time.time()
+    done = 0
+    for batch in prefetch_to_device(map(shaped, gen), step.input_sharding):
+        metrics = step(batch)
+        done += 1
+        if done % args.log_every == 0 or done == 1 or done >= args.steps:
+            jax.block_until_ready(metrics["loss"])
+            rate = done * eff_batch / (time.time() - t0)
+            parts = " ".join(
+                f"{k}={float(v):.4f}" for k, v in metrics.items() if k != "step"
+            )
+            print(f"step {int(metrics['step'])}: {parts} ({rate:.2f} img/s)", flush=True)
+        if done >= args.steps:
+            break
+
+    if args.state_out:
+        save_checkpoint(args.state_out, step.state)
+        print(f"train state -> {args.state_out}", flush=True)
+    if args.out:
+        save_checkpoint(args.out, step.state["params"])
+        print(f"params -> {args.out}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

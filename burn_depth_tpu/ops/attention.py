@@ -305,6 +305,40 @@ def _attention_pallas(
     return out[:, :t, :hd].reshape(b, h, t, hd)
 
 
+# --------------------------------------------------------------------------
+# differentiable Pallas dispatch (training path)
+# --------------------------------------------------------------------------
+#
+# ``pallas_call`` has no autodiff rule, so the training subsystem
+# (``burn_depth_tpu/train/``) needs a VJP for the flash kernel.  TPU-first
+# split: keep the measured-fastest Pallas kernel as the *forward*, and define
+# the backward as the exact VJP of the jnp reference formulation (whose
+# outputs the kernel matches bit-for-bit — BENCH.md r1 "outputs
+# bit-identical").  The backward is pure batched matmuls + softmax algebra,
+# which XLA already schedules well on the MXU; activations (q, k, v) are the
+# only residuals, so memory behaves like flash-attention recompute.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attention_pallas_diff(q, k, v, scale: float, quiet: bool):
+    return _attention_pallas(q, k, v, scale=scale, quiet_softmax=quiet)
+
+
+def _attention_pallas_diff_fwd(q, k, v, scale: float, quiet: bool):
+    return _attention_pallas_diff(q, k, v, scale, quiet), (q, k, v)
+
+
+def _attention_pallas_diff_bwd(scale: float, quiet: bool, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _attention_jnp(q_, k_, v_, scale, quiet), q, k, v
+    )
+    return vjp(g)
+
+
+_attention_pallas_diff.defvjp(_attention_pallas_diff_fwd, _attention_pallas_diff_bwd)
+
+
 def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int, quiet: bool):
     """Packed-qkv cell: q_ref [1,Bq,1,G,hd], k/v_ref [1,Tp,1,G,hd] are three
     views of the same [B,T,3,H,hd] array (different dim-2 index_maps), so the
@@ -499,6 +533,10 @@ def multi_head_attention(
         exp_bf16 = os.environ.get("BDT_ATTN_EXP_BF16", "0") == "1"
         no_max = os.environ.get("BDT_ATTN_NOMAX", "0") == "1"
         interleave = int(os.environ.get("BDT_ATTN_INTERLEAVE", "0"))
+        if pad_hd and not (exp_bf16 or no_max or interleave):
+            # knob-free default: the differentiable wrapper (same kernel,
+            # same arguments — plus a VJP so training works on TPU)
+            return _attention_pallas_diff(q, k, v, scale, quiet_softmax)
         return _attention_pallas(
             q, k, v, scale=scale, quiet_softmax=quiet_softmax, pad_hd=pad_hd,
             exp_bf16=exp_bf16, no_max=no_max, interleave=interleave,

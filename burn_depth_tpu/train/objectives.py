@@ -1,0 +1,119 @@
+"""Ready-made training objectives for the two model families.
+
+Each builder returns a pure ``loss_fn(params, batch) -> (loss, metrics)``
+suitable for ``compile_train_step``.  Batches are dicts of
+``{"image" [B,3,H,W], "depth" [B,H,W], "mask" [B,H,W]}`` (see
+``train/data.py``); all supervision happens in the model's native output
+space so no focal metadata is required:
+
+* **Depth Pro** predicts canonical inverse depth — supervised with masked L1
+  on inverse depth plus the MiDaS gradient-matching regularizer, and an
+  optional FOV L1 when the batch carries ``"fov_deg"``.
+* **DA3** predicts (relative) depth + confidence — supervised with the
+  scale-/shift-invariant MAE, gradient matching, and the Laplace NLL on the
+  confidence channel when the head emits one.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+from burn_depth_tpu.train.losses import (
+    fov_loss,
+    gradient_matching_loss,
+    silog_loss,
+    ssi_mae_loss,
+)
+
+__all__ = ["depth_pro_objective", "da3_objective"]
+
+
+def _inverse(depth: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
+    return 1.0 / jnp.clip(depth.astype(jnp.float32), eps, None)
+
+
+def depth_pro_objective(
+    model: Any,
+    *,
+    grad_weight: float = 0.5,
+    fov_weight: float = 0.1,
+    silog_weight: float = 0.0,
+) -> Callable:
+    """Loss on the canonical-inverse-depth output of ``DepthPro``.
+
+    ``model`` is a ``DepthPro`` instance (its config/structure is closed
+    over; params flow through the step).  Set ``silog_weight>0`` to add a
+    metric SiLog term on re-inverted depth.
+    """
+
+    def loss_fn(params, batch):
+        canonical, fov_deg = (
+            lambda c, _f1, _f2, _f3, f: (c, f)
+        )(*model._forward_internal(params, batch["image"]))
+        pred_inv = canonical[:, 0].astype(jnp.float32)  # [B, H, W]
+        tgt_inv = _inverse(batch["depth"])
+        mask = batch.get("mask")
+
+        l1 = jnp.float32(0.0)
+        diff = jnp.abs(pred_inv - tgt_inv)
+        if mask is None:
+            l1 = jnp.mean(diff)
+        else:
+            m = mask.astype(jnp.float32)
+            l1 = jnp.sum(diff * m) / jnp.maximum(jnp.sum(m), 1.0)
+        grad = gradient_matching_loss(pred_inv, tgt_inv, mask)
+        loss = l1 + grad_weight * grad
+        metrics = {"l1_inv": l1, "grad_match": grad}
+
+        if silog_weight:
+            sil = silog_loss(1.0 / jnp.clip(pred_inv, 1e-4, 1e4), batch["depth"], mask)
+            loss = loss + silog_weight * sil
+            metrics["silog"] = sil
+        if fov_weight and fov_deg is not None and "fov_deg" in batch:
+            fl = fov_loss(fov_deg, batch["fov_deg"])
+            loss = loss + fov_weight * fl
+            metrics["fov_l1"] = fl
+        return loss, metrics
+
+    return loss_fn
+
+
+def da3_objective(
+    model: Any,
+    *,
+    grad_weight: float = 0.5,
+    conf_weight: float = 0.2,
+) -> Callable:
+    """Scale-invariant loss on ``DepthAnything3``'s depth (+confidence) head."""
+
+    def loss_fn(params, batch):
+        head_out, _camera, _ = model._forward_internal(params, batch["image"], None, None)
+        inf = model._finalize(head_out, None)
+        pred = inf.depth.astype(jnp.float32)  # [B, H, W]
+        tgt = batch["depth"].astype(jnp.float32)
+        mask = batch.get("mask")
+
+        ssi = ssi_mae_loss(pred, tgt, mask)
+        grad = gradient_matching_loss(pred, tgt, mask)
+        loss = ssi + grad_weight * grad
+        metrics = {"ssi_mae": ssi, "grad_match": grad}
+
+        if conf_weight and inf.depth_confidence is not None:
+            # DA3's confidence head is positive (`exp`/`exp_p1` activation,
+            # higher = more confident) — use the confidence-weighted residual
+            # ``E[c·|d| − log c]`` (DUSt3R form): confident pixels pay more
+            # for error, claiming confidence costs ``−log c``.
+            c = jnp.clip(inf.depth_confidence.astype(jnp.float32), 1e-3, None)
+            per_px = c * jnp.abs(pred - tgt) - jnp.log(c)
+            if mask is None:
+                nll = jnp.mean(per_px)
+            else:
+                m = mask.astype(jnp.float32)
+                nll = jnp.sum(per_px * m) / jnp.maximum(jnp.sum(m), 1.0)
+            loss = loss + conf_weight * nll
+            metrics["conf_nll"] = nll
+        return loss, metrics
+
+    return loss_fn

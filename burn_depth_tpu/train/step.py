@@ -1,0 +1,199 @@
+"""The sharded training step: one jitted, donated XLA program over the mesh.
+
+The reference framework is inference-only; training is part of this build's
+beyond-parity surface, designed TPU-first:
+
+* **SPMD over the same (data, model) mesh as serving** — params are placed
+  by the serving tensor-parallel rules (`parallel/tp_rules.py`), the batch is
+  sharded over ``data``, and the optimizer state inherits the param shardings
+  automatically (``optimizer.init`` runs under jit, so XLA propagates the
+  placed params' shardings to ``mu``/``nu``).  Gradient all-reduces and the
+  Megatron psums come out of the SPMD partitioner on ICI — no hand-written
+  collectives.
+* **bf16 compute / f32 master params** — the loss closure sees a bf16 cast
+  of the f32 masters; JAX transposes the cast, so gradients arrive f32 and
+  Adam moments stay f32.
+* **Rematerialization** — ``remat='full' | 'dots' | 'none'`` wraps the loss
+  in ``jax.checkpoint`` (full recompute, or XLA's
+  ``dots_with_no_batch_dims_saveable`` policy) to trade MXU FLOPs for HBM.
+* **Donation** — the previous train state is donated to each step, so
+  params + moments live in HBM exactly once.
+* **Gradient accumulation** — ``accum_steps>1`` scans microbatches with an
+  f32 grad carry (``lax.scan``: one trace, static shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from burn_depth_tpu.parallel.mesh import Rule, shard_params
+
+__all__ = ["TrainStep", "adamw", "compile_train_step", "train_state", "global_norm"]
+
+
+def adamw(
+    learning_rate: float | optax.Schedule = 1e-4,
+    *,
+    weight_decay: float = 0.05,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    grad_clip: Optional[float] = 1.0,
+    warmup_steps: int = 0,
+) -> optax.GradientTransformation:
+    """AdamW with global-norm clipping and linear warmup.
+
+    Weight decay applies only to rank-≥2 leaves (kernels), never to biases,
+    LayerNorm scales, or layerscale vectors — the standard ViT fine-tuning
+    convention.
+    """
+    if warmup_steps and not callable(learning_rate):
+        learning_rate = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    decay_mask = lambda params: jax.tree.map(lambda p: p.ndim >= 2, params)
+    chain = []
+    if grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(
+        optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay, mask=decay_mask)
+    )
+    return optax.chain(*chain)
+
+
+def global_norm(tree: Any) -> jnp.ndarray:
+    return optax.global_norm(tree)
+
+
+def train_state(params: Any, optimizer: optax.GradientTransformation) -> dict:
+    """Fresh train state: ``{"step", "params", "opt_state"}`` (a plain dict —
+    checkpointable with ``io.checkpoint.flatten_tree`` like any param tree)."""
+    return {
+        "step": jnp.zeros((), jnp.int32),
+        "params": params,
+        "opt_state": optimizer.init(params),
+    }
+
+
+def _remat_wrap(fn: Callable, remat: str) -> Callable:
+    if remat in (None, "none", ""):
+        return fn
+    if remat == "full":
+        return jax.checkpoint(fn)
+    if remat == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    raise ValueError(f"unknown remat policy `{remat}` (none|full|dots)")
+
+
+@dataclasses.dataclass
+class TrainStep:
+    """A compiled, mesh-sharded train step with persistent device state.
+
+    ``step(batch) -> metrics`` advances ``self.state`` in place (the old
+    state's buffers are donated).  ``batch`` is any pytree whose leaves have
+    a leading batch dim (or ``[accum, batch, ...]`` when ``accum_steps>1``).
+    """
+
+    mesh: Optional[Mesh]
+    state: dict
+    fn: Callable  # jitted (state, batch) -> (state, metrics)
+    input_sharding: Optional[NamedSharding]
+    accum_steps: int = 1
+
+    def __call__(self, batch: Any) -> dict:
+        if self.input_sharding is not None:
+            batch = jax.tree.map(lambda a: jax.device_put(a, self.input_sharding), batch)
+        self.state, metrics = self.fn(self.state, batch)
+        return metrics
+
+
+def compile_train_step(
+    loss_fn: Callable,
+    params: Any,
+    mesh: Optional[Mesh] = None,
+    *,
+    tp_rules: Sequence[Rule] = (),
+    optimizer: Optional[optax.GradientTransformation] = None,
+    compute_dtype: Any = None,
+    remat: str = "none",
+    accum_steps: int = 1,
+) -> TrainStep:
+    """Compile ``loss_fn(params, batch) -> loss | (loss, aux)`` into a
+    donated, mesh-sharded SGD step.
+
+    With a ``mesh``, params are placed per ``tp_rules`` (replicated along
+    ``data``, split along ``model``) and each batch leaf is sharded over
+    ``data`` on its leading axis; without one, everything stays single-device.
+    """
+    optimizer = optimizer if optimizer is not None else adamw()
+
+    def loss_with_aux(p, batch):
+        if compute_dtype is not None:
+            p = jax.tree.map(
+                lambda a: a.astype(compute_dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                p,
+            )
+        out = loss_fn(p, batch)
+        loss, aux = out if isinstance(out, tuple) else (out, {})
+        return loss.astype(jnp.float32), aux
+
+    grad_fn = jax.value_and_grad(_remat_wrap(loss_with_aux, remat), has_aux=True)
+
+    def compute_grads(p, batch):
+        if accum_steps == 1:
+            return grad_fn(p, batch)
+
+        def micro(carry, mb):
+            loss_acc, grads_acc = carry
+            (loss, aux), grads = grad_fn(p, mb)
+            grads = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32), grads_acc, grads
+            )
+            return (loss_acc + loss, grads), aux
+
+        zeros = jax.tree.map(lambda a: jnp.zeros(a.shape, jnp.float32), p)
+        (loss_sum, grads), aux = jax.lax.scan(micro, (jnp.float32(0.0), zeros), batch)
+        inv = 1.0 / accum_steps
+        aux = jax.tree.map(lambda a: a[-1], aux)  # report the last microbatch's aux
+        return (loss_sum * inv, aux), jax.tree.map(lambda g: g * inv, grads)
+
+    def step(state, batch):
+        (loss, aux), grads = compute_grads(state["params"], batch)
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        new_params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "step": state["step"] + 1,
+            "params": new_params,
+            "opt_state": opt_state,
+        }
+        metrics = {
+            "loss": loss,
+            "grad_norm": global_norm(grads),
+            "step": new_state["step"],
+            **aux,
+        }
+        return new_state, metrics
+
+    if mesh is not None:
+        placed = shard_params(params, mesh, tp_rules)
+        # with accumulation the leading leaf axis is the microbatch index —
+        # replicate it, shard the true batch axis underneath over ``data``
+        spec = P("data") if accum_steps == 1 else P(None, "data")
+        in_shard = NamedSharding(mesh, spec)
+    else:
+        placed = params
+        in_shard = None
+
+    # ``optimizer.init`` under jit: moment shardings follow the placed params.
+    state = jax.jit(lambda p: train_state(p, optimizer))(placed)
+    fn = jax.jit(step, donate_argnums=(0,))
+    return TrainStep(
+        mesh=mesh, state=state, fn=fn, input_sharding=in_shard, accum_steps=accum_steps
+    )

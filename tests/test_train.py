@@ -1,0 +1,302 @@
+"""Training subsystem tests (CPU / virtual 8-device mesh).
+
+Covers: analytic loss properties, optimizer/step mechanics, convergence of
+the real tiny DepthPro under the packaged objective, DP+TP sharded-step
+equivalence with the single-device step, grad accumulation equivalence, and
+train-state checkpoint/resume equality.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from burn_depth_tpu.train import (
+    adamw,
+    affine_alignment,
+    compile_train_step,
+    da3_objective,
+    depth_pro_objective,
+    gradient_matching_loss,
+    laplace_nll_loss,
+    prefetch_to_device,
+    silog_loss,
+    ssi_mae_loss,
+    synthetic_depth_batches,
+)
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+
+def test_silog_zero_for_exact_prediction():
+    d = jnp.ones((2, 8, 8)) * 3.0
+    assert float(silog_loss(d, d)) <= 0.011  # alpha*sqrt(eps) floor = 0.01
+
+
+def test_silog_scale_invariant_at_lam_1():
+    rng = np.random.default_rng(0)
+    tgt = jnp.asarray(rng.uniform(1.0, 5.0, (2, 16, 16)), jnp.float32)
+    pred = jnp.asarray(rng.uniform(1.0, 5.0, (2, 16, 16)), jnp.float32)
+    a = silog_loss(pred, tgt, lam=1.0)
+    b = silog_loss(pred * 7.5, tgt, lam=1.0)  # global scale drops out
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-4)
+
+
+def test_silog_ignores_masked_pixels():
+    tgt = jnp.ones((1, 8, 8)) * 2.0
+    pred = jnp.ones((1, 8, 8)) * 2.0
+    # corrupt one pixel, mask it out -> loss stays ~0
+    pred = pred.at[0, 3, 3].set(50.0)
+    mask = jnp.ones((1, 8, 8)).at[0, 3, 3].set(0.0)
+    assert float(silog_loss(pred, tgt, mask)) <= 0.011
+
+
+def test_affine_alignment_recovers_exact_fit():
+    rng = np.random.default_rng(1)
+    p = jnp.asarray(rng.normal(size=(3, 12, 12)), jnp.float32)
+    g = 2.5 * p - 1.25
+    s, t = affine_alignment(p, g)
+    np.testing.assert_allclose(np.asarray(s), 2.5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), -1.25, atol=1e-4)
+
+
+def test_ssi_mae_invariant_to_affine_pred_transform():
+    rng = np.random.default_rng(2)
+    p = jnp.asarray(rng.normal(size=(2, 16, 16)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, 16, 16)), jnp.float32)
+    a = ssi_mae_loss(p, g)
+    b = ssi_mae_loss(3.0 * p + 4.0, g)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-3)
+    # exact affine relation -> zero loss
+    assert float(ssi_mae_loss(p, 0.5 * p + 2.0)) < 1e-5
+
+
+def test_gradient_matching_zero_for_constant_offset():
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.normal(size=(1, 32, 32)), jnp.float32)
+    # pred = target + constant: all spatial gradients of R cancel
+    assert float(gradient_matching_loss(g + 5.0, g)) < 1e-5
+    assert float(gradient_matching_loss(g * 2.0, g)) > 1e-3
+
+
+def test_laplace_nll_prefers_calibrated_scale():
+    rng = np.random.default_rng(4)
+    tgt = jnp.zeros((1, 64, 64))
+    pred = jnp.asarray(rng.laplace(scale=1.0, size=(1, 64, 64)), jnp.float32)
+    well = laplace_nll_loss(pred, tgt, jnp.zeros_like(pred))  # b = log1 = 0
+    over = laplace_nll_loss(pred, tgt, jnp.full_like(pred, 4.0))  # too unsure
+    under = laplace_nll_loss(pred, tgt, jnp.full_like(pred, -4.0))  # too sure
+    assert float(well) < float(over)
+    assert float(well) < float(under)
+
+
+# ---------------------------------------------------------------------------
+# step mechanics
+# ---------------------------------------------------------------------------
+
+
+def _quadratic_loss(params, batch):
+    # simple convex problem: fit w to minimize ||x @ w - y||^2
+    pred = batch["x"] @ params["w"]
+    return jnp.mean((pred - batch["y"]) ** 2)
+
+
+def _quadratic_setup(seed=0, n=64, d=8):
+    rng = np.random.default_rng(seed)
+    w_true = rng.normal(size=(d, 1)).astype(np.float32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    y = x @ w_true
+    params = {"w": jnp.zeros((d, 1), jnp.float32)}
+    return params, {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+
+
+def test_train_step_descends_quadratic():
+    params, batch = _quadratic_setup()
+    step = compile_train_step(
+        _quadratic_loss, params, optimizer=adamw(1e-1, weight_decay=0.0)
+    )
+    losses = [float(step(batch)["loss"]) for _ in range(50)]
+    assert losses[-1] < losses[0] * 0.05
+    assert int(step.state["step"]) == 50
+
+
+def test_grad_accumulation_matches_full_batch():
+    params, batch = _quadratic_setup(n=64)
+    import optax
+
+    sgd = optax.sgd(0.1)
+    full = compile_train_step(_quadratic_loss, params, optimizer=sgd)
+    acc = compile_train_step(_quadratic_loss, params, optimizer=sgd, accum_steps=4)
+    m_full = full(batch)
+    micro = {k: v.reshape(4, 16, *v.shape[1:]) for k, v in batch.items()}
+    m_acc = acc(micro)
+    np.testing.assert_allclose(float(m_full["loss"]), float(m_acc["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(full.state["params"]["w"]),
+        np.asarray(acc.state["params"]["w"]),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_compute_dtype_cast_keeps_f32_masters():
+    params, batch = _quadratic_setup()
+    step = compile_train_step(
+        _quadratic_loss, params, optimizer=adamw(1e-2), compute_dtype=jnp.bfloat16
+    )
+    step(batch)
+    assert step.state["params"]["w"].dtype == jnp.float32
+
+
+def test_remat_policies_match_baseline():
+    params, batch = _quadratic_setup()
+    import optax
+
+    results = {}
+    for remat in ("none", "full", "dots"):
+        s = compile_train_step(_quadratic_loss, params, optimizer=optax.sgd(0.1), remat=remat)
+        s(batch)
+        results[remat] = np.asarray(s.state["params"]["w"])
+    np.testing.assert_allclose(results["none"], results["full"], rtol=1e-6)
+    np.testing.assert_allclose(results["none"], results["dots"], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# real models
+# ---------------------------------------------------------------------------
+
+
+def test_depth_pro_finetune_descends():
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    step = compile_train_step(
+        depth_pro_objective(model, fov_weight=0.0),
+        model.params,
+        optimizer=adamw(3e-4, weight_decay=0.0, warmup_steps=0),
+        remat="dots",
+    )
+    gen = synthetic_depth_batches(0, batch=2, size=cfg.img_size, steps=1)
+    batch = next(iter(gen))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    losses = [float(step(batch)["loss"]) for _ in range(8)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_da3_objective_grads_finite():
+    import dataclasses
+
+    from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+
+    cfg = dataclasses.replace(
+        DepthAnything3Config.small(), image_size=28, attn_impl="jnp"
+    )
+    model = DepthAnything3.init(jax.random.PRNGKey(1), cfg)
+    loss_fn = da3_objective(model)
+    batch_np = next(iter(synthetic_depth_batches(1, batch=2, size=28, steps=1)))
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        model.params, batch
+    )
+    assert np.isfinite(float(loss))
+    assert "ssi_mae" in metrics
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+# ---------------------------------------------------------------------------
+# sharded step (virtual mesh)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_train_step_matches_single_device():
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+    from burn_depth_tpu.parallel import make_mesh, vit_tp_rules
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    loss_fn = depth_pro_objective(model, fov_weight=0.0)
+    import optax
+
+    batch_np = next(iter(synthetic_depth_batches(2, batch=4, size=cfg.img_size, steps=1)))
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    single = compile_train_step(loss_fn, model.params, optimizer=optax.sgd(1e-3))
+    m_single = single(batch)
+
+    mesh = make_mesh(jax.devices()[:8], model=2)
+    rules = (
+        vit_tp_rules("encoder/patch_encoder/")
+        + vit_tp_rules("encoder/image_encoder/")
+        + vit_tp_rules("fov/encoder/")
+    )
+    sharded = compile_train_step(
+        loss_fn, model.params, mesh, tp_rules=rules, optimizer=optax.sgd(1e-3)
+    )
+    m_sharded = sharded(batch)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_sharded["loss"]), rtol=2e-4
+    )
+    # spot-check a TP-sharded weight and a replicated weight after the update
+    flat_s = jax.tree_util.tree_leaves_with_path(single.state["params"])
+    flat_m = {
+        "/".join(str(k) for k in p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(sharded.state["params"])
+    }
+    checked = 0
+    for path, leaf in flat_s:
+        key = "/".join(str(k) for k in path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_m[key]), rtol=2e-3, atol=2e-5
+        )
+        checked += 1
+        if checked >= 12:
+            break
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume + data pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_train_state_checkpoint_resume(tmp_path):
+    from burn_depth_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    params, batch = _quadratic_setup()
+    import optax
+
+    opt = optax.adamw(1e-2)
+    a = compile_train_step(_quadratic_loss, params, optimizer=opt)
+    for _ in range(3):
+        a(batch)
+
+    path = str(tmp_path / "state.safetensors")
+    save_checkpoint(path, a.state)
+
+    b = compile_train_step(_quadratic_loss, params, optimizer=opt)
+    b.state = load_checkpoint(path, b.state)
+    assert int(b.state["step"]) == 3
+
+    ma = a(batch)
+    mb = b(batch)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(a.state["params"]["w"]), np.asarray(b.state["params"]["w"]), rtol=1e-6
+    )
+
+
+def test_prefetch_preserves_order_and_content():
+    batches = [{"i": np.full((2, 2), k, np.float32)} for k in range(5)]
+    out = list(prefetch_to_device(iter(batches), depth=2))
+    assert len(out) == 5
+    for k, b in enumerate(out):
+        assert float(b["i"][0, 0]) == k
