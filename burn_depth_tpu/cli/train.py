@@ -121,6 +121,7 @@ def main(argv=None) -> int:
     parser.add_argument("--state-out", default=None, help="save full train state here")
     parser.add_argument("--resume", default=None, help="resume from a saved train state")
     parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument("--eval-batches", type=int, default=0, help="run the metric battery on N held-out batches after training")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
         "--platform", default=None, choices=["cpu", "tpu"],
@@ -208,6 +209,34 @@ def main(argv=None) -> int:
     if args.out:
         save_checkpoint(args.out, step.state["params"])
         print(f"params -> {args.out}", flush=True)
+
+    if args.eval_batches:
+        from burn_depth_tpu.train import evaluate_model
+
+        trained = step.state["params"]
+        if args.model == "depth-pro":
+            predict = jax.jit(
+                lambda p, x: 1.0
+                / jnp.clip(model._forward_internal(p, x)[0][:, 0], 1e-4, 1e4)
+            )
+        else:
+            predict = jax.jit(
+                lambda p, x: model._finalize(
+                    model._forward_internal(p, x, None, None)[0], None
+                ).depth
+            )
+        eval_gen = (
+            _image_dir_batches(args.data, args.batch, size)
+            if args.data
+            else synthetic_depth_batches(args.seed + 1, args.batch, size, steps=args.eval_batches)
+        )
+        scores = evaluate_model(
+            lambda img: predict(trained, jnp.asarray(img)),
+            eval_gen,
+            align=(args.model != "depth-pro"),
+            max_batches=args.eval_batches,
+        )
+        print("eval: " + " ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items())), flush=True)
     return 0
 
 

@@ -15,6 +15,11 @@ from burn_depth_tpu.train.losses import (
     silog_loss,
     ssi_mae_loss,
 )
+from burn_depth_tpu.train.metrics import (
+    aligned_depth_metrics,
+    depth_metrics,
+    evaluate_model,
+)
 from burn_depth_tpu.train.objectives import da3_objective, depth_pro_objective
 from burn_depth_tpu.train.step import (
     TrainStep,
@@ -28,9 +33,12 @@ __all__ = [
     "TrainStep",
     "adamw",
     "affine_alignment",
+    "aligned_depth_metrics",
     "compile_train_step",
     "da3_objective",
+    "depth_metrics",
     "depth_pro_objective",
+    "evaluate_model",
     "fov_loss",
     "global_norm",
     "gradient_matching_loss",

@@ -1,0 +1,117 @@
+"""Standard monocular-depth evaluation metrics.
+
+The Eigen/KITTI metric battery used across the depth literature (abs-rel,
+sq-rel, RMSE, log-RMSE, log10, δ<1.25^k, SiLog) plus the affine-aligned
+variants used for relative-depth models (align prediction to ground truth
+with the closed-form least-squares fit from ``train/losses.py``, then score).
+
+TPU-shaped like the losses: fixed-shape masked reductions, f32 accumulation,
+jit-friendly (`depth_metrics` is a pure jnp function — wrap it in ``jax.jit``
+and feed batches; ``evaluate_model`` does exactly that).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from burn_depth_tpu.train.losses import affine_alignment, masked_mean
+
+__all__ = ["depth_metrics", "aligned_depth_metrics", "evaluate_model"]
+
+
+def depth_metrics(
+    pred_depth: jnp.ndarray,
+    target_depth: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    *,
+    eps: float = 1e-6,
+) -> Dict[str, jnp.ndarray]:
+    """The Eigen metric battery over valid pixels; scalars (batch-pooled).
+
+    ``mask`` marks valid ground truth; nonpositive targets are always
+    excluded.  All math in f32.
+    """
+    pred = jnp.clip(pred_depth.astype(jnp.float32), eps, None)
+    tgt = target_depth.astype(jnp.float32)
+    valid = (tgt > eps).astype(jnp.float32)
+    if mask is not None:
+        valid = valid * mask.astype(jnp.float32)
+    tgt = jnp.clip(tgt, eps, None)
+
+    diff = pred - tgt
+    log_diff = jnp.log(pred) - jnp.log(tgt)
+    ratio = jnp.maximum(pred / tgt, tgt / pred)
+
+    abs_rel = masked_mean(jnp.abs(diff) / tgt, valid)
+    sq_rel = masked_mean(diff * diff / tgt, valid)
+    rmse = jnp.sqrt(masked_mean(diff * diff, valid))
+    rmse_log = jnp.sqrt(masked_mean(log_diff * log_diff, valid))
+    log10 = masked_mean(jnp.abs(log_diff) / jnp.log(10.0), valid)
+    d1 = masked_mean((ratio < 1.25).astype(jnp.float32), valid)
+    d2 = masked_mean((ratio < 1.25**2).astype(jnp.float32), valid)
+    d3 = masked_mean((ratio < 1.25**3).astype(jnp.float32), valid)
+    m1 = masked_mean(log_diff, valid)
+    m2 = masked_mean(log_diff * log_diff, valid)
+    silog = jnp.sqrt(jnp.maximum(m2 - m1 * m1, 0.0)) * 100.0
+
+    return {
+        "abs_rel": abs_rel,
+        "sq_rel": sq_rel,
+        "rmse": rmse,
+        "rmse_log": rmse_log,
+        "log10": log10,
+        "delta1": d1,
+        "delta2": d2,
+        "delta3": d3,
+        "silog": silog,
+    }
+
+
+def aligned_depth_metrics(
+    pred: jnp.ndarray,
+    target_depth: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> Dict[str, jnp.ndarray]:
+    """Metrics after per-image affine alignment of ``pred`` to the target.
+
+    The standard protocol for relative-depth models (MiDaS/DA-family): fit
+    ``s·pred + t`` to ground truth per image in depth space, clamp to
+    positive, then run the metric battery.
+    """
+    s, t = affine_alignment(pred, target_depth, mask)
+    shape = (-1,) + (1,) * (pred.ndim - 1)
+    aligned = pred.astype(jnp.float32) * s.reshape(shape) + t.reshape(shape)
+    return depth_metrics(aligned, target_depth, mask)
+
+
+def evaluate_model(
+    predict_fn: Callable[[Any], jnp.ndarray],
+    batches: Iterable[dict],
+    *,
+    align: bool = False,
+    max_batches: Optional[int] = None,
+) -> Dict[str, float]:
+    """Run ``predict_fn(image) -> depth [B,H,W]`` over batches and average.
+
+    Batches are ``{"image", "depth", optional "mask"}`` dicts (the
+    ``train/data.py`` contract).  Metrics are batch-weighted means; the
+    metric math is jitted once and reused.
+    """
+    metric_fn = jax.jit(aligned_depth_metrics if align else depth_metrics)
+    totals: Dict[str, float] = {}
+    n = 0
+    for i, batch in enumerate(batches):
+        if max_batches is not None and i >= max_batches:
+            break
+        pred = predict_fn(batch["image"])
+        m = metric_fn(pred, jnp.asarray(batch["depth"]), batch.get("mask"))
+        w = int(batch["depth"].shape[0])
+        for k, v in m.items():
+            totals[k] = totals.get(k, 0.0) + float(v) * w
+        n += w
+    if n == 0:
+        raise ValueError("evaluate_model received no batches")
+    return {k: v / n for k, v in totals.items()}

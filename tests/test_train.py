@@ -300,3 +300,70 @@ def test_prefetch_preserves_order_and_content():
     assert len(out) == 5
     for k, b in enumerate(out):
         assert float(b["i"][0, 0]) == k
+
+
+# ---------------------------------------------------------------------------
+# evaluation metrics
+# ---------------------------------------------------------------------------
+
+
+def test_depth_metrics_perfect_prediction():
+    from burn_depth_tpu.train import depth_metrics
+
+    rng = np.random.default_rng(7)
+    d = jnp.asarray(rng.uniform(0.5, 10.0, (2, 16, 16)), jnp.float32)
+    m = depth_metrics(d, d)
+    assert float(m["abs_rel"]) < 1e-6
+    assert float(m["rmse"]) < 1e-5
+    assert float(m["delta1"]) == 1.0
+    assert float(m["silog"]) < 1e-2
+
+
+def test_depth_metrics_known_ratio():
+    from burn_depth_tpu.train import depth_metrics
+
+    tgt = jnp.full((1, 8, 8), 2.0)
+    m = depth_metrics(tgt * 1.3, tgt)  # ratio 1.3: fails delta1, passes delta2
+    np.testing.assert_allclose(float(m["abs_rel"]), 0.3, rtol=1e-5)
+    assert float(m["delta1"]) == 0.0
+    assert float(m["delta2"]) == 1.0
+    # scale error only -> silog is ~0 (scale-invariant)
+    assert float(m["silog"]) < 1e-2
+
+
+def test_depth_metrics_masking_excludes_invalid():
+    from burn_depth_tpu.train import depth_metrics
+
+    tgt = jnp.full((1, 8, 8), 2.0)
+    pred = tgt.at[0, 0, 0].set(100.0)
+    mask = jnp.ones((1, 8, 8)).at[0, 0, 0].set(0.0)
+    m = depth_metrics(pred, tgt, mask)
+    assert float(m["abs_rel"]) < 1e-6
+    # zero-depth targets are auto-excluded even without a mask
+    tgt0 = tgt.at[0, 1, 1].set(0.0)
+    m2 = depth_metrics(tgt, tgt0)
+    assert float(m2["abs_rel"]) < 1e-6
+
+
+def test_aligned_metrics_affine_invariant():
+    from burn_depth_tpu.train import aligned_depth_metrics
+
+    rng = np.random.default_rng(8)
+    tgt = jnp.asarray(rng.uniform(1.0, 5.0, (2, 16, 16)), jnp.float32)
+    pred = 0.25 * tgt - 3.0  # affine transform of the truth (even negative)
+    m = aligned_depth_metrics(pred, tgt)
+    assert float(m["abs_rel"]) < 1e-4
+    assert float(m["delta1"]) > 0.999
+
+
+def test_evaluate_model_loop():
+    from burn_depth_tpu.train import evaluate_model
+
+    def predict(img):
+        # oracle: recover depth from the synthetic shade channel inverse
+        return jnp.asarray(img)[:, 0] * 0.0 + 3.0
+
+    gen = list(synthetic_depth_batches(9, batch=2, size=32, steps=3))
+    out = evaluate_model(predict, gen)
+    assert set(out) >= {"abs_rel", "rmse", "delta1", "silog"}
+    assert np.isfinite(list(out.values())).all()
