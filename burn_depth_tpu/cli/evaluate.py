@@ -1,0 +1,72 @@
+"""Evaluation CLI: score a checkpoint with the standard depth metric battery.
+
+    python -m burn_depth_tpu.cli.evaluate --model depth-pro --preset tiny \\
+        --checkpoint ft.safetensors --batches 8            # synthetic set
+    python -m burn_depth_tpu.cli.evaluate --model depth-anything-3 \\
+        --checkpoint da3.safetensors --data pairs/ --align
+
+Prints one ``metric=value`` line (Eigen battery: abs-rel, sq-rel, RMSE,
+log-RMSE, log10, delta<1.25^k, SiLog).  ``--align`` applies the per-image
+affine-alignment protocol used for relative-depth models.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="Evaluate a depth checkpoint")
+    parser.add_argument("--model", default="depth-pro", choices=["depth-pro", "depth-anything-3"])
+    parser.add_argument("--preset", default="tiny", choices=["tiny", "full"])
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--data", default=None, help="dir of *_rgb.png/*_depth.npy pairs; default synthetic")
+    parser.add_argument("--batches", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--align", action="store_true", help="affine-align predictions per image before scoring")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+
+    from burn_depth_tpu.cli.train import _build_model, _image_dir_batches
+    from burn_depth_tpu.train import evaluate_model, synthetic_depth_batches
+
+    model, _loss, size = _build_model(args)
+    params = model.params
+
+    if args.model == "depth-pro":
+        predict = jax.jit(
+            lambda p, x: 1.0 / jnp.clip(model._forward_internal(p, x)[0][:, 0], 1e-4, 1e4)
+        )
+    else:
+        predict = jax.jit(
+            lambda p, x: model._finalize(
+                model._forward_internal(p, x, None, None)[0], None
+            ).depth
+        )
+
+    gen = (
+        _image_dir_batches(args.data, args.batch, size)
+        if args.data
+        else synthetic_depth_batches(args.seed, args.batch, size, steps=args.batches)
+    )
+    scores = evaluate_model(
+        lambda img: predict(params, jnp.asarray(img)),
+        gen,
+        align=args.align,
+        max_batches=args.batches,
+    )
+    print(" ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items())), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -116,6 +116,8 @@ def main(argv=None) -> int:
     parser.add_argument("--accum", type=int, default=1, help="gradient accumulation microsteps")
     parser.add_argument("--remat", default="dots", choices=["none", "dots", "full"])
     parser.add_argument("--bf16", action="store_true", help="bf16 compute / f32 masters")
+    parser.add_argument("--ema", type=float, default=None, help="EMA decay for an averaged param copy (e.g. 0.999)")
+    parser.add_argument("--cosine", action="store_true", help="warmup-cosine decay over --steps")
     parser.add_argument("--model-parallel", type=int, default=1, help="TP size (mesh = data x model)")
     parser.add_argument("--out", default=None, help="save final params here")
     parser.add_argument("--state-out", default=None, help="save full train state here")
@@ -165,10 +167,16 @@ def main(argv=None) -> int:
         model.params,
         mesh,
         tp_rules=tp_rules,
-        optimizer=adamw(args.lr, weight_decay=args.weight_decay, warmup_steps=args.warmup),
+        optimizer=adamw(
+            args.lr,
+            weight_decay=args.weight_decay,
+            warmup_steps=args.warmup,
+            total_steps=args.steps if args.cosine else None,
+        ),
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         remat=args.remat,
         accum_steps=args.accum,
+        ema_decay=args.ema,
     )
     if args.resume:
         step.state = load_checkpoint(args.resume, step.state)
@@ -207,8 +215,10 @@ def main(argv=None) -> int:
         save_checkpoint(args.state_out, step.state)
         print(f"train state -> {args.state_out}", flush=True)
     if args.out:
-        save_checkpoint(args.out, step.state["params"])
-        print(f"params -> {args.out}", flush=True)
+        out_params = step.state.get("ema", step.state["params"])
+        save_checkpoint(args.out, out_params)
+        which = "ema params" if "ema" in step.state else "params"
+        print(f"{which} -> {args.out}", flush=True)
 
     if args.eval_batches:
         from burn_depth_tpu.train import evaluate_model

@@ -45,15 +45,25 @@ def adamw(
     b2: float = 0.999,
     grad_clip: Optional[float] = 1.0,
     warmup_steps: int = 0,
+    total_steps: Optional[int] = None,
 ) -> optax.GradientTransformation:
-    """AdamW with global-norm clipping and linear warmup.
+    """AdamW with global-norm clipping and warmup(+cosine) scheduling.
 
+    ``total_steps`` set → warmup-cosine decay to zero over the run;
+    otherwise ``warmup_steps`` alone gives a linear ramp to a flat rate.
     Weight decay applies only to rank-≥2 leaves (kernels), never to biases,
     LayerNorm scales, or layerscale vectors — the standard ViT fine-tuning
     convention.
     """
-    if warmup_steps and not callable(learning_rate):
-        learning_rate = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    if not callable(learning_rate):
+        if total_steps:
+            # warmup must fit inside the run (optax requires it strictly)
+            warmup = min(warmup_steps, max(total_steps // 2, 1) - 1)
+            learning_rate = optax.warmup_cosine_decay_schedule(
+                0.0, learning_rate, max(warmup, 0), total_steps
+            )
+        elif warmup_steps:
+            learning_rate = optax.linear_schedule(0.0, learning_rate, warmup_steps)
     decay_mask = lambda params: jax.tree.map(lambda p: p.ndim >= 2, params)
     chain = []
     if grad_clip is not None:
@@ -122,6 +132,7 @@ def compile_train_step(
     compute_dtype: Any = None,
     remat: str = "none",
     accum_steps: int = 1,
+    ema_decay: Optional[float] = None,
 ) -> TrainStep:
     """Compile ``loss_fn(params, batch) -> loss | (loss, aux)`` into a
     donated, mesh-sharded SGD step.
@@ -129,6 +140,9 @@ def compile_train_step(
     With a ``mesh``, params are placed per ``tp_rules`` (replicated along
     ``data``, split along ``model``) and each batch leaf is sharded over
     ``data`` on its leading axis; without one, everything stays single-device.
+    ``ema_decay`` keeps an exponential moving average of the params in the
+    state (``state["ema"]``, seeded from the start point) — the usual
+    serve-the-EMA fine-tuning trick; it shards/checkpoints like the params.
     """
     optimizer = optimizer if optimizer is not None else adamw()
 
@@ -173,6 +187,14 @@ def compile_train_step(
             "params": new_params,
             "opt_state": opt_state,
         }
+        if ema_decay is not None:
+            # bias-corrected EMA (debiased by 1-d^t at read time is avoided
+            # by seeding from the initial params instead)
+            new_state["ema"] = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p.astype(e.dtype),
+                state["ema"],
+                new_params,
+            )
         metrics = {
             "loss": loss,
             "grad_norm": global_norm(grads),
@@ -192,7 +214,13 @@ def compile_train_step(
         in_shard = None
 
     # ``optimizer.init`` under jit: moment shardings follow the placed params.
-    state = jax.jit(lambda p: train_state(p, optimizer))(placed)
+    def init_state(p):
+        s = train_state(p, optimizer)
+        if ema_decay is not None:
+            s["ema"] = jax.tree.map(lambda a: a, p)  # seed EMA at the start point
+        return s
+
+    state = jax.jit(init_state)(placed)
     fn = jax.jit(step, donate_argnums=(0,))
     return TrainStep(
         mesh=mesh, state=state, fn=fn, input_sharding=in_shard, accum_steps=accum_steps

@@ -367,3 +367,41 @@ def test_evaluate_model_loop():
     out = evaluate_model(predict, gen)
     assert set(out) >= {"abs_rel", "rmse", "delta1", "silog"}
     assert np.isfinite(list(out.values())).all()
+
+
+# ---------------------------------------------------------------------------
+# EMA + schedules
+# ---------------------------------------------------------------------------
+
+
+def test_ema_tracks_params():
+    params, batch = _quadratic_setup()
+    step = compile_train_step(
+        _quadratic_loss, params, optimizer=adamw(1e-1, weight_decay=0.0), ema_decay=0.5
+    )
+    for _ in range(20):
+        step(batch)
+    w = np.asarray(step.state["params"]["w"])
+    e = np.asarray(step.state["ema"]["w"])
+    w0 = np.zeros_like(w)
+    # EMA lags behind the raw params but has clearly left the start point
+    assert 0 < np.linalg.norm(e - w0)
+    assert np.linalg.norm(e - w) < np.linalg.norm(w - w0)
+    # fast decay 0.5: the EMA lags the raw params by about one Adam step
+    # (~lr per coordinate), so it stays within a couple of steps' movement
+    np.testing.assert_allclose(e, w, atol=0.25)
+
+
+def test_cosine_schedule_decays_to_zero():
+    params, batch = _quadratic_setup()
+    step = compile_train_step(
+        _quadratic_loss,
+        params,
+        optimizer=adamw(1e-1, weight_decay=0.0, warmup_steps=2, total_steps=10),
+    )
+    for _ in range(10):
+        step(batch)
+    w10 = np.asarray(step.state["params"]["w"])
+    step(batch)  # lr has decayed to ~0: the update is ~nothing
+    w11 = np.asarray(step.state["params"]["w"])
+    np.testing.assert_allclose(w10, w11, atol=1e-4)
