@@ -149,7 +149,11 @@ def main(argv=None) -> int:
 
     mesh = None
     tp_rules = ()
-    if args.model_parallel > 1 or len(jax.devices()) > 1:
+    n_dev = len(jax.devices())
+    data_par = n_dev // args.model_parallel
+    # only shard when the per-step batch divides the data axis; otherwise run
+    # single-device (e.g. batch=1 smoke runs on a multi-device host)
+    if (args.model_parallel > 1 or n_dev > 1) and args.batch % max(data_par, 1) == 0:
         from burn_depth_tpu.parallel import make_mesh, vit_tp_rules
 
         mesh = make_mesh(jax.devices(), model=args.model_parallel)

@@ -137,3 +137,38 @@ def test_import_da3_cli_validate_gate(tmp_path, monkeypatch):
     save_file({"metric_input": x, "depth": depth * 1.5}, golden_path)
     rc = import_main([upstream, "-o", out, "--storage-dtype", "float32", "--validate", golden_path])
     assert rc == 1
+
+
+def test_train_cli_smoke(tmp_path):
+    """One DA3-tiny step through the full CLI path incl. state save/resume."""
+    from burn_depth_tpu.cli.train import main as train_main
+
+    state = str(tmp_path / "state.safetensors")
+    out = str(tmp_path / "params.safetensors")
+    rc = train_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--steps", "1",
+        "--batch", "1", "--log-every", "1", "--state-out", state, "--out", out,
+        "--ema", "0.9", "--remat", "none",
+    ])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(state) and os.path.exists(out)
+    rc = train_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--steps", "2",
+        "--batch", "1", "--log-every", "1", "--resume", state, "--ema", "0.9",
+        "--remat", "none",
+    ])
+    assert rc == 0
+
+
+def test_evaluate_cli_smoke(capsys):
+    from burn_depth_tpu.cli.evaluate import main as eval_main
+
+    rc = eval_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--batches", "1",
+        "--batch", "1", "--align",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "abs_rel=" in out and "delta1=" in out
