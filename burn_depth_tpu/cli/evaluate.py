@@ -36,22 +36,14 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    from burn_depth_tpu.cli.train import _build_model, _image_dir_batches
+    from burn_depth_tpu.cli.train import _build_model, _image_dir_batches, build_predict_fn
     from burn_depth_tpu.train import evaluate_model, synthetic_depth_batches
 
     model, _loss, size = _build_model(args)
     params = model.params
-
-    if args.model == "depth-pro":
-        predict = jax.jit(
-            lambda p, x: 1.0 / jnp.clip(model._forward_internal(p, x)[0][:, 0], 1e-4, 1e4)
-        )
-    else:
-        predict = jax.jit(
-            lambda p, x: model._finalize(
-                model._forward_internal(p, x, None, None)[0], None
-            ).depth
-        )
+    # full serving semantics (incl. Depth Pro's FOV-derived focal scaling) —
+    # shared with the train CLI so the metric definition cannot drift
+    predict = build_predict_fn(model, args.model)
 
     gen = (
         _image_dir_batches(args.data, args.batch, size)

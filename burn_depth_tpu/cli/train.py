@@ -56,6 +56,24 @@ def _build_model(args):
         return model, da3_objective(model), cfg.image_size
 
 
+def build_predict_fn(model, model_name: str):
+    """Jitted ``(params, image) -> depth [B,H,W]`` with full serving semantics.
+
+    For Depth Pro this is ``_infer_fn`` — canonical inverse depth scaled by
+    the FOV-derived focal length, then inverted — NOT a bare inversion of the
+    canonical output (the two differ by ``focal_px/width`` per image, which
+    would silently skew every metric).  Shared by the train and evaluate
+    CLIs so the definition cannot drift.
+    """
+    import jax
+
+    if model_name == "depth-pro":
+        return jax.jit(lambda p, x: model._infer_fn(p, x).depth)
+    return jax.jit(
+        lambda p, x: model._finalize(model._forward_internal(p, x, None, None)[0], None).depth
+    )
+
+
 def _image_dir_batches(path: str, batch: int, size: int):
     """Paired ``*_rgb.png`` / ``*_depth.npy`` loader, cycled, center-cropped."""
     import glob
@@ -123,7 +141,8 @@ def main(argv=None) -> int:
     parser.add_argument("--state-out", default=None, help="save full train state here")
     parser.add_argument("--resume", default=None, help="resume from a saved train state")
     parser.add_argument("--log-every", type=int, default=10)
-    parser.add_argument("--eval-batches", type=int, default=0, help="run the metric battery on N held-out batches after training")
+    parser.add_argument("--eval-batches", type=int, default=0, help="score N batches after training (held-out synthetic seed, or --eval-data)")
+    parser.add_argument("--eval-data", default=None, help="held-out dir for --eval-batches (falls back to --data, labeled train-set)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
         "--platform", default=None, choices=["cpu", "tpu"],
@@ -137,7 +156,7 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from burn_depth_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from burn_depth_tpu.io.checkpoint import save_checkpoint
     from burn_depth_tpu.train import (
         adamw,
         compile_train_step,
@@ -150,13 +169,26 @@ def main(argv=None) -> int:
     mesh = None
     tp_rules = ()
     n_dev = len(jax.devices())
-    data_par = n_dev // args.model_parallel
-    # only shard when the per-step batch divides the data axis; otherwise run
-    # single-device (e.g. batch=1 smoke runs on a multi-device host)
-    if (args.model_parallel > 1 or n_dev > 1) and args.batch % max(data_par, 1) == 0:
+    use_mesh = False
+    mesh_devices = jax.devices()
+    if args.model_parallel > 1:
+        # explicit TP request is always honored: if the batch does not divide
+        # the data axis, fall back to a pure-TP mesh (data=1) rather than
+        # silently running unsharded
+        if n_dev % args.model_parallel:
+            raise SystemExit(
+                f"--model-parallel {args.model_parallel} does not divide {n_dev} devices"
+            )
+        data_par = n_dev // args.model_parallel
+        if args.batch % max(data_par, 1):
+            mesh_devices = jax.devices()[: args.model_parallel]
+        use_mesh = True
+    elif n_dev > 1 and args.batch % n_dev == 0:
+        use_mesh = True  # DP over all devices
+    if use_mesh:
         from burn_depth_tpu.parallel import make_mesh, vit_tp_rules
 
-        mesh = make_mesh(jax.devices(), model=args.model_parallel)
+        mesh = make_mesh(mesh_devices, model=args.model_parallel)
         if args.model == "depth-pro":
             tp_rules = (
                 vit_tp_rules("encoder/patch_encoder/")
@@ -165,6 +197,18 @@ def main(argv=None) -> int:
             )
         else:
             tp_rules = vit_tp_rules("backbone/pretrained/")
+
+    # the optax schedule counts GLOBAL steps (it resumes with opt_state), so
+    # a resumed cosine run must span restored_step + args.steps — otherwise
+    # the whole resumed run sits in the decayed-to-zero tail
+    resume_flat = None
+    total_steps = args.steps if args.cosine else None
+    if args.resume:
+        from burn_depth_tpu.io.checkpoint import load_safetensors
+
+        resume_flat = load_safetensors(args.resume)
+        if args.cosine:
+            total_steps = int(resume_flat["step"]) + args.steps
 
     step = compile_train_step(
         loss_fn,
@@ -175,7 +219,7 @@ def main(argv=None) -> int:
             args.lr,
             weight_decay=args.weight_decay,
             warmup_steps=args.warmup,
-            total_steps=args.steps if args.cosine else None,
+            total_steps=total_steps,
         ),
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
         remat=args.remat,
@@ -183,7 +227,18 @@ def main(argv=None) -> int:
         ema_decay=args.ema,
     )
     if args.resume:
-        step.state = load_checkpoint(args.resume, step.state)
+        from burn_depth_tpu.io.checkpoint import unflatten_into
+
+        # tolerate toggling --ema across save/resume: seed a missing EMA from
+        # the resumed params, drop a saved EMA when the flag is off
+        has_ema = any(k.startswith("ema/") for k in resume_flat)
+        if args.ema is not None and not has_ema:
+            for k in [k for k in resume_flat if k.startswith("params/")]:
+                resume_flat["ema/" + k[len("params/"):]] = resume_flat[k]
+            print("seeded EMA from the resumed params", flush=True)
+        elif args.ema is None and has_ema:
+            resume_flat = {k: v for k, v in resume_flat.items() if not k.startswith("ema/")}
+        step.state = unflatten_into(step.state, resume_flat)
         print(f"resumed at step {int(step.state['step'])}", flush=True)
 
     eff_batch = args.batch * args.accum
@@ -227,30 +282,26 @@ def main(argv=None) -> int:
     if args.eval_batches:
         from burn_depth_tpu.train import evaluate_model
 
-        trained = step.state["params"]
-        if args.model == "depth-pro":
-            predict = jax.jit(
-                lambda p, x: 1.0
-                / jnp.clip(model._forward_internal(p, x)[0][:, 0], 1e-4, 1e4)
-            )
+        # score exactly what --out ships: the EMA copy when enabled
+        trained = step.state.get("ema", step.state["params"])
+        predict = build_predict_fn(model, args.model)
+        eval_data = args.eval_data or args.data
+        label = "eval"
+        if eval_data:
+            eval_gen = _image_dir_batches(eval_data, args.batch, size)
+            if eval_data == args.data:
+                label = "eval(train-set)"  # no held-out dir was given
         else:
-            predict = jax.jit(
-                lambda p, x: model._finalize(
-                    model._forward_internal(p, x, None, None)[0], None
-                ).depth
+            eval_gen = synthetic_depth_batches(
+                args.seed + 1, args.batch, size, steps=args.eval_batches
             )
-        eval_gen = (
-            _image_dir_batches(args.data, args.batch, size)
-            if args.data
-            else synthetic_depth_batches(args.seed + 1, args.batch, size, steps=args.eval_batches)
-        )
         scores = evaluate_model(
             lambda img: predict(trained, jnp.asarray(img)),
             eval_gen,
             align=(args.model != "depth-pro"),
             max_batches=args.eval_batches,
         )
-        print("eval: " + " ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items())), flush=True)
+        print(f"{label}: " + " ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items())), flush=True)
     return 0
 
 

@@ -172,3 +172,48 @@ def test_evaluate_cli_smoke(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "abs_rel=" in out and "delta1=" in out
+
+
+def test_train_cli_resume_cosine_and_ema_toggle(tmp_path):
+    """Regressions: (a) resume+--cosine must extend the schedule horizon so
+    the resumed run does not sit at lr=0; (b) toggling --ema across
+    save/resume must not make the strict checkpoint template fail."""
+    import numpy as np
+
+    from burn_depth_tpu.cli.train import main as train_main
+    from burn_depth_tpu.io.checkpoint import load_safetensors
+
+    state = str(tmp_path / "s.safetensors")
+    # save WITHOUT ema, with cosine over 2 steps (fully decayed at the end)
+    rc = train_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--steps", "2",
+        "--batch", "1", "--log-every", "1", "--state-out", state,
+        "--cosine", "--warmup", "0", "--lr", "1e-3", "--remat", "none",
+    ])
+    assert rc == 0
+    w_before = load_safetensors(state)
+
+    # resume WITH ema + cosine: must (a) not crash on the missing ema subtree,
+    # (b) actually move the params (lr rebuilt over restored+new steps)
+    state2 = str(tmp_path / "s2.safetensors")
+    rc = train_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--steps", "2",
+        "--batch", "1", "--log-every", "1", "--resume", state, "--state-out", state2,
+        "--cosine", "--warmup", "0", "--lr", "1e-3", "--ema", "0.5", "--remat", "none",
+    ])
+    assert rc == 0
+    w_after = load_safetensors(state2)
+    assert int(w_after["step"]) == 4
+    moved = [
+        k for k in w_before
+        if k.startswith("params/") and not np.allclose(w_before[k], w_after[k])
+    ]
+    assert moved, "resumed cosine run did not update any params (lr stuck at 0?)"
+    assert any(k.startswith("ema/") for k in w_after)
+
+    # resume again WITHOUT ema: saved ema subtree must be dropped cleanly
+    rc = train_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--steps", "1",
+        "--batch", "1", "--log-every", "1", "--resume", state2, "--remat", "none",
+    ])
+    assert rc == 0
