@@ -319,21 +319,145 @@ def _attention_pallas(
 # only residuals, so memory behaves like flash-attention recompute.
 
 
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                      scale: float, seq_len: int, quiet: bool):
+    """One (batch·head-group, q-block) cell of the flash backward.
+
+    Recomputes P = softmax(qkᵀ·scale) for this q-block entirely in VMEM —
+    the [T, T] score/probability/dS tensors never touch HBM (the jnp-vjp
+    backward materializes three of them per block: measured 3.1 ms/block at
+    DA3-large geometry vs ~0.9 ms fwd, ~65% of a ViT train chain's grad
+    time).  Uses the flash identity rowsum(dP∘P) = rowsum(dO∘O), which holds
+    for quiet softmax too (the +1 denominator term has zero score-gradient).
+    dK/dV accumulate across q-block grid steps into f32 out blocks whose
+    index_map is constant in the q dim (the block stays VMEM-resident).
+    """
+    j = pl.program_id(1)
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    o = o_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [G, Bq, Tp]
+    key_valid = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) < seq_len
+    s = jnp.where(key_valid, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    z = jnp.sum(p, axis=-1, keepdims=True)
+    if quiet:
+        z = z + jnp.exp(-m)
+    p = p / z  # [G, Bq, Tp] f32, rows over pad keys are exactly 0
+
+    # dP = dO Vᵀ ; D = rowsum(dO ∘ O) ; dS = P ∘ (dP − D) · scale
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    d = jnp.sum(do * o, axis=-1, keepdims=True)
+    ds = p * (dp - d) * scale  # [G, Bq, Tp]
+
+    ds_c = ds.astype(q.dtype)
+    p_c = p.astype(q.dtype)
+    dq_ref[...] = jax.lax.dot_general(
+        ds_c, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dk_j = jax.lax.dot_general(
+        ds_c, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [G, Tp, hd]
+    dv_j = jax.lax.dot_general(
+        p_c, do.astype(q.dtype), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[...] = dk_j
+        dv_ref[...] = dv_j
+
+    @pl.when(j > 0)
+    def _accum():
+        dk_ref[...] += dk_j
+        dv_ref[...] += dv_j
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "quiet"))
+def _attention_pallas_bwd(q, k, v, o, do, scale: float, quiet: bool):
+    """Flash backward over ``[B, H, T, hd]``: returns (dq, dk, dv)."""
+    b, h, t, hd = q.shape
+    bh = b * h
+    t_pad = _round_up(t, 128)
+    hd_pad = _round_up(hd, 128) if hd % 8 else hd
+
+    # q-block sizing: TWO f32 [G, q_block, Tp] matrices (P and dP/dS) live at
+    # once — budget ≈ 10 MB of the ~16 MB VMEM, leaving room for k/v/dk/dv
+    budget = 10 * 1024 * 1024
+    per_row = 2 * t_pad * 4
+    qb_cap = max((budget // per_row) // 16 * 16, 16)
+    # split the q range into the fewest equal chunks that fit the cap, so
+    # the last block carries at most 15 padded rows (a naive min(T, cap)
+    # block would pad DA3's T=1374 out to 2x928 — 35% wasted q rows)
+    n_chunks = max(1, -(-_round_up(t, 16) // qb_cap))
+    q_block = _round_up(-(-t // n_chunks), 16)
+    tq_pad = n_chunks * q_block
+    g = max(1, min(8, budget // (per_row * q_block)))
+    while bh % g:
+        g -= 1
+
+    def flat_pad(x, rows):
+        x = x.reshape(bh, t, hd)
+        return jnp.pad(x, ((0, 0), (0, rows - t), (0, hd_pad - hd)))
+
+    qf, of, dof = (flat_pad(x, tq_pad) for x in (q, o, do))
+    kf, vf = (flat_pad(x, t_pad) for x in (k, v))
+
+    grid = (bh // g, tq_pad // q_block)
+    kernel = functools.partial(_flash_bwd_kernel, scale=scale, seq_len=t, quiet=quiet)
+    q_spec = pl.BlockSpec((g, q_block, hd_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((g, t_pad, hd_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tq_pad, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t_pad, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bh, t_pad, hd_pad), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec],
+        out_specs=(q_spec, kv_spec, kv_spec),
+    )(qf, kf, vf, of, dof)
+
+    unflat = lambda x: x[:, :t, :hd].reshape(b, h, t, hd)
+    return unflat(dq).astype(q.dtype), unflat(dk).astype(k.dtype), unflat(dv).astype(v.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _attention_pallas_diff(q, k, v, scale: float, quiet: bool):
     return _attention_pallas(q, k, v, scale=scale, quiet_softmax=quiet)
 
 
 def _attention_pallas_diff_fwd(q, k, v, scale: float, quiet: bool):
-    return _attention_pallas_diff(q, k, v, scale, quiet), (q, k, v)
+    out = _attention_pallas(q, k, v, scale=scale, quiet_softmax=quiet)
+    return out, (q, k, v, out)
 
 
 def _attention_pallas_diff_bwd(scale: float, quiet: bool, residuals, g):
-    q, k, v = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _attention_jnp(q_, k_, v_, scale, quiet), q, k, v
-    )
-    return vjp(g)
+    q, k, v, o = residuals
+    import os
+
+    mode = os.environ.get("BDT_ATTN_BWD", "auto")
+    # auto: the flash backward wins where the [T,T] HBM tensors are the cost
+    # (measured 24-block chains: 2.2x at T=1374/B=2, 1.8x at T=577/B=35) but
+    # loses to XLA at tiny T (T=65 tile windows: 138 -> 149 ms end-to-end),
+    # where kernel overhead dominates — gate on sequence length.
+    if mode == "jnp" or (mode == "auto" and q.shape[2] < 128):
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _attention_jnp(q_, k_, v_, scale, quiet), q, k, v
+        )
+        return vjp(g)
+    return _attention_pallas_bwd(q, k, v, o, g, scale, quiet)
 
 
 _attention_pallas_diff.defvjp(_attention_pallas_diff_fwd, _attention_pallas_diff_bwd)

@@ -6,6 +6,10 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
 from burn_depth_tpu.ops.attention import _attention_jnp, multi_head_attention
 
 
@@ -166,3 +170,48 @@ def test_packed4_kernel_matches_jnp(t, quiet):
     finally:
         pl.pallas_call = real_call
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("t,quiet", [(64, False), (77, False), (130, True), (577, False)])
+def test_pallas_flash_backward_matches_jnp_vjp(t, quiet, monkeypatch):
+    """The training path's flash backward kernel (interpret mode) must match
+    the exact VJP of the jnp formulation — incl. pad-key masking at non-128
+    T and the quiet-softmax denominator."""
+    from burn_depth_tpu.ops.attention import _attention_jnp, _attention_pallas_diff
+
+    monkeypatch.setenv("BDT_ATTN_BWD", "pallas")  # bypass the small-T auto gate
+    b, h, hd = 2, 2, 64 if t >= 130 else 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q, k, v = (jax.random.normal(ks[i], (b, h, t, hd), jnp.float32) * 0.5 for i in range(3))
+    g = jax.random.normal(ks[3], (b, h, t, hd), jnp.float32)
+    scale = hd**-0.5
+
+    _, ref_vjp = jax.vjp(lambda a, b_, c: _attention_jnp(a, b_, c, scale, quiet), q, k, v)
+    ref = ref_vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        out, vjp = jax.vjp(
+            lambda a, b_, c: _attention_pallas_diff(a, b_, c, scale, quiet), q, k, v
+        )
+        got = vjp(g)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_attention_jnp(q, k, v, scale, quiet)), rtol=2e-5, atol=2e-5
+    )
+    for a, r, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_pallas_backward_jnp_fallback_knob(monkeypatch):
+    """BDT_ATTN_BWD=jnp routes the backward through the jax.vjp fallback."""
+    from burn_depth_tpu.ops.attention import _attention_jnp, _attention_pallas_diff
+
+    monkeypatch.setenv("BDT_ATTN_BWD", "jnp")
+    b, h, t, hd = 1, 2, 48, 32
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    q, k, v = (jax.random.normal(ks[i], (b, h, t, hd), jnp.float32) for i in range(3))
+    g = jax.random.normal(ks[3], (b, h, t, hd), jnp.float32)
+    _, ref_vjp = jax.vjp(lambda a, b_, c: _attention_jnp(a, b_, c, 0.25, False), q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        _, vjp = jax.vjp(lambda a, b_, c: _attention_pallas_diff(a, b_, c, 0.25, False), q, k, v)
+        got = vjp(g)
+    for a, r in zip(got, ref_vjp(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-5, atol=1e-5)
