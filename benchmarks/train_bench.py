@@ -89,12 +89,16 @@ def bench_da3(batch_size: int = 2) -> None:
     print(json.dumps({"hbm": device_memory_stats()}), file=sys.stderr, flush=True)
 
 
-def bench_depth_pro(preset: str = "full", remat: str = "dots") -> None:
+def bench_depth_pro(preset: str = "full", remat: str = "dots", tile_chunks: int = 0) -> None:
+    import dataclasses
+
     from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
 
     cfg = (
         DepthProConfig.dinov2_l16_384() if preset == "full" else DepthProConfig.dinov2_l16_128()
     )
+    if tile_chunks:
+        cfg = dataclasses.replace(cfg, tile_chunks=tile_chunks)
     model = DepthPro.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     step = compile_train_step(
         depth_pro_objective(model, fov_weight=0.0),
@@ -104,7 +108,8 @@ def bench_depth_pro(preset: str = "full", remat: str = "dots") -> None:
     )
     batch = synth_batch(1, cfg.img_size)
     s = time_steps(step, batch)
-    emit(f"depth_pro_finetune_{cfg.img_size}_b1", s, 1)
+    tag = f"_tc{tile_chunks}" if tile_chunks else ""
+    emit(f"depth_pro_finetune_{cfg.img_size}_b1{tag}", s, 1)
     print(json.dumps({"hbm": device_memory_stats()}), file=sys.stderr, flush=True)
 
 
@@ -113,10 +118,13 @@ def main() -> None:
     if which in ("all", "da3"):
         bench_da3()
     if which in ("all", "depth_pro"):
+        # flagship 1536²: the tile-chunked scan form is what compiles through
+        # the tunnel helper (the unrolled 35-tile backward HLO does not —
+        # BENCH.md round-2 cont. 4); chunks=5 → 7-tile chunk body.
         try:
-            bench_depth_pro("full")
+            bench_depth_pro("full", tile_chunks=5)
         except Exception as e:  # compile/OOM — fall back to the 512 preset
-            print(json.dumps({"metric": "depth_pro_finetune_1536_b1", "error": str(e)[:160]}), flush=True)
+            print(json.dumps({"metric": "depth_pro_finetune_1536_b1_tc5", "error": str(e)[:160]}), flush=True)
             try:
                 bench_depth_pro("small")
             except Exception as e2:

@@ -27,11 +27,15 @@ def _build_model(args):
     if args.model == "depth-pro":
         from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
 
+        import dataclasses
+
         cfg = (
             DepthProConfig.tiny_test()
             if args.preset == "tiny"
             else DepthProConfig.dinov2_l16_384()
         )
+        if getattr(args, "tile_chunks", 0):
+            cfg = dataclasses.replace(cfg, tile_chunks=args.tile_chunks)
         if args.checkpoint:
             model = DepthPro.load_with_config(args.checkpoint, cfg)
         else:
@@ -133,6 +137,11 @@ def main(argv=None) -> int:
     parser.add_argument("--warmup", type=int, default=10)
     parser.add_argument("--accum", type=int, default=1, help="gradient accumulation microsteps")
     parser.add_argument("--remat", default="dots", choices=["none", "dots", "full"])
+    parser.add_argument(
+        "--tile-chunks", type=int, default=0, dest="tile_chunks",
+        help="depth-pro: scan the 35-tile ViT pass in N rematerialized chunks "
+        "(5 or 7; shrinks the backward HLO so the 1536² fine-tune compiles)",
+    )
     parser.add_argument("--bf16", action="store_true", help="bf16 compute / f32 masters")
     parser.add_argument("--ema", type=float, default=None, help="EMA decay for an averaged param copy (e.g. 0.999)")
     parser.add_argument("--cosine", action="store_true", help="warmup-cosine decay over --steps")

@@ -127,6 +127,28 @@ def project_upsample_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _chunked_patch_pass(vit_params: dict, pyramid: jnp.ndarray, cfg, chunks: int):
+    """The patch-encoder pass as a rematerialized ``lax.scan`` over tile
+    chunks (``tile_chunks`` must divide the tile count — 5 or 7 for the
+    flagship's 35).  Returns ``(patchtokens [N,T,D], [hook_tokens [N,T,D],
+    ...])`` exactly as the single batched pass would."""
+    from burn_depth_tpu.vit.dinov2 import dinov2_forward
+
+    total = pyramid.shape[0]
+    per = total // chunks
+    tiles = pyramid.reshape(chunks, per, *pyramid.shape[1:])
+
+    def body(carry, chunk):
+        out = dinov2_forward(
+            vit_params, chunk, cfg.patch_encoder, hook_ids=cfg.hook_ids, attn_impl=cfg.attn_impl
+        )
+        return carry, (out.x_norm_patchtokens, tuple(h.tokens for h in out.hooks))
+
+    _, (patchtokens, hook_tokens) = jax.lax.scan(jax.checkpoint(body), None, tiles)
+    patchtokens = patchtokens.reshape(total, *patchtokens.shape[2:])
+    return patchtokens, [h.reshape(total, *h.shape[2:]) for h in hook_tokens]
+
+
 # --------------------------------------------------------------------------
 # encoder
 # --------------------------------------------------------------------------
@@ -187,11 +209,26 @@ def encoder_forward(
     pyramid = jnp.concatenate([x0_tiles, x1_tiles, x2_tiles], axis=0)
 
     # ONE batched ViT pass over all 35 tiles — the hot loop.
-    out = dinov2_forward(
-        vit_params, pyramid, cfg.patch_encoder, hook_ids=cfg.hook_ids, attn_impl=cfg.attn_impl
-    )
+    chunks = getattr(cfg, "tile_chunks", 0)
+    if chunks and chunks > 1 and pyramid.shape[0] % chunks == 0:
+        # Training form: the 35-tile pass as a ``lax.scan`` over tile chunks
+        # with per-chunk rematerialization.  Numerics are identical (tiles are
+        # independent through the ViT); the XLA program carries ONE chunk-body
+        # instead of 35 unrolled tiles, so the backward HLO shrinks by ~the
+        # chunk count — this is what lets the flagship 1536² fine-tune compile
+        # (the unrolled 35-tile backward exceeds the compile helper's
+        # capacity, BENCH.md round-2 cont. 4).  Serving keeps the single
+        # batched pass (``tile_chunks=0``): one big pass beats a serialized
+        # scan on MXU utilization.
+        patchtokens, hook_tokens = _chunked_patch_pass(vit_params, pyramid, cfg, chunks)
+    else:
+        out = dinov2_forward(
+            vit_params, pyramid, cfg.patch_encoder, hook_ids=cfg.hook_ids, attn_impl=cfg.attn_impl
+        )
+        patchtokens = out.x_norm_patchtokens
+        hook_tokens = [h.tokens for h in out.hooks]
 
-    encodings = reshape_feature(out.x_norm_patchtokens, out_size, out_size, 0)
+    encodings = reshape_feature(patchtokens, out_size, out_size, 0)
     len0 = x0_tiles.shape[0]
     len1 = x1_tiles.shape[0]
     x0_enc = encodings[:len0]
@@ -199,8 +236,8 @@ def encoder_forward(
     x2_enc = encodings[len0 + len1 :]
 
     high_count = batch * steps0 * steps0
-    latent0_merge_input = reshape_feature(out.hooks[0].tokens, out_size, out_size, 1)
-    latent1_merge_input = reshape_feature(out.hooks[1].tokens, out_size, out_size, 1)
+    latent0_merge_input = reshape_feature(hook_tokens[0], out_size, out_size, 1)
+    latent1_merge_input = reshape_feature(hook_tokens[1], out_size, out_size, 1)
     latent0_enc = latent0_merge_input[:high_count]
     latent1_enc = latent1_merge_input[:high_count]
 

@@ -44,6 +44,11 @@ class DepthProConfig:
     hook_ids: tuple[int, int] = (5, 11)
     use_fov_head: bool = True
     attn_impl: str = "auto"
+    # Training knob: run the 35-tile patch-ViT pass as a rematerialized
+    # ``lax.scan`` over this many tile chunks (must divide the tile count;
+    # 5 or 7 for the flagship).  0 = one batched pass (serving default).
+    # Shrinks the backward HLO ~chunk-fold so the 1536² fine-tune compiles.
+    tile_chunks: int = 0
 
     @property
     def img_size(self) -> int:

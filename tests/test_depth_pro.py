@@ -426,3 +426,39 @@ def test_nhwc_pallas_conv_route_matches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(gotw.depth), np.asarray(ref.depth), rtol=1e-4, atol=1e-5
     )
+
+
+def test_tile_chunked_encoder_matches_batched(tiny_model):
+    """``tile_chunks`` (the training form: scan over rematerialized tile
+    chunks) must be numerically identical to the single batched 35-tile pass
+    — forward AND gradients (the scan body is jax.checkpoint-wrapped, so the
+    backward recomputes each chunk)."""
+    import dataclasses
+
+    cfg5 = dataclasses.replace(tiny_model.config, tile_chunks=5)
+    chunked = DepthPro(cfg5, tiny_model.params)
+
+    size = tiny_model.img_size
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, size, size)) * 0.3
+    ref = tiny_model.infer(x)
+    got = chunked.infer(x)
+    np.testing.assert_allclose(np.asarray(got.depth), np.asarray(ref.depth), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got.focallength_px), np.asarray(ref.focallength_px), rtol=1e-5
+    )
+
+    # gradient equality through the scanned/rematerialized pass
+    def loss(model):
+        def fn(p):
+            canonical, *_ = model._forward_internal(p, x)
+            return jnp.mean(canonical.astype(jnp.float32) ** 2)
+
+        return fn
+
+    g_ref = jax.grad(loss(tiny_model))(tiny_model.params)
+    g_got = jax.grad(loss(chunked))(tiny_model.params)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat_got = jax.tree_util.tree_leaves(g_got)
+    assert len(flat_ref) == len(flat_got)
+    for a, b in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-6)
