@@ -22,3 +22,4 @@ from burn_depth_tpu.serve.realtime import (  # noqa: F401
     run_realtime,
 )
 from burn_depth_tpu.serve.http import DepthHTTPServer  # noqa: F401
+from burn_depth_tpu.serve.export import export_serving, load_exported  # noqa: F401

@@ -1,0 +1,79 @@
+"""AOT serving-artifact export (serve/export.py): serialize → deserialize →
+numerical equality with the live model, for both model families, plus the CLI
+surface."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+from burn_depth_tpu.serve.export import export_serving, load_exported
+
+
+def test_depth_pro_export_roundtrip(tmp_path):
+    cfg = dataclasses.replace(DepthProConfig.tiny_test(), attn_impl="jnp")
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "dp.stablehlo")
+    n = export_serving(model, path)
+    assert n > 0 and os.path.getsize(path) == n
+
+    call = load_exported(path)
+    assert "cpu" in call.platforms
+    x = np.random.default_rng(0).standard_normal((1, 3, model.img_size, model.img_size)).astype(np.float32)
+    got = call(x)
+    ref = model.infer(jnp.asarray(x))
+    # output pytree class round-trips through the export
+    assert type(got).__name__ == "DepthProInference"
+    np.testing.assert_allclose(np.asarray(got.depth), np.asarray(ref.depth), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got.focallength_px), np.asarray(ref.focallength_px), rtol=1e-5
+    )
+
+
+def test_da3_export_roundtrip(tmp_path):
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = DepthAnything3.init(jax.random.PRNGKey(1), cfg)
+    path = str(tmp_path / "da3.stablehlo")
+    export_serving(model, path, batch=2)
+
+    call = load_exported(path)
+    x = np.random.default_rng(1).standard_normal((2, 3, 28, 28)).astype(np.float32)
+    got = call(x)
+    ref = model.infer(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got.depth), np.asarray(ref.depth), rtol=1e-5, atol=1e-6)
+
+
+def test_export_input_size_override(tmp_path):
+    """input_size pulls the in-graph resize into the artifact."""
+    cfg = dataclasses.replace(DepthProConfig.tiny_test(), attn_impl="jnp")
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "dp100.stablehlo")
+    export_serving(model, path, input_size=100)
+    call = load_exported(path)
+    assert call.in_avals[0].shape == (1, 3, 100, 100)
+    got = call(np.zeros((1, 3, 100, 100), np.float32))
+    assert got.depth.shape == (1, 100, 100)
+
+
+def test_export_cli_roundtrip(tmp_path):
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from burn_depth_tpu.cli.export import main as export_main
+
+    art = str(tmp_path / "tiny.stablehlo")
+    rc = export_main(["--model", "depth-pro", "--tiny", "--attn-impl", "jnp", "--out", art])
+    assert rc == 0 and os.path.exists(art)
+
+    img_path = str(tmp_path / "in.png")
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    ).save(img_path)
+    out_path = str(tmp_path / "depth.png")
+    rc = export_main(["--run", art, "--image", img_path, "--output", out_path])
+    assert rc == 0 and os.path.exists(out_path)
