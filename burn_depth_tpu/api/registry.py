@@ -54,7 +54,12 @@ class DepthModelKind(enum.Enum):
 
 def _is_native_checkpoint(path: str) -> bool:
     """Native checkpoints use '/'-joined pytree paths; upstream PyTorch files
-    use dotted keys.  Peek at the safetensors header (cheap)."""
+    use dotted keys.  Peek at the safetensors header (cheap).  An Orbax
+    directory is always a native checkpoint (upstream ships files)."""
+    from burn_depth_tpu.io.orbax_io import is_orbax_path
+
+    if is_orbax_path(path):
+        return True
     if not path.endswith(".safetensors"):
         return False  # .pt is always an upstream import
     from safetensors import safe_open

@@ -11,6 +11,9 @@ Real fine-tuning: start from an imported checkpoint (``--checkpoint``) and
 point ``--data`` at a directory of paired ``*_rgb.png`` / ``*_depth.npy``
 files.  ``--resume`` continues from a saved train state (params + Adam
 moments + step counter — one safetensors file, ``io/checkpoint.py``).
+State/param paths ending in ``.orbax`` (or existing directories) use the
+Orbax directory format instead (``io/orbax_io.py``) — same strict
+structure checks, sharding-aware restore.
 """
 
 from __future__ import annotations
@@ -165,7 +168,7 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from burn_depth_tpu.io.checkpoint import save_checkpoint
+    from burn_depth_tpu.io.checkpoint import save_auto as save_checkpoint
     from burn_depth_tpu.train import (
         adamw,
         compile_train_step,
@@ -213,9 +216,9 @@ def main(argv=None) -> int:
     resume_flat = None
     total_steps = args.steps if args.cosine else None
     if args.resume:
-        from burn_depth_tpu.io.checkpoint import load_safetensors
+        from burn_depth_tpu.io.checkpoint import load_flat_auto
 
-        resume_flat = load_safetensors(args.resume)
+        resume_flat = load_flat_auto(args.resume)
         if args.cosine:
             total_steps = int(resume_flat["step"]) + args.steps
 

@@ -14,7 +14,13 @@ checkpoint format.  TPU-native choices:
   deliberately keeps PyTorch naming and layouts.
 """
 
-from burn_depth_tpu.io.checkpoint import load_checkpoint, save_checkpoint  # noqa: F401
+from burn_depth_tpu.io.checkpoint import (  # noqa: F401
+    load_checkpoint,
+    load_flat_auto,
+    save_auto,
+    save_checkpoint,
+)
+from burn_depth_tpu.io.orbax_io import load_orbax, save_orbax  # noqa: F401
 from burn_depth_tpu.io.importers import (  # noqa: F401
     ImportReport,
     import_da3,

@@ -24,8 +24,14 @@ def _path_str(path) -> str:
             parts.append(str(k.key))
         elif hasattr(k, "idx"):
             parts.append(str(k.idx))
+        elif hasattr(k, "name"):
+            # GetAttrKey (NamedTuple fields, e.g. optax states): use the bare
+            # field name so the flat view is identical whether the tree holds
+            # the NamedTuple or the plain-dict form an Orbax template-less
+            # restore returns.
+            parts.append(str(k.name))
         else:
-            parts.append(str(k))
+            parts.append(str(k).lstrip("."))
     return "/".join(parts)
 
 
@@ -84,9 +90,31 @@ def save_checkpoint(path: str, params: Any, *, storage_dtype: Optional[str] = No
 
 
 def load_checkpoint(path: str, template: Any) -> Any:
-    """Load a native checkpoint into the dtypes/structure of ``template``."""
-    flat = load_safetensors(path)
+    """Load a native checkpoint (safetensors file or Orbax directory) into
+    the dtypes/structure of ``template``.  Both formats go through the same
+    strict ``unflatten_into`` missing/unexpected report; for sharded direct-
+    to-device restore use ``io.orbax_io.load_orbax`` with a sharded template."""
+    flat = load_flat_auto(path)
     return unflatten_into(template, flat)
+
+
+def save_auto(path: str, tree: Any, *, storage_dtype: Optional[str] = None) -> None:
+    """Format-dispatching save: directory / ``.orbax`` path → Orbax
+    (``io/orbax_io.py``), anything else → native safetensors."""
+    from burn_depth_tpu.io.orbax_io import is_orbax_path, save_orbax
+
+    if is_orbax_path(path):
+        save_orbax(path, tree)
+    else:
+        save_checkpoint(path, tree, storage_dtype=storage_dtype)
+
+
+def load_flat_auto(path: str) -> dict[str, np.ndarray]:
+    """Format-dispatching flat load: Orbax directory or safetensors file →
+    the same ``{'/'-joined path: array}`` view."""
+    from burn_depth_tpu.io.orbax_io import is_orbax_path, load_flat_orbax
+
+    return load_flat_orbax(path) if is_orbax_path(path) else load_safetensors(path)
 
 
 def load_safetensors(path: str) -> dict[str, np.ndarray]:
@@ -96,5 +124,7 @@ def load_safetensors(path: str) -> dict[str, np.ndarray]:
     out = {}
     with safe_open(path, framework="numpy") as f:
         for k in f.keys():
-            out[k] = f.get_tensor(k)
+            # legacy native files spelled NamedTuple fields with a leading
+            # '.' ("opt_state/1/0/.count"); canonical keys have no dot.
+            out[k.replace("/.", "/").lstrip(".")] = f.get_tensor(k)
     return out

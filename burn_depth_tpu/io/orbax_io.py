@@ -1,0 +1,89 @@
+"""Orbax checkpoint backend: the TPU-ecosystem directory format.
+
+The native format (``io/checkpoint.py``) is one safetensors file — the role
+of the reference's NamedMpk recorder (``depth_pro/mod.rs:206``).  Orbax adds
+what a TPU deployment wants beyond that:
+
+* **sharding-aware restore** — leaves land directly on the mesh described by
+  a template of sharded arrays/``ShapeDtypeStruct``s, with no host-side
+  gather/scatter round trip;
+* **async save** — the serialization thread overlaps the next train steps
+  (``AsyncCheckpointer``), so checkpointing costs one device→host copy, not
+  a training stall;
+* **step-managed directories** — ``CheckpointManager`` retention/bookkeeping
+  for long fine-tunes.
+
+Paths: an Orbax checkpoint is a *directory*.  The loaders in this package
+treat a directory path as Orbax and a file path as safetensors, so both
+formats flow through the same CLI flags (``cli/train.py --resume/--state-out``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def is_orbax_path(path: str) -> bool:
+    """Directory (or directory-intent ``.orbax`` suffix) → Orbax format."""
+    return os.path.isdir(path) or path.rstrip("/").endswith(".orbax")
+
+
+def save_orbax(path: str, tree: Any, *, async_save: bool = False):
+    """Save a pytree (params or full train state) to an Orbax directory.
+
+    With ``async_save=True`` returns the ``AsyncCheckpointer`` — the caller
+    may keep training and must ``wait_until_finished()`` (or save again —
+    saves serialize) before exiting.  Otherwise blocks and returns None.
+    """
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    if async_save:
+        ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        ckptr.save(path, args=ocp.args.StandardSave(tree), force=True)
+        return ckptr
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+    return None
+
+
+def load_orbax(path: str, template: Optional[Any] = None) -> Any:
+    """Restore a pytree from an Orbax directory.
+
+    ``template`` (a pytree of arrays or ``jax.ShapeDtypeStruct``s, optionally
+    carrying shardings) pins structure/dtype/placement — sharded leaves are
+    restored shard-by-shard onto their devices.  Without a template the tree
+    is restored as saved (host numpy arrays).
+    """
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if template is None:
+            return ckptr.restore(path)
+        spec = jax.tree_util.tree_map(
+            lambda leaf: jax.ShapeDtypeStruct(
+                leaf.shape, leaf.dtype, sharding=getattr(leaf, "sharding", None)
+            ),
+            template,
+        )
+        return ckptr.restore(path, spec)
+
+
+def load_flat_orbax(path: str) -> dict:
+    """Orbax directory → ``{'/'-joined path: np.ndarray}`` — the same flat
+    view ``io/checkpoint.load_safetensors`` gives, so resume logic that works
+    on flat dicts (``cli/train.py``) is format-agnostic."""
+    import numpy as np
+
+    from burn_depth_tpu.io.checkpoint import flatten_tree
+
+    tree = load_orbax(path)
+    return {k: np.asarray(v) for k, v in flatten_tree(tree).items()}
