@@ -14,6 +14,11 @@ moments + step counter — one safetensors file, ``io/checkpoint.py``).
 State/param paths ending in ``.orbax`` (or existing directories) use the
 Orbax directory format instead (``io/orbax_io.py``) — same strict
 structure checks, sharding-aware restore.
+
+Long fine-tunes: ``--ckpt-dir`` turns on the Orbax ``CheckpointManager`` —
+periodic async train-state saves every ``--ckpt-every`` steps with
+``--ckpt-keep`` retention, and automatic resume from the latest step when
+the run restarts (no flags to remember; ``--resume`` overrides).
 """
 
 from __future__ import annotations
@@ -152,6 +157,13 @@ def main(argv=None) -> int:
     parser.add_argument("--out", default=None, help="save final params here")
     parser.add_argument("--state-out", default=None, help="save full train state here")
     parser.add_argument("--resume", default=None, help="resume from a saved train state")
+    parser.add_argument(
+        "--ckpt-dir", default=None,
+        help="Orbax CheckpointManager directory: periodic async train-state "
+        "saves with retention; auto-resumes from the latest step when present",
+    )
+    parser.add_argument("--ckpt-every", type=int, default=50, help="save cadence for --ckpt-dir (steps)")
+    parser.add_argument("--ckpt-keep", type=int, default=3, help="retention for --ckpt-dir")
     parser.add_argument("--log-every", type=int, default=10)
     parser.add_argument("--eval-batches", type=int, default=0, help="score N batches after training (held-out synthetic seed, or --eval-data)")
     parser.add_argument("--eval-data", default=None, help="held-out dir for --eval-batches (falls back to --data, labeled train-set)")
@@ -213,14 +225,26 @@ def main(argv=None) -> int:
     # the optax schedule counts GLOBAL steps (it resumes with opt_state), so
     # a resumed cosine run must span restored_step + args.steps — otherwise
     # the whole resumed run sits in the decayed-to-zero tail
+    ckpt_mgr = None
+    if args.ckpt_dir:
+        from burn_depth_tpu.io.orbax_io import TrainCheckpointManager
+
+        ckpt_mgr = TrainCheckpointManager(args.ckpt_dir, keep=args.ckpt_keep)
+
     resume_flat = None
     total_steps = args.steps if args.cosine else None
     if args.resume:
         from burn_depth_tpu.io.checkpoint import load_flat_auto
 
         resume_flat = load_flat_auto(args.resume)
-        if args.cosine:
-            total_steps = int(resume_flat["step"]) + args.steps
+    elif ckpt_mgr is not None and ckpt_mgr.latest_step() is not None:
+        resume_flat = ckpt_mgr.restore_flat()
+        print(
+            f"auto-resuming from {args.ckpt_dir} step {ckpt_mgr.latest_step()}",
+            flush=True,
+        )
+    if args.cosine and resume_flat is not None:
+        total_steps = int(resume_flat["step"]) + args.steps
 
     step = compile_train_step(
         loss_fn,
@@ -238,7 +262,7 @@ def main(argv=None) -> int:
         accum_steps=args.accum,
         ema_decay=args.ema,
     )
-    if args.resume:
+    if resume_flat is not None:
         from burn_depth_tpu.io.checkpoint import unflatten_into
 
         # tolerate toggling --ema across save/resume: seed a missing EMA from
@@ -272,6 +296,9 @@ def main(argv=None) -> int:
     for batch in prefetch_to_device(map(shaped, gen), step.input_sharding):
         metrics = step(batch)
         done += 1
+        if ckpt_mgr is not None and (done % args.ckpt_every == 0 or done >= args.steps):
+            # async: queues the save (one device->host copy) and keeps training
+            ckpt_mgr.save(int(metrics["step"]), step.state)
         if done % args.log_every == 0 or done == 1 or done >= args.steps:
             jax.block_until_ready(metrics["loss"])
             rate = done * eff_batch / (time.time() - t0)
@@ -282,6 +309,10 @@ def main(argv=None) -> int:
         if done >= args.steps:
             break
 
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait()  # drain the async save queue
+        print(f"checkpoints under {args.ckpt_dir}: steps {ckpt_mgr.all_steps()}", flush=True)
+        ckpt_mgr.close()
     if args.state_out:
         save_checkpoint(args.state_out, step.state)
         print(f"train state -> {args.state_out}", flush=True)

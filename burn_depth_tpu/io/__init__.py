@@ -20,7 +20,11 @@ from burn_depth_tpu.io.checkpoint import (  # noqa: F401
     save_auto,
     save_checkpoint,
 )
-from burn_depth_tpu.io.orbax_io import load_orbax, save_orbax  # noqa: F401
+from burn_depth_tpu.io.orbax_io import (  # noqa: F401
+    TrainCheckpointManager,
+    load_orbax,
+    save_orbax,
+)
 from burn_depth_tpu.io.importers import (  # noqa: F401
     ImportReport,
     import_da3,

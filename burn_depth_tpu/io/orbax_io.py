@@ -77,6 +77,84 @@ def load_orbax(path: str, template: Optional[Any] = None) -> Any:
         return ckptr.restore(path, spec)
 
 
+def _template_spec(template: Any):
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.ShapeDtypeStruct(
+            leaf.shape, leaf.dtype, sharding=getattr(leaf, "sharding", None)
+        ),
+        template,
+    )
+
+
+class TrainCheckpointManager:
+    """Step-managed checkpoint directory (``ocp.CheckpointManager``).
+
+    The long-fine-tune half of the checkpoint/resume story: periodic
+    **async** saves (serialization overlaps the next train steps; a save
+    costs one device→host copy), ``max_to_keep`` retention, and latest-step
+    discovery so an interrupted run resumes with no bookkeeping
+    (``cli/train.py --ckpt-dir``).  One-shot save/restore stays in
+    ``save_orbax``/``load_orbax``.
+    """
+
+    def __init__(self, directory: str, *, keep: int = 3, async_save: bool = True):
+        ocp = _ocp()
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, enable_async_checkpointing=async_save
+            ),
+        )
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def all_steps(self):
+        return sorted(self._mgr.all_steps())
+
+    def save(self, step: int, tree: Any, *, force: bool = False) -> bool:
+        """Queue an async save of ``tree`` at ``step``.  Returns False when the
+        manager skipped it (e.g. step already saved)."""
+        return self._mgr.save(
+            int(step), args=self._ocp.args.StandardSave(tree), force=force
+        )
+
+    def restore(self, step: Optional[int] = None, template: Optional[Any] = None) -> Any:
+        """Restore ``step`` (default: latest).  With a ``template`` the leaves
+        land with its dtypes/shardings (direct-to-device); without, host arrays."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        spec = None if template is None else _template_spec(template)
+        return self._mgr.restore(step, args=self._ocp.args.StandardRestore(spec))
+
+    def restore_flat(self, step: Optional[int] = None) -> dict:
+        """Latest/``step`` state as the flat ``{'/'-joined path: np.ndarray}``
+        view (the ``cli/train.py`` resume currency)."""
+        import numpy as np
+
+        from burn_depth_tpu.io.checkpoint import flatten_tree
+
+        return {k: np.asarray(v) for k, v in flatten_tree(self.restore(step)).items()}
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 def load_flat_orbax(path: str) -> dict:
     """Orbax directory → ``{'/'-joined path: np.ndarray}`` — the same flat
     view ``io/checkpoint.load_safetensors`` gives, so resume logic that works

@@ -131,6 +131,52 @@ def test_sharded_restore_lands_on_mesh(tmp_path):
     np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(tree["w"]))
 
 
+def test_checkpoint_manager_retention_and_latest(tmp_path):
+    """TrainCheckpointManager: async saves, max_to_keep retention window,
+    latest-step discovery, restore of the newest state."""
+    from burn_depth_tpu.io.orbax_io import TrainCheckpointManager
+
+    root = str(tmp_path / "run")
+    with TrainCheckpointManager(root, keep=2) as mgr:
+        for s in (1, 2, 3):
+            tree = {"w": jnp.full((2, 2), float(s)), "step": jnp.asarray(s)}
+            assert mgr.save(s, tree)
+        mgr.wait()
+        assert mgr.latest_step() == 3
+        assert mgr.all_steps() == [2, 3]  # keep=2 evicted step 1
+        got = mgr.restore(template=tree)
+        assert int(got["step"]) == 3
+        np.testing.assert_array_equal(np.asarray(got["w"]), np.full((2, 2), 3.0))
+
+    # a fresh manager over the same directory (new process after a crash)
+    with TrainCheckpointManager(root, keep=2) as mgr2:
+        assert mgr2.latest_step() == 3
+        flat = mgr2.restore_flat()
+        assert int(flat["step"]) == 3 and "." not in "".join(flat)
+
+
+def test_train_cli_ckpt_dir_auto_resume(tmp_path):
+    """End-to-end: --ckpt-dir saves during training and a rerun auto-resumes
+    from the latest step (the crash-recovery contract)."""
+    from burn_depth_tpu.cli.train import main
+
+    root = str(tmp_path / "ckpts")
+    common = [
+        "--model", "depth-anything-3", "--preset", "tiny", "--platform", "cpu",
+        "--steps", "2", "--batch", "1", "--log-every", "1",
+        "--ckpt-dir", root, "--ckpt-every", "1", "--ckpt-keep", "2",
+    ]
+    assert main(common) == 0
+    from burn_depth_tpu.io.orbax_io import TrainCheckpointManager
+
+    with TrainCheckpointManager(root) as mgr:
+        assert mgr.latest_step() == 2
+    assert main(common) == 0  # second run must resume at step 2 -> reaches 4
+    with TrainCheckpointManager(root) as mgr:
+        assert mgr.latest_step() == 4
+        assert mgr.all_steps() == [3, 4]
+
+
 def test_registry_loads_orbax_model_dir(tmp_path):
     """An Orbax directory of native params loads through the model registry
     (DepthAnything3 config fallback-retry included)."""
