@@ -8,7 +8,9 @@ TPU-native equivalents mandated by ``BASELINE.json`` configs 4-5:
 * ``compile_serving_step`` — the full forward jitted over a device mesh with
   data-parallel batch sharding (+ optional tensor parallelism),
 * ``DepthStream`` — persistent-weights streaming with double-buffered
-  host→HBM transfers so PCIe upload overlaps TPU compute.
+  host→HBM transfers so PCIe upload overlaps TPU compute,
+* ``DynamicBatcher`` — coalesces concurrent single-frame requests into the
+  static-shape batch buckets XLA compiles (production request batching).
 """
 
 from burn_depth_tpu.serve.step import ServingStep, compile_serving_step, with_u8_ingest  # noqa: F401
@@ -22,4 +24,5 @@ from burn_depth_tpu.serve.realtime import (  # noqa: F401
     run_realtime,
 )
 from burn_depth_tpu.serve.http import DepthHTTPServer  # noqa: F401
+from burn_depth_tpu.serve.batcher import DynamicBatcher  # noqa: F401
 from burn_depth_tpu.serve.export import export_serving, load_exported  # noqa: F401

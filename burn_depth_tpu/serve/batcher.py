@@ -1,0 +1,219 @@
+"""Dynamic request batching for production serving.
+
+The reference serves one frame at a time (one in-flight Bevy task,
+``crates/bevy_burn_depth/src/main.rs:36``).  A TPU chip, by contrast, earns
+its throughput on *batched* MXU work — but XLA programs have static shapes,
+so a serving layer cannot just run whatever number of requests happen to be
+pending.  This module bridges the two worlds the TPU-native way:
+
+* Concurrent callers ``submit()`` single frames and get back a ``Future``.
+* A worker thread coalesces pending requests into a batch, waits at most
+  ``max_delay_s`` for stragglers (latency budget), then
+* rounds the batch UP to the nearest compiled **bucket size** (padding with a
+  repeat of the last frame) so every XLA program sees one of a small, fixed
+  set of static shapes — each bucket compiles exactly once and is cached by
+  jit's shape key.
+* Results are split back out per request; padded lanes are dropped.
+
+Works with any ``infer_batch(x: [B,...]) -> pytree-with-leading-B`` — a
+jitted single-chip forward, or a mesh-sharded ``ServingStep`` (in which case
+bucket sizes should be multiples of the ``data`` axis so the batch shards
+evenly over ICI).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+__all__ = ["DynamicBatcher", "bucket_for"]
+
+
+def bucket_for(n: int, batch_sizes: Sequence[int]) -> int:
+    """Smallest compiled bucket that fits ``n`` requests (the padding target).
+
+    ``batch_sizes`` must be sorted ascending; ``n`` must not exceed the
+    largest bucket (the worker never dequeues more than that).
+    """
+    for b in batch_sizes:
+        if b >= n:
+            return b
+    raise ValueError(f"{n} requests exceed the largest bucket {batch_sizes[-1]}")
+
+
+class _Request:
+    __slots__ = ("frame", "future", "enqueued_at")
+
+    def __init__(self, frame: np.ndarray):
+        self.frame = frame
+        self.future: Future = Future()
+        self.enqueued_at = time.monotonic()
+
+
+class DynamicBatcher:
+    """Coalesce concurrent single-frame requests into static-shape batches.
+
+    Parameters
+    ----------
+    infer_batch:
+        ``(x: np.ndarray[B, ...]) -> outputs`` where every output leaf has a
+        leading batch dim.  Called only with ``B in batch_sizes``.
+    batch_sizes:
+        The compiled bucket sizes, ascending.  Keep the set small — each is
+        one XLA compilation.  For a mesh-sharded step use multiples of the
+        ``data`` axis size.
+    max_delay_s:
+        How long the worker waits for stragglers after the first request of
+        a batch arrives.  0 = greedy (serve immediately with whatever is
+        pending).
+    queue_limit:
+        Backpressure bound: ``submit`` blocks once this many requests are
+        queued (the bounded-channel role of the reference's
+        ``sync_channel(1)``, ``platform.rs:25``).
+    """
+
+    def __init__(
+        self,
+        infer_batch: Callable[[np.ndarray], Any],
+        *,
+        batch_sizes: Sequence[int] = (1, 2, 4, 8),
+        max_delay_s: float = 0.002,
+        queue_limit: int = 256,
+    ):
+        sizes = sorted(set(int(b) for b in batch_sizes))
+        if not sizes or sizes[0] < 1:
+            raise ValueError(f"invalid batch_sizes {batch_sizes}")
+        self._infer_batch = infer_batch
+        self._batch_sizes = tuple(sizes)
+        self._max_delay_s = float(max_delay_s)
+        self._queue: queue.Queue[_Request | None] = queue.Queue(maxsize=queue_limit)
+        self._worker: threading.Thread | None = None
+        self._stopping = threading.Event()
+        # stats
+        self._lock = threading.Lock()
+        self._served = 0
+        self._batches = 0
+        self._padded_lanes = 0
+        self._queue_wait_s = 0.0
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "DynamicBatcher":
+        if self._worker is not None:
+            raise RuntimeError("already started")
+        self._stopping.clear()
+        self._worker = threading.Thread(target=self._run, name="depth-batcher", daemon=True)
+        self._worker.start()
+        return self
+
+    def stop(self) -> None:
+        """Drain-free shutdown: pending requests get a RuntimeError."""
+        if self._worker is None:
+            return
+        self._stopping.set()
+        self._queue.put(None)  # wake the blocking get
+        self._worker.join()
+        self._worker = None
+        # fail anything still queued
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.future.set_exception(RuntimeError("batcher stopped"))
+
+    def __enter__(self) -> "DynamicBatcher":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- client side ---------------------------------------------------------
+
+    def submit(self, frame: np.ndarray) -> Future:
+        """Enqueue one frame; blocks when ``queue_limit`` requests are pending."""
+        if self._worker is None or self._stopping.is_set():
+            raise RuntimeError("batcher not running")
+        req = _Request(frame)
+        self._queue.put(req)
+        return req.future
+
+    def infer(self, frame: np.ndarray, timeout: float | None = None) -> Any:
+        """Synchronous convenience: submit + wait."""
+        return self.submit(frame).result(timeout)
+
+    def stats(self) -> dict:
+        with self._lock:
+            batches = max(self._batches, 1)
+            served = max(self._served, 1)
+            return {
+                "served": self._served,
+                "batches": self._batches,
+                "mean_batch": self._served / batches,
+                "pad_fraction": self._padded_lanes / (self._served + self._padded_lanes or 1),
+                "mean_queue_wait_ms": 1e3 * self._queue_wait_s / served,
+            }
+
+    # -- worker ---------------------------------------------------------------
+
+    def _collect(self) -> list[_Request]:
+        """Block for the first request, then linger ``max_delay_s`` for more
+        (up to the largest bucket)."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self._max_delay_s
+        max_b = self._batch_sizes[-1]
+        while len(batch) < max_b:
+            remaining = deadline - time.monotonic()
+            try:
+                req = self._queue.get(block=remaining > 0, timeout=max(remaining, 0) or None)
+            except queue.Empty:
+                break
+            if req is None:  # shutdown sentinel — hand back what we have
+                self._queue.put(None)
+                break
+            batch.append(req)
+            # Already at a bucket boundary and nothing pending? Don't hold
+            # the latency budget hostage just to fill a bigger bucket.
+            if len(batch) in self._batch_sizes and self._queue.empty():
+                break
+        return batch
+
+    def _run(self) -> None:
+        while not self._stopping.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            self._serve(batch)
+
+    def _serve(self, batch: list[_Request]) -> None:
+        import jax
+
+        n = len(batch)
+        bucket = bucket_for(n, self._batch_sizes)
+        now = time.monotonic()
+        frames = [r.frame for r in batch]
+        frames += [frames[-1]] * (bucket - n)  # pad: repeat keeps dtype/layout
+        x = np.stack(frames, axis=0)
+        try:
+            out = self._infer_batch(x)
+            for i, req in enumerate(batch):
+                req.future.set_result(jax.tree.map(lambda a, i=i: a[i], out))
+        except Exception as e:  # propagate to every caller of this batch
+            for req in batch:
+                if not req.future.done():
+                    req.future.set_exception(e)
+            return
+        with self._lock:
+            self._served += n
+            self._batches += 1
+            self._padded_lanes += bucket - n
+            self._queue_wait_s += sum(now - r.enqueued_at for r in batch)

@@ -20,7 +20,12 @@ Endpoints:
     /ingest    POST JPEG/PNG frame into the BrowserSource (drain-latest)
     /stream    MJPEG depth stream (JPEG frames, drain-latest)
     /snapshot  single PNG of the newest depth frame
-    /stats     JSON: frame index + INFERENCE_FPS diagnostic
+    /stats     JSON: frame index + INFERENCE_FPS diagnostic (+ batcher stats)
+    /infer     POST JPEG/PNG image -> depth map.  Concurrent requests are
+               coalesced into static-shape batches on the chip
+               (serve/batcher.py).  Returns a normalized depth PNG with
+               X-Depth-Min/X-Depth-Max headers, or raw little-endian f32
+               (with X-Shape) when ``Accept: application/octet-stream``.
 """
 
 from __future__ import annotations
@@ -143,11 +148,79 @@ class _LatestFrame:
             return self._frame, self._meta, self._seq
 
 
+class _InferService:
+    """Lazily-compiled batched inference behind a ``DynamicBatcher``.
+
+    Every request is host-prepped to ONE canonical square resolution (the
+    model's preferred input), so concurrent clients share the static-shape
+    buckets XLA compiles — the chip sees `[B, 3, S, S]` u8 batches with the
+    ImageNet normalize fused in-graph."""
+
+    def __init__(self, model, batch_sizes=(1, 2, 4), max_delay_s: float = 0.003):
+        self.model = model
+        self._batch_sizes = batch_sizes
+        self._max_delay_s = max_delay_s
+        self._lock = threading.Lock()
+        self._batcher = None
+        self._size = None
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+
+        from burn_depth_tpu.api.predict import IMAGENET_MEAN, IMAGENET_STD
+        from burn_depth_tpu.serve.batcher import DynamicBatcher
+        from burn_depth_tpu.serve.realtime import _normalize_u8
+
+        inner = self.model.model
+        kind_da3 = self.model.preferred_input_resolution() is not None
+        self._size = self.model.preferred_input_resolution() or inner.config.img_size
+
+        def step(params, x_u8):  # [B,3,S,S] u8 -> (depth [B,S,S], u8 [B,S,S])
+            x = x_u8.astype(jnp.float32) / 255.0
+            x = (x - jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)) / jnp.asarray(
+                IMAGENET_STD
+            ).reshape(1, 3, 1, 1)
+            if kind_da3:
+                head_out, camera_pred, _ = inner._forward_internal(params, x, None, None)
+                depth = inner._finalize(head_out, camera_pred).depth
+            else:
+                depth = inner._infer_fn(params, x).depth
+            u8 = jnp.stack([_normalize_u8(depth[i]) for i in range(depth.shape[0])])
+            return depth, u8
+
+        fn = jax.jit(step)
+        self._batcher = DynamicBatcher(
+            lambda x: fn(inner.params, jnp.asarray(x)),
+            batch_sizes=self._batch_sizes,
+            max_delay_s=self._max_delay_s,
+        ).start()
+
+    def infer(self, frame: np.ndarray):
+        """RGB HWC u8 frame -> (depth f32 [S,S], normalized u8 [S,S])."""
+        from burn_depth_tpu.api import native
+
+        with self._lock:
+            if self._batcher is None:
+                self._build()
+        rgb = native.resize_and_crop_u8(frame, self._size)
+        x = np.ascontiguousarray(rgb.transpose(2, 0, 1))
+        depth, u8 = self._batcher.infer(x)
+        return np.asarray(depth), np.asarray(u8)
+
+    def stats(self) -> Optional[dict]:
+        return self._batcher.stats() if self._batcher is not None else None
+
+    def stop(self) -> None:
+        if self._batcher is not None:
+            self._batcher.stop()
+
+
 class DepthHTTPServer:
     """Serve depth frames from a model + frame source over HTTP."""
 
     def __init__(self, model, source, host: str = "127.0.0.1", port: int = 8000,
-                 loop_source: bool = True):
+                 loop_source: bool = True, infer_batch_sizes=(1, 2, 4)):
         self.model = model
         self.source = source
         self.loop_source = loop_source
@@ -155,6 +228,8 @@ class DepthHTTPServer:
         self._stop = threading.Event()
         slot, stop = self.slot, self._stop
         browser_source = source if isinstance(source, BrowserSource) else None
+        infer_service = _InferService(model, batch_sizes=infer_batch_sizes)
+        self.infer_service = infer_service
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -170,6 +245,30 @@ class DepthHTTPServer:
                         frame = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
                         browser_source.push(frame)
                         self._send(200, "application/json", b'{"ok": true}')
+                    elif self.path == "/infer":
+                        length = int(self.headers.get("Content-Length", 0))
+                        body = self.rfile.read(length)
+                        from PIL import Image
+
+                        frame = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+                        depth, u8 = infer_service.infer(frame)
+                        if "application/octet-stream" in self.headers.get("Accept", ""):
+                            raw = depth.astype("<f4").tobytes()
+                            self.send_response(200)
+                            self.send_header("Content-Type", "application/octet-stream")
+                            self.send_header("X-Shape", "x".join(map(str, depth.shape)))
+                            self.send_header("Content-Length", str(len(raw)))
+                            self.end_headers()
+                            self.wfile.write(raw)
+                        else:
+                            png = _encode(u8, "PNG")
+                            self.send_response(200)
+                            self.send_header("Content-Type", "image/png")
+                            self.send_header("X-Depth-Min", f"{float(depth.min()):.6g}")
+                            self.send_header("X-Depth-Max", f"{float(depth.max()):.6g}")
+                            self.send_header("Content-Length", str(len(png)))
+                            self.end_headers()
+                            self.wfile.write(png)
                     else:
                         self._send(404, "text/plain", b"not found")
                 except (BrokenPipeError, ConnectionResetError):
@@ -191,6 +290,9 @@ class DepthHTTPServer:
                             self._send(200, "image/png", _encode(frame, "PNG"))
                     elif self.path == "/stats":
                         _, meta, _ = slot.wait_next(-1, timeout=0)
+                        batcher = infer_service.stats()
+                        if batcher is not None:
+                            meta = dict(meta, infer=batcher)
                         self._send(200, "application/json", json.dumps(meta).encode())
                     elif self.path == "/stream":
                         self.send_response(200)
@@ -257,6 +359,7 @@ class DepthHTTPServer:
 
     def stop(self) -> None:
         self._stop.set()
+        self.infer_service.stop()
         self.httpd.shutdown()
         self.httpd.server_close()
 

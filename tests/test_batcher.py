@@ -1,0 +1,154 @@
+"""Dynamic request batching (serve/batcher.py).
+
+The reference has no batched serving (one in-flight task, ``main.rs:36``);
+this is north-star surface: concurrent requests must coalesce into the
+static-shape buckets XLA compiles, pad correctly, split results per caller,
+and propagate failures.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from burn_depth_tpu.serve.batcher import DynamicBatcher, bucket_for
+
+
+def test_bucket_for():
+    assert bucket_for(1, (1, 2, 4)) == 1
+    assert bucket_for(3, (1, 2, 4)) == 4
+    assert bucket_for(4, (1, 2, 4)) == 4
+    with pytest.raises(ValueError):
+        bucket_for(5, (1, 2, 4))
+
+
+def test_single_request_roundtrip():
+    calls = []
+
+    def infer(x):
+        calls.append(x.shape[0])
+        return x * 2.0
+
+    with DynamicBatcher(infer, batch_sizes=(1, 2, 4), max_delay_s=0.0) as b:
+        out = b.infer(np.ones((3, 4), np.float32))
+    np.testing.assert_array_equal(np.asarray(out), 2 * np.ones((3, 4), np.float32))
+    assert calls == [1]
+
+
+def test_concurrent_requests_coalesce_and_split():
+    seen_batches = []
+    release = threading.Event()
+
+    def infer(x):
+        seen_batches.append(x.shape[0])
+        release.wait(5.0)  # hold the FIRST batch so the rest pile up
+        return x + 100.0
+
+    b = DynamicBatcher(infer, batch_sizes=(1, 2, 4, 8), max_delay_s=0.01).start()
+    try:
+        futures = [b.submit(np.full((2, 2), i, np.float32)) for i in range(9)]
+        time.sleep(0.15)  # let requests 1..8 queue behind the held batch
+        release.set()
+        results = [f.result(10.0) for f in futures]
+    finally:
+        b.stop()
+
+    for i, r in enumerate(results):
+        np.testing.assert_array_equal(np.asarray(r), np.full((2, 2), i + 100.0, np.float32))
+    # the pile-up must have produced at least one genuinely multi-lane batch
+    assert max(seen_batches) > 1
+    assert sum(seen_batches) >= 9  # padded lanes allowed
+    stats = b.stats()
+    assert stats["served"] == 9
+    assert stats["mean_batch"] > 1.0
+
+
+def test_padding_rounds_up_to_bucket():
+    shapes = []
+
+    def infer(x):
+        shapes.append(x.shape[0])
+        return x
+
+    b = DynamicBatcher(infer, batch_sizes=(4,), max_delay_s=0.05).start()
+    try:
+        fs = [b.submit(np.full((1,), i, np.float32)) for i in range(3)]
+        results = [f.result(5.0) for f in fs]
+    finally:
+        b.stop()
+    assert shapes and all(s == 4 for s in shapes)  # 3 requests padded to the 4-bucket
+    for i, r in enumerate(results):
+        assert float(np.asarray(r)[0]) == i
+    assert b.stats()["pad_fraction"] > 0
+
+
+def test_error_propagates_to_all_callers():
+    def infer(x):
+        raise RuntimeError("boom")
+
+    b = DynamicBatcher(infer, batch_sizes=(2,), max_delay_s=0.05).start()
+    try:
+        fs = [b.submit(np.zeros((1,), np.float32)) for _ in range(2)]
+        for f in fs:
+            with pytest.raises(RuntimeError, match="boom"):
+                f.result(5.0)
+    finally:
+        b.stop()
+
+
+def test_stop_fails_pending_and_rejects_new():
+    started = threading.Event()
+    block = threading.Event()
+
+    def infer(x):
+        started.set()
+        block.wait(5.0)
+        return x
+
+    b = DynamicBatcher(infer, batch_sizes=(1,), max_delay_s=0.0).start()
+    f = b.submit(np.zeros((1,), np.float32))
+    started.wait(5.0)
+    stopper = threading.Thread(target=b.stop)
+    stopper.start()
+    block.set()
+    stopper.join(10.0)
+    assert f.done()  # either served (raced the stop) or failed — never hung
+    with pytest.raises(RuntimeError):
+        b.submit(np.zeros((1,), np.float32))
+
+
+def test_pytree_outputs_split_per_request():
+    def infer(x):
+        return {"depth": x * 2.0, "conf": x[:, :1]}
+
+    with DynamicBatcher(infer, batch_sizes=(1, 2), max_delay_s=0.0) as b:
+        out = b.infer(np.arange(4, dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(out["depth"]), 2 * np.arange(4, dtype=np.float32))
+    assert np.asarray(out["conf"]).shape == (1,)
+
+
+def test_batcher_over_sharded_serving_step():
+    """End-to-end with the mesh path: buckets shard over the virtual 8-device
+    data axis (bucket sizes = multiples of the mesh's data dim)."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices (virtual CPU mesh)")
+
+    from burn_depth_tpu.parallel.mesh import make_mesh
+    from burn_depth_tpu.serve.step import compile_serving_step
+
+    mesh = make_mesh(jax.devices()[:4], model=1)
+    params = {"w": jnp.full((3,), 2.0)}
+
+    def fwd(p, x):  # [B,3,H,W] -> [B,H,W]
+        return jnp.einsum("bchw,c->bhw", x, p["w"])
+
+    step = compile_serving_step(fwd, params, mesh)
+    with DynamicBatcher(lambda x: step(jnp.asarray(x)), batch_sizes=(4, 8), max_delay_s=0.02) as b:
+        fs = [b.submit(np.full((3, 2, 2), i, np.float32)) for i in range(6)]
+        results = [np.asarray(f.result(30.0)) for f in fs]
+    for i, r in enumerate(results):
+        np.testing.assert_allclose(r, np.full((2, 2), 6.0 * i))

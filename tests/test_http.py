@@ -133,3 +133,66 @@ def test_ingest_rejects_garbage(browser_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+def _post_image(server, path, img_hw=(30, 40), accept=None, seed=0, timeout=120):
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    buf = _io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (*img_hw, 3), dtype=np.uint8)).save(buf, format="PNG")
+    headers = {"Content-Type": "image/png"}
+    if accept:
+        headers["Accept"] = accept
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}", data=buf.getvalue(), headers=headers, method="POST"
+    )
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_infer_endpoint_returns_depth_png(server):
+    """POST an image -> normalized depth PNG at the model's canonical square
+    resolution, with the metric range in X-Depth-Min/Max headers."""
+    r = _post_image(server, "/infer")
+    assert r.headers["Content-Type"] == "image/png"
+    body = r.read()
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    lo, hi = float(r.headers["X-Depth-Min"]), float(r.headers["X-Depth-Max"])
+    assert hi >= lo
+
+
+def test_infer_endpoint_raw_f32(server):
+    import numpy as np
+
+    r = _post_image(server, "/infer", accept="application/octet-stream", seed=1)
+    shape = tuple(int(s) for s in r.headers["X-Shape"].split("x"))
+    depth = np.frombuffer(r.read(), dtype="<f4").reshape(shape)
+    assert depth.shape == (28, 28)  # tiny DA3 fixture: image_size=28
+    assert np.isfinite(depth).all()
+
+
+def test_infer_endpoint_concurrent_requests_batch(server):
+    """Concurrent clients coalesce into multi-lane batches (stats['infer'])."""
+    import threading
+
+    errors = []
+
+    def client(i):
+        try:
+            r = _post_image(server, "/infer", seed=10 + i)
+            assert r.status == 200
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors
+    meta = json.loads(_get(server, "/stats").read())
+    assert meta["infer"]["served"] >= 7  # 1 warmup + 6 concurrent
+    assert meta["infer"]["batches"] >= 1
