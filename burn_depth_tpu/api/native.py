@@ -45,6 +45,16 @@ def _load() -> Optional[ctypes.CDLL]:
         _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double, _f32p, _f32p, _f32p,
     ]
     lib.bd_version.restype = ctypes.c_int
+    lib.bd_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, _f32p, _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.bd_loader_create.restype = ctypes.c_void_p
+    lib.bd_loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.bd_loader_next.restype = ctypes.c_int
+    lib.bd_loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -110,3 +120,134 @@ def resize_and_crop_u8(rgb: np.ndarray, target: int, a: float = CATMULL_ROM) -> 
     resized = resize_bicubic_u8(rgb, sh, sw, a=a)
     cx, cy = (sw - target) // 2, (sh - target) // 2
     return np.ascontiguousarray(resized[cy : cy + target, cx : cx + target])
+
+
+class ImageLoader:
+    """Ordered, prefetching image loader (native decode lane).
+
+    ``paths`` → per-image arrays at a canonical square ``target``: mode
+    ``"u8"`` = shortest-side resize + center crop, ``[T,T,3] u8`` (the
+    serving u8-ingest lane); mode ``"nchw"`` = fused resize + crop +
+    ImageNet-normalize, ``[3,T,T] f32`` (the training ingest lane).
+
+    Native path: ``native/loader.cc`` — N decode workers (libjpeg/libpng/PPM)
+    behind an order-preserving bounded window, the same CatmullRom kernels as
+    the numpy oracle bit-for-bit.  Fallback: PIL + a thread pool with the
+    identical ordering/window contract, so callers never branch.
+
+    Iteration yields arrays in path order; a decode failure raises
+    ``RuntimeError`` naming the cause (the stream remains usable).  With
+    ``loop=True`` iteration never ends (epoch cycling for training).
+    """
+
+    def __init__(self, paths, target: int, mode: str = "u8", *, threads: int = 4,
+                 window: int = 8, a: float = CATMULL_ROM, loop: bool = False):
+        if mode not in ("u8", "nchw"):
+            raise ValueError(f"mode must be 'u8' or 'nchw', got {mode!r}")
+        self.paths = [os.fspath(p) for p in paths]
+        if not self.paths:
+            raise ValueError("no paths")
+        self.target = int(target)
+        self.mode = mode
+        self.loop = loop
+        self._handle = None
+        self._fallback = None
+        lib = _load()
+        if lib is not None:
+            arr = (ctypes.c_char_p * len(self.paths))(*[p.encode() for p in self.paths])
+            self._handle = lib.bd_loader_create(
+                arr, len(self.paths), self.target, 0 if mode == "u8" else 1,
+                a, np.ascontiguousarray(IMAGENET_MEAN), np.ascontiguousarray(IMAGENET_STD),
+                threads, window, int(loop),
+            )
+            if not self._handle:
+                raise RuntimeError("bd_loader_create failed")
+            self._lib = lib
+        else:
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=max(1, threads))
+            self._window = max(1, window)
+            self._a = a
+            self._fallback = self._fallback_iter()
+
+    # -- fallback (PIL + thread pool, same ordering/window contract) --------
+
+    def _decode_one(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        rgb = np.asarray(Image.open(path).convert("RGB"))
+        if self.mode == "u8":
+            return resize_and_crop_u8(rgb, self.target, a=self._a)
+        return prepare_image_nchw(rgb, self.target, a=self._a)
+
+    def _path_stream(self):
+        while True:
+            yield from self.paths
+            if not self.loop:
+                return
+
+    def _fallback_iter(self):
+        """Yields ('ok', array) or ('err', msg) so one failed decode does not
+        kill the generator — matching the native stream-continues contract."""
+        import collections
+
+        def result_of(fut):
+            try:
+                return ("ok", fut.result())
+            except Exception as e:
+                return ("err", str(e))
+
+        futures = collections.deque()
+        try:
+            for p in self._path_stream():
+                futures.append(self._pool.submit(self._decode_one, p))
+                if len(futures) >= self._window:
+                    yield result_of(futures.popleft())
+            while futures:
+                yield result_of(futures.popleft())
+        finally:
+            for f in futures:
+                f.cancel()
+
+    # -- iteration ------------------------------------------------------------
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if self._fallback is not None:
+            status, payload = next(self._fallback)
+            if status == "err":
+                raise RuntimeError(f"decode failed: {payload}")
+            return payload
+        if self._handle is None:
+            raise StopIteration
+        if self.mode == "u8":
+            out = np.empty((self.target, self.target, 3), np.uint8)
+        else:
+            out = np.empty((3, self.target, self.target), np.float32)
+        errbuf = ctypes.create_string_buffer(512)
+        rc = self._lib.bd_loader_next(
+            self._handle, out.ctypes.data_as(ctypes.c_void_p), errbuf, len(errbuf)
+        )
+        if rc == -1:
+            raise StopIteration
+        if rc == -2:
+            raise RuntimeError(f"decode failed: {errbuf.value.decode(errors='replace')}")
+        return out
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.bd_loader_destroy(self._handle)
+            self._handle = None
+        if self._fallback is not None:
+            self._fallback.close()
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._fallback = None
+
+    def __enter__(self) -> "ImageLoader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

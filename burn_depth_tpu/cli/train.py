@@ -86,13 +86,39 @@ def build_predict_fn(model, model_name: str):
     )
 
 
+def _resize_and_crop_depth(dep, size: int):
+    """Apply the SAME geometry to the depth map as the RGB ingest (shortest
+    -side resize + center crop) so pixel i,j stays paired; bilinear for the
+    GT values (interpolating metric depth bicubically can overshoot)."""
+    import numpy as np
+    from PIL import Image
+
+    h, w = dep.shape
+    if (h, w) == (size, size):
+        return dep
+    scale = size / max(min(h, w), 1)
+    sw, sh = max(round(w * scale), size), max(round(h * scale), size)
+    resized = np.asarray(Image.fromarray(dep).resize((sw, sh), Image.BILINEAR), np.float32)
+    cy, cx = (sh - size) // 2, (sw - size) // 2
+    return resized[cy : cy + size, cx : cx + size]
+
+
 def _image_dir_batches(path: str, batch: int, size: int):
-    """Paired ``*_rgb.png`` / ``*_depth.npy`` loader, cycled, center-cropped."""
+    """Paired ``*_rgb.png`` / ``*_depth.npy`` loader, cycled.
+
+    RGB ingest rides the native threaded loader (``api/native.ImageLoader``,
+    mode ``nchw``): decode workers + an ordered prefetch window ahead of the
+    train step, with the SAME preprocessing the model sees at inference
+    (shortest-side CatmullRom resize, center crop, ImageNet normalize) — a
+    fine-tune fed [0,1] squash-resized images would train on a distribution
+    the serving path never produces.
+    """
     import glob
     import os
 
     import numpy as np
-    from PIL import Image
+
+    from burn_depth_tpu.api.native import ImageLoader
 
     rgbs = sorted(glob.glob(os.path.join(path, "*_rgb.png")))
     if not rgbs:
@@ -105,24 +131,17 @@ def _image_dir_batches(path: str, batch: int, size: int):
     if not pairs:
         raise FileNotFoundError(f"no *_depth.npy pairs under {path}")
 
-    def load(r, d):
-        img = np.asarray(
-            Image.open(r).convert("RGB").resize((size, size)), np.float32
-        ).transpose(2, 0, 1) / 255.0
-        dep = np.load(d).astype(np.float32)
-        if dep.shape != (size, size):
-            from PIL import Image as I
-
-            dep = np.asarray(I.fromarray(dep).resize((size, size)), np.float32)
-        return img, dep
-
+    loader = ImageLoader(
+        [r for r, _ in pairs], size, mode="nchw", loop=True,
+        threads=4, window=max(2 * batch, 4),
+    )
     i = 0
     while True:
         imgs, deps = [], []
         for _ in range(batch):
-            img, dep = load(*pairs[i % len(pairs)])
-            imgs.append(img)
-            deps.append(dep)
+            imgs.append(next(loader))
+            dep = np.load(pairs[i % len(pairs)][1]).astype(np.float32)
+            deps.append(_resize_and_crop_depth(dep, size))
             i += 1
         deps_np = np.stack(deps)
         yield {

@@ -1,0 +1,334 @@
+// Native threaded image loader for burn_depth_tpu.
+//
+// Role of the reference's native ingest lane: the camera/file frame sources
+// feeding the realtime pipeline (`crates/bevy_burn_depth/src/platform.rs`)
+// and, beyond parity, the training data path — where Python-side PIL decode
+// becomes the host bottleneck at TPU feeding rates.
+//
+// Design: N decode workers pull file indices from an atomic cursor, decode
+// (JPEG via libjpeg, PNG via libpng's simplified API, PPM P6 inline), run
+// the SAME CatmullRom resize/crop/normalize kernels as preprocess.cc
+// (bit-identical to the numpy oracle), and publish results into an
+// order-preserving bounded window.  The consumer (`bd_loader_next`) always
+// receives items in path order — lock-step with training-step consumption —
+// while decodes proceed out of order underneath.
+//
+// Build: `make -C native` links this into libburn_depth_host.so
+// (ctypes-loaded by burn_depth_tpu/api/native.py; Python/PIL fallback when
+// the library is absent).
+
+#include <algorithm>
+#include <atomic>
+#include <cctype>
+#include <cmath>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+// Shared kernels from preprocess.cc (same translation .so).
+extern "C" {
+void bd_resize_bicubic_u8(const uint8_t* src, int sh, int sw, int c,
+                          uint8_t* dst, int dh, int dw, double a);
+void bd_prepare_image_nchw(const uint8_t* rgb, int h, int w, int target,
+                           double a, float* out, const float* mean,
+                           const float* stddev);
+}
+
+namespace {
+
+struct Image {
+  int h = 0, w = 0;
+  std::vector<uint8_t> rgb;  // HWC u8
+};
+
+bool read_file(const std::string& path, std::vector<uint8_t>& out, std::string& err) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) {
+    err = "cannot open " + path;
+    return false;
+  }
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (n <= 0) {
+    std::fclose(f);
+    err = "empty file " + path;
+    return false;
+  }
+  out.resize(static_cast<size_t>(n));
+  size_t got = std::fread(out.data(), 1, out.size(), f);
+  std::fclose(f);
+  if (got != out.size()) {
+    err = "short read " + path;
+    return false;
+  }
+  return true;
+}
+
+// ---- JPEG (libjpeg, longjmp error recovery) -------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jb;
+  char msg[JMSG_LENGTH_MAX] = {0};
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  auto* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  (*cinfo->err->format_message)(cinfo, e->msg);
+  std::longjmp(e->jb, 1);
+}
+
+bool decode_jpeg(const std::vector<uint8_t>& mem, Image& img, std::string& err) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    err = std::string("jpeg: ") + jerr.msg;
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(mem.data()), static_cast<unsigned long>(mem.size()));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  img.w = static_cast<int>(cinfo.output_width);
+  img.h = static_cast<int>(cinfo.output_height);
+  img.rgb.resize(static_cast<size_t>(img.h) * img.w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = img.rgb.data() + static_cast<size_t>(cinfo.output_scanline) * img.w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// ---- PNG (libpng simplified API) ------------------------------------------
+
+bool decode_png(const std::vector<uint8_t>& mem, Image& img, std::string& err) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, mem.data(), mem.size())) {
+    err = std::string("png: ") + image.message;
+    return false;
+  }
+  image.format = PNG_FORMAT_RGB;
+  img.w = static_cast<int>(image.width);
+  img.h = static_cast<int>(image.height);
+  img.rgb.resize(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, img.rgb.data(), 0, nullptr)) {
+    err = std::string("png: ") + image.message;
+    png_image_free(&image);
+    return false;
+  }
+  return true;
+}
+
+// ---- PPM P6 (maxval 255) ---------------------------------------------------
+
+bool decode_ppm(const std::vector<uint8_t>& mem, Image& img, std::string& err) {
+  // header: "P6" ws width ws height ws maxval single-ws raster
+  size_t pos = 2;
+  auto next_int = [&](int& v) -> bool {
+    while (pos < mem.size() && (std::isspace(mem[pos]) || mem[pos] == '#')) {
+      if (mem[pos] == '#')
+        while (pos < mem.size() && mem[pos] != '\n') ++pos;
+      else
+        ++pos;
+    }
+    v = 0;
+    bool any = false;
+    while (pos < mem.size() && mem[pos] >= '0' && mem[pos] <= '9') {
+      v = v * 10 + (mem[pos++] - '0');
+      any = true;
+    }
+    return any;
+  };
+  int w, h, maxval;
+  if (!next_int(w) || !next_int(h) || !next_int(maxval) || maxval != 255) {
+    err = "ppm: bad header";
+    return false;
+  }
+  ++pos;  // single whitespace before raster
+  size_t need = static_cast<size_t>(w) * h * 3;
+  if (mem.size() - pos < need) {
+    err = "ppm: truncated";
+    return false;
+  }
+  img.w = w;
+  img.h = h;
+  img.rgb.assign(mem.begin() + pos, mem.begin() + pos + need);
+  return true;
+}
+
+bool decode_any(const std::vector<uint8_t>& mem, Image& img, std::string& err) {
+  if (mem.size() >= 2 && mem[0] == 0xFF && mem[1] == 0xD8) return decode_jpeg(mem, img, err);
+  if (mem.size() >= 4 && mem[0] == 0x89 && mem[1] == 'P' && mem[2] == 'N' && mem[3] == 'G')
+    return decode_png(mem, img, err);
+  if (mem.size() >= 2 && mem[0] == 'P' && mem[1] == '6') return decode_ppm(mem, img, err);
+  err = "unknown image format";
+  return false;
+}
+
+// shortest-side resize + center crop to target x target, u8 HWC
+// (api/native.py resize_and_crop_u8 semantics).
+void resize_and_crop(const Image& in, int target, double a, uint8_t* out) {
+  if (in.h == target && in.w == target) {
+    std::memcpy(out, in.rgb.data(), static_cast<size_t>(target) * target * 3);
+    return;
+  }
+  const int shortest = std::max(std::min(in.h, in.w), 1);
+  const double scale = static_cast<double>(target) / shortest;
+  const int sw = std::max(static_cast<int>(std::lround(in.w * scale)), target);
+  const int sh = std::max(static_cast<int>(std::lround(in.h * scale)), target);
+  std::vector<uint8_t> resized(static_cast<size_t>(sh) * sw * 3);
+  bd_resize_bicubic_u8(in.rgb.data(), in.h, in.w, 3, resized.data(), sh, sw, a);
+  const int cx = (sw - target) / 2, cy = (sh - target) / 2;
+  for (int y = 0; y < target; ++y)
+    std::memcpy(out + static_cast<size_t>(y) * target * 3,
+                &resized[(static_cast<size_t>(y + cy) * sw + cx) * 3],
+                static_cast<size_t>(target) * 3);
+}
+
+struct Item {
+  std::vector<uint8_t> u8;
+  std::vector<float> f32;
+  std::string err;
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  int target = 0;
+  int mode = 0;  // 0 = u8 HWC, 1 = f32 NCHW normalized
+  double a = -0.5;
+  float mean[3] = {0, 0, 0}, stddev[3] = {1, 1, 1};
+  int window = 8;
+  bool loop = false;
+
+  std::mutex mu;
+  std::condition_variable cv_worker, cv_consumer;
+  std::map<long, Item> ready;
+  long next_claim = 0;
+  long next_out = 0;
+  bool stopping = false;
+  std::vector<std::thread> workers;
+
+  size_t item_elems() const {
+    return static_cast<size_t>(target) * target * 3;
+  }
+
+  void work() {
+    for (;;) {
+      long idx;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_worker.wait(lk, [&] {
+          return stopping || (next_claim - next_out < window &&
+                              (loop || next_claim < static_cast<long>(paths.size())));
+        });
+        if (stopping) return;
+        if (!loop && next_claim >= static_cast<long>(paths.size())) return;
+        idx = next_claim++;
+      }
+      Item item = process(idx);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        ready.emplace(idx, std::move(item));
+        cv_consumer.notify_all();
+      }
+    }
+  }
+
+  Item process(long idx) {
+    Item item;
+    const std::string& path = paths[static_cast<size_t>(idx % static_cast<long>(paths.size()))];
+    std::vector<uint8_t> mem;
+    Image img;
+    if (!read_file(path, mem, item.err) || !decode_any(mem, img, item.err)) return item;
+    if (mode == 0) {
+      item.u8.resize(item_elems());
+      resize_and_crop(img, target, a, item.u8.data());
+    } else {
+      item.f32.resize(item_elems());
+      bd_prepare_image_nchw(img.rgb.data(), img.h, img.w, target, a, item.f32.data(), mean, stddev);
+    }
+    return item;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* bd_loader_create(const char* const* paths, int n, int target, int mode,
+                       double a, const float* mean, const float* stddev,
+                       int threads, int window, int loop) {
+  if (n <= 0 || target <= 0 || window <= 0) return nullptr;
+  auto* ld = new Loader();
+  ld->paths.assign(paths, paths + n);
+  ld->target = target;
+  ld->mode = mode;
+  ld->a = a;
+  if (mean) std::memcpy(ld->mean, mean, 3 * sizeof(float));
+  if (stddev) std::memcpy(ld->stddev, stddev, 3 * sizeof(float));
+  ld->window = window;
+  ld->loop = loop != 0;
+  const int nt = std::max(1, std::min(threads, 64));
+  ld->workers.reserve(static_cast<size_t>(nt));
+  for (int i = 0; i < nt; ++i) ld->workers.emplace_back([ld] { ld->work(); });
+  return ld;
+}
+
+// Fills `out` with the next item IN PATH ORDER.  Returns the item's index
+// (monotone; `index % n_paths` is the path), -1 at end of stream (loop=0),
+// -2 on decode failure for that item (message in errbuf; the stream
+// continues — call again for the following item).
+int bd_loader_next(void* handle, void* out, char* errbuf, int errbuf_len) {
+  auto* ld = static_cast<Loader*>(handle);
+  std::unique_lock<std::mutex> lk(ld->mu);
+  if (!ld->loop && ld->next_out >= static_cast<long>(ld->paths.size())) return -1;
+  ld->cv_consumer.wait(lk, [&] { return ld->ready.count(ld->next_out) != 0; });
+  auto node = ld->ready.extract(ld->next_out);
+  const long idx = ld->next_out++;
+  ld->cv_worker.notify_all();
+  lk.unlock();
+  Item& item = node.mapped();
+  if (!item.err.empty()) {
+    if (errbuf && errbuf_len > 0) {
+      std::snprintf(errbuf, static_cast<size_t>(errbuf_len), "%s", item.err.c_str());
+    }
+    return -2;
+  }
+  if (ld->mode == 0)
+    std::memcpy(out, item.u8.data(), item.u8.size());
+  else
+    std::memcpy(out, item.f32.data(), item.f32.size() * sizeof(float));
+  return static_cast<int>(idx);
+}
+
+void bd_loader_destroy(void* handle) {
+  auto* ld = static_cast<Loader*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(ld->mu);
+    ld->stopping = true;
+    ld->cv_worker.notify_all();
+  }
+  for (auto& t : ld->workers) t.join();
+  delete ld;
+}
+
+}  // extern "C"

@@ -217,3 +217,35 @@ def test_train_cli_resume_cosine_and_ema_toggle(tmp_path):
         "--batch", "1", "--log-every", "1", "--resume", state2, "--remat", "none",
     ])
     assert rc == 0
+
+
+def test_train_cli_with_paired_file_data(tmp_path):
+    """--data path: paired *_rgb.png / *_depth.npy files feed the train step
+    through the native prefetching ImageLoader with inference-consistent
+    preprocessing (ImageNet-normalized NCHW + aligned depth geometry)."""
+    import numpy as np
+    from PIL import Image
+
+    from burn_depth_tpu.cli.train import _image_dir_batches, main as train_main
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)).save(
+            tmp_path / f"s{i}_rgb.png"
+        )
+        np.save(tmp_path / f"s{i}_depth.npy", rng.uniform(0.5, 4.0, (40, 64)).astype(np.float32))
+
+    batch = next(_image_dir_batches(str(tmp_path), batch=2, size=28))
+    assert batch["image"].shape == (2, 3, 28, 28)
+    assert batch["depth"].shape == (2, 28, 28)
+    # ImageNet-normalized, not [0,1]: values must go negative
+    assert batch["image"].min() < -0.5
+    assert batch["mask"].all()
+
+    out = str(tmp_path / "p.safetensors")
+    rc = train_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--steps", "1",
+        "--batch", "1", "--log-every", "1", "--data", str(tmp_path), "--out", out,
+        "--remat", "none",
+    ])
+    assert rc == 0

@@ -73,3 +73,131 @@ def test_native_is_faster_than_numpy_at_camera_res():
 
     assert t_native < t_numpy, (t_native, t_numpy)
     assert t_native < 0.1, f"native prep too slow: {t_native * 1e3:.1f} ms"
+
+
+# ---------------------------------------------------------------------------
+# ImageLoader (native/loader.cc): threaded decode + ordered bounded window
+# ---------------------------------------------------------------------------
+
+
+def _write_images(tmp_path, n=6, size=(37, 53), fmt="PNG", seed=0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    paths, arrays = [], []
+    for i in range(n):
+        arr = rng.integers(0, 256, (*size, 3), dtype=np.uint8)
+        p = tmp_path / f"img_{i:03d}.{fmt.lower()}"
+        Image.fromarray(arr).save(p, format=fmt)
+        paths.append(str(p))
+        arrays.append(arr)
+    return paths, arrays
+
+
+def test_image_loader_ordered_and_matches_oracle(tmp_path):
+    """PNG decode is lossless, so the native loader output must be
+    bit-identical to the PIL + resize_and_crop_u8 oracle, in path order."""
+    from burn_depth_tpu.api.native import ImageLoader, resize_and_crop_u8
+
+    paths, arrays = _write_images(tmp_path, n=6)
+    with ImageLoader(paths, target=24, mode="u8", threads=3, window=4) as loader:
+        outs = list(loader)
+    assert len(outs) == 6
+    for got, src in zip(outs, arrays):
+        np.testing.assert_array_equal(got, resize_and_crop_u8(src, 24))
+
+
+def test_image_loader_nchw_mode_matches_oracle(tmp_path):
+    from burn_depth_tpu.api.native import ImageLoader, prepare_image_nchw
+
+    paths, arrays = _write_images(tmp_path, n=3, seed=1)
+    with ImageLoader(paths, target=24, mode="nchw", threads=2) as loader:
+        outs = list(loader)
+    for got, src in zip(outs, arrays):
+        assert got.shape == (3, 24, 24) and got.dtype == np.float32
+        np.testing.assert_allclose(got, prepare_image_nchw(src, 24), atol=1e-6)
+
+
+def test_image_loader_jpeg_and_ppm(tmp_path):
+    from burn_depth_tpu.api.native import ImageLoader
+
+    paths, _ = _write_images(tmp_path, n=2, fmt="JPEG", seed=2)
+    # PPM P6 written by hand
+    arr = np.random.default_rng(3).integers(0, 256, (30, 40, 3), dtype=np.uint8)
+    ppm = tmp_path / "img_x.ppm"
+    ppm.write_bytes(b"P6\n# comment\n40 30\n255\n" + arr.tobytes())
+    with ImageLoader(paths + [str(ppm)], target=16, threads=2) as loader:
+        outs = list(loader)
+    assert len(outs) == 3
+    for o in outs:
+        assert o.shape == (16, 16, 3) and o.dtype == np.uint8
+    # the PPM decode path itself is exact
+    from burn_depth_tpu.api.native import resize_and_crop_u8
+
+    np.testing.assert_array_equal(outs[2], resize_and_crop_u8(arr, 16))
+
+
+def test_image_loader_loop_cycles(tmp_path):
+    from burn_depth_tpu.api.native import ImageLoader
+
+    paths, arrays = _write_images(tmp_path, n=2, seed=4)
+    with ImageLoader(paths, target=8, loop=True, threads=2, window=3) as loader:
+        outs = [next(loader) for _ in range(5)]
+    np.testing.assert_array_equal(outs[0], outs[2])
+    np.testing.assert_array_equal(outs[1], outs[3])
+    np.testing.assert_array_equal(outs[0], outs[4])
+
+
+def test_image_loader_decode_error_raises_and_continues(tmp_path):
+    from burn_depth_tpu.api.native import ImageLoader
+
+    paths, arrays = _write_images(tmp_path, n=2, seed=5)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"definitely not a png")
+    with ImageLoader([paths[0], str(bad), paths[1]], target=8, threads=2) as loader:
+        first = next(loader)
+        with pytest.raises(RuntimeError, match="decode failed"):
+            next(loader)
+        third = next(loader)
+        with pytest.raises(StopIteration):
+            next(loader)
+    assert first.shape == third.shape == (8, 8, 3)
+
+
+def test_image_loader_python_fallback_matches_native(tmp_path, monkeypatch):
+    """Force the PIL/thread-pool fallback and require identical outputs,
+    ordering, and error contract as the native lane."""
+    from burn_depth_tpu.api import native as native_mod
+
+    paths, arrays = _write_images(tmp_path, n=4, seed=6)
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"nope")
+    all_paths = paths[:2] + [str(bad)] + paths[2:]
+
+    with native_mod.ImageLoader(all_paths, target=12, threads=2) as loader:
+        native_outs = []
+        native_errs = 0
+        while True:
+            try:
+                native_outs.append(next(loader))
+            except RuntimeError:
+                native_errs += 1
+            except StopIteration:
+                break
+
+    monkeypatch.setattr(native_mod, "_load", lambda: None)
+    with native_mod.ImageLoader(all_paths, target=12, threads=2) as loader:
+        fb_outs = []
+        fb_errs = 0
+        while True:
+            try:
+                fb_outs.append(next(loader))
+            except RuntimeError:
+                fb_errs += 1
+            except StopIteration:
+                break
+
+    assert native_errs == fb_errs == 1
+    assert len(native_outs) == len(fb_outs) == 4
+    for a, b in zip(native_outs, fb_outs):
+        np.testing.assert_array_equal(a, b)
