@@ -21,12 +21,18 @@ def main(argv=None) -> int:
     parser.add_argument("--frames", type=int, default=30, help="synthetic source length")
     parser.add_argument("--size", type=int, default=None, help="synthetic frame size (default 640x480)")
     parser.add_argument("--out-dir", default=None, help="write depth_NNNN.png frames here")
+    parser.add_argument(
+        "--prefetch", action="store_true",
+        help="directory sources: decode+resize in native worker threads an "
+             "ordered window ahead (api/native.ImageLoader)",
+    )
     args = parser.parse_args(argv)
 
     from burn_depth_tpu.api import AnyDepthModel, DepthModelKind, load_model
     from burn_depth_tpu.serve.realtime import (
         CameraSource,
         ImageDirSource,
+        PrefetchedDirSource,
         SyntheticSource,
         run_realtime,
     )
@@ -44,6 +50,9 @@ def main(argv=None) -> int:
     elif args.source.startswith("camera"):
         _, _, dev = args.source.partition(":")
         source = CameraSource(int(dev) if dev.isdigit() else (dev or 0))
+    elif args.prefetch:
+        target = model.preferred_input_resolution() or model.model.config.img_size
+        source = PrefetchedDirSource(args.source, target)
     else:
         source = ImageDirSource(args.source)
 

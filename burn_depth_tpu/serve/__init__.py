@@ -19,6 +19,7 @@ from burn_depth_tpu.serve.realtime import (  # noqa: F401
     FpsDiagnostic,
     FrameSource,
     ImageDirSource,
+    PrefetchedDirSource,
     RealtimeFrame,
     SyntheticSource,
     run_realtime,

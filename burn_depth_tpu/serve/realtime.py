@@ -149,6 +149,39 @@ class ImageDirSource(FrameSource):
         return np.asarray(self._image.open(self._files.popleft()).convert("RGB"))
 
 
+class PrefetchedDirSource(FrameSource):
+    """Directory replay through the native threaded loader
+    (``api/native.ImageLoader``): decode + CatmullRom resize/crop run in C++
+    worker threads an ordered window AHEAD of the consumer, so the frame is
+    ready the moment the pipeline asks — the ingest never stalls the chip.
+
+    Frames arrive already at the model's canonical square ``target``;
+    ``run_realtime``'s per-model prep recognizes the pre-sized frame and
+    passes it through unchanged (``resize_and_crop_u8`` is the identity at
+    the target size).
+    """
+
+    def __init__(self, path: str, target: int, *, threads: int = 4, window: int = 8):
+        from burn_depth_tpu.api.native import ImageLoader
+
+        exts = (".png", ".jpg", ".jpeg", ".ppm")
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.lower().endswith(exts)
+        )
+        if not files:
+            raise FileNotFoundError(f"no images under {path}")
+        self._loader = ImageLoader(files, target, mode="u8", threads=threads, window=window)
+
+    def read(self) -> Optional[np.ndarray]:
+        try:
+            return next(self._loader)
+        except StopIteration:
+            return None
+
+    def close(self) -> None:
+        self._loader.close()
+
+
 # --------------------------------------------------------------------------
 # FPS diagnostic (main.rs INFERENCE_FPS)
 # --------------------------------------------------------------------------

@@ -167,3 +167,32 @@ def test_camera_source_rejects_unopened_device():
 
     with pytest.raises(RuntimeError, match="failed to open"):
         CameraSource(capture=Closed([]))
+
+
+def test_prefetched_dir_source_streams_presized_frames(tmp_path):
+    """PrefetchedDirSource yields frames already at the canonical square size
+    (native decode+resize ahead of the consumer), in sorted path order, and
+    runs through the realtime pipeline unchanged."""
+    from PIL import Image
+
+    from burn_depth_tpu.serve.realtime import PrefetchedDirSource, run_realtime
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)).save(
+            tmp_path / f"f{i}.png"
+        )
+
+    src = PrefetchedDirSource(str(tmp_path), target=28)
+    frames = []
+    while (f := src.read()) is not None:
+        frames.append(f)
+    src.close()
+    assert len(frames) == 3 and all(f.shape == (28, 28, 3) for f in frames)
+
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = AnyDepthModel(
+        DepthModelKind.DEPTH_ANYTHING3, DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    )
+    outs = list(run_realtime(model, PrefetchedDirSource(str(tmp_path), target=28)))
+    assert len(outs) == 3 and outs[0].depth_u8.shape == (28, 28)
