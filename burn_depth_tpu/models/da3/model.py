@@ -153,6 +153,21 @@ class DepthAnything3:
         model, _ = import_da3(checkpoint, variant=variant, config=config)
         return model
 
+    @staticmethod
+    def load_quantized(checkpoint: str, config: Optional[DepthAnything3Config] = None,
+                       dtype=jnp.bfloat16) -> "DepthAnything3":
+        """Load a pre-calibrated int8 serving checkpoint (a
+        ``quantize_vit(calibration_input)`` tree saved with
+        ``io.checkpoint.save_checkpoint`` / ``cli.quantize``) — no load-time
+        calibration forward; scales come from the file."""
+        from burn_depth_tpu.io.checkpoint import load_checkpoint
+
+        config = config or DepthAnything3Config.metric_large()
+        template = DepthAnything3.init(jax.random.PRNGKey(0), config, dtype=dtype).quantize_vit(
+            unit_scales=True
+        )
+        return DepthAnything3(config, load_checkpoint(checkpoint, template.params))
+
     @property
     def img_size(self) -> int:
         return self.config.image_size
@@ -335,18 +350,26 @@ class DepthAnything3:
             )
         return self._finalize(head_out, None)
 
-    def quantize_vit(self, calibration_input: Optional[jnp.ndarray] = None) -> "DepthAnything3":
+    def quantize_vit(
+        self, calibration_input: Optional[jnp.ndarray] = None, *, unit_scales: bool = False
+    ) -> "DepthAnything3":
         """Opt-in int8 serving tier (``Policy.SERVING_INT8``), same scheme as
         ``DepthPro.quantize_vit``: per-channel int8 weights + quantized
         activations on every backbone-block linear; the DPT head(s), camera
         modules and norms stay in the float policy (``ops/quant.py``).
 
         ``calibration_input``: optional ``[B, 3, S, S]`` batch — one jitted
-        forward records per-tensor maxima for static scales."""
+        forward records per-tensor maxima for static scales.  ``unit_scales``
+        builds the static-scale structure with placeholder 1.0 scales (the
+        ``load_quantized`` template)."""
+        import itertools
+
         from burn_depth_tpu.ops.quant import calibrate_amax, quantize_vit_blocks
 
         scales = None
-        if calibration_input is not None:
+        if unit_scales:
+            scales = itertools.repeat(1.0)
+        elif calibration_input is not None:
             scales = iter(
                 calibrate_amax(
                     lambda p, x: self._finalize(*self._forward_internal(p, x, None, None)[:2]).depth,

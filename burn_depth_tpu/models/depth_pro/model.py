@@ -322,6 +322,22 @@ class DepthPro:
         return DepthPro.load_with_config(checkpoint, DepthProConfig.dinov2_l16_384())
 
     @staticmethod
+    def load_quantized(checkpoint: str, config: Optional["DepthProConfig"] = None,
+                       dtype=jnp.bfloat16) -> "DepthPro":
+        """Load a pre-calibrated int8 serving checkpoint — a tree produced by
+        ``quantize_vit(calibration_input)`` and saved with
+        ``io.checkpoint.save_checkpoint`` (or ``cli.quantize``).  Skips the
+        load-time calibration forward entirely: the int8 weights, per-channel
+        scales, and static activation scales come from the file."""
+        from burn_depth_tpu.io.checkpoint import load_checkpoint
+
+        config = config or DepthProConfig.dinov2_l16_384()
+        template = DepthPro.init(jax.random.PRNGKey(0), config, dtype=dtype).quantize_vit(
+            unit_scales=True
+        )
+        return DepthPro(config, load_checkpoint(checkpoint, template.params))
+
+    @staticmethod
     def load_with_config(checkpoint: str, config: "DepthProConfig") -> "DepthPro":
         """Reference ``DepthPro::load_with_config``: native flattened
         safetensors or an upstream PyTorch ``.pt`` both work (the importer's
@@ -368,7 +384,9 @@ class DepthPro:
             params["head"] = fuse_depth_head(params["head"])
         return DepthPro(self.config, params)
 
-    def quantize_vit(self, calibration_input: Optional[jnp.ndarray] = None) -> "DepthPro":
+    def quantize_vit(
+        self, calibration_input: Optional[jnp.ndarray] = None, *, unit_scales: bool = False
+    ) -> "DepthPro":
         """Opt-in int8 serving tier (``Policy.SERVING_INT8``): per-channel
         int8 weights + quantized activations on every ViT-block linear in all
         three encoders (patch/image/fov).  Convs, norms and the decoder/head
@@ -377,11 +395,19 @@ class DepthPro:
         ``calibration_input``: optional ``[B, 3, S, S]`` batch.  When given,
         one jitted float forward records per-tensor activation maxima and the
         quantizers use static scales (the quant fuses into the producing op
-        — faster than the default dynamic per-token scales)."""
+        — faster than the default dynamic per-token scales).
+
+        ``unit_scales``: build the static-scale STRUCTURE with placeholder
+        1.0 activation scales and no calibration forward — the load template
+        for pre-calibrated int8 checkpoints (``load_quantized``)."""
+        import itertools
+
         from burn_depth_tpu.ops.quant import calibrate_amax, quantize_vit_blocks
 
         scales = None
-        if calibration_input is not None:
+        if unit_scales:
+            scales = itertools.repeat(1.0)
+        elif calibration_input is not None:
             scales = iter(
                 calibrate_amax(lambda p, x: self._infer_fn(p, x).depth, self.params, calibration_input)
             )

@@ -155,3 +155,77 @@ def test_int8_composes_with_nhwc_tail():
     assert np.isfinite(np.asarray(out.depth)).all()
     assert "weight_hwio" in serving.params["head"]["conv0"]
     assert "weight_i8" in serving.params["encoder"]["patch_encoder"]["blocks"][0]["attn"]["qkv"]
+
+
+# ---------------------------------------------------------------------------
+# Pre-calibrated int8 checkpoints: quantize -> save -> load_quantized
+# ---------------------------------------------------------------------------
+
+
+def test_depth_pro_quantized_checkpoint_roundtrip(tmp_path):
+    """The persisted int8 tier must reproduce the in-memory quantized model
+    bit-for-bit: int8 weights, per-channel scales, and the static activation
+    scales all ride the native checkpoint format."""
+    import jax
+    import jax.numpy as jnp
+
+    from burn_depth_tpu.io.checkpoint import save_checkpoint
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.linspace(-1, 1, 3 * cfg.img_size**2, dtype=jnp.float32).reshape(
+        1, 3, cfg.img_size, cfg.img_size
+    )
+    q = model.quantize_vit(x)
+    path = str(tmp_path / "q.safetensors")
+    save_checkpoint(path, q.params)
+
+    loaded = DepthPro.load_quantized(path, cfg, dtype=jnp.float32)
+    eq = jax.tree.map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))), q.params, loaded.params
+    )
+    assert all(jax.tree.leaves(eq))
+    np.testing.assert_array_equal(
+        np.asarray(q.infer(x).depth), np.asarray(loaded.infer(x).depth)
+    )
+
+
+def test_da3_quantized_checkpoint_roundtrip(tmp_path):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from burn_depth_tpu.io.checkpoint import save_checkpoint
+    from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = DepthAnything3.init(jax.random.PRNGKey(1), cfg)
+    x = jnp.ones((1, 3, 28, 28), jnp.float32) * 0.25
+    q = model.quantize_vit(x)
+    path = str(tmp_path / "q.safetensors")
+    save_checkpoint(path, q.params)
+
+    loaded = DepthAnything3.load_quantized(path, cfg, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(q.infer(x).depth), np.asarray(loaded.infer(x).depth)
+    )
+
+
+def test_quantize_cli_smoke(tmp_path):
+    from burn_depth_tpu.cli.quantize import main as quantize_main
+
+    out = str(tmp_path / "int8.safetensors")
+    rc = quantize_main(["unused", "--model", "depth-pro", "--tiny", "-o", out])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(out)
+
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+    m = DepthPro.load_quantized(out, DepthProConfig.tiny_test())
+    # the quantized structure is present
+    blk = m.params["encoder"]["patch_encoder"]["blocks"][0]
+    assert "weight_i8" in blk["attn"]["qkv"] and "x_scale" in blk["attn"]["qkv"]
