@@ -21,6 +21,11 @@ def main(argv=None) -> int:
     parser.add_argument("--size", type=int, default=640, help="synthetic frame width")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument(
+        "--infer-batch-sizes", default="1,2,4",
+        help="POST /infer bucket sizes (static shapes XLA compiles; "
+        "concurrent requests coalesce up to the largest)",
+    )
     args = parser.parse_args(argv)
 
     from burn_depth_tpu.api import AnyDepthModel, DepthModelKind, load_model
@@ -48,7 +53,9 @@ def main(argv=None) -> int:
     else:
         source = ImageDirSource(args.source)
 
-    server = DepthHTTPServer(model, source, host=args.host, port=args.port)
+    buckets = tuple(int(b) for b in args.infer_batch_sizes.split(","))
+    server = DepthHTTPServer(model, source, host=args.host, port=args.port,
+                             infer_batch_sizes=buckets)
     extra = " (camera page: /camera)" if args.source == "browser" else ""
     print(f"serving on http://{args.host}:{server.port}{extra}", flush=True)
     server.serve_forever()
