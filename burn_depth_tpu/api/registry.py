@@ -70,6 +70,15 @@ def _is_native_checkpoint(path: str) -> bool:
     return False
 
 
+def _is_quantized_checkpoint(path: str) -> bool:
+    """Detect a pre-calibrated int8 serving tree (``cli.quantize`` output):
+    its flat keys carry the qlinear markers (``weight_i8`` / ``weight_hm_i8``).
+    Header-only read for safetensors files."""
+    from burn_depth_tpu.io.checkpoint import checkpoint_keys
+
+    return any(k.endswith(("weight_i8", "weight_hm_i8")) for k in checkpoint_keys(path))
+
+
 class AnyDepthModel:
     """Reference ``AnyDepthModel`` enum (``model/mod.rs:40-142``) as a wrapper
     that also owns the jitted infer closure."""
@@ -164,6 +173,8 @@ def _load_depth_pro(checkpoint: str):
 
     if _is_native_checkpoint(checkpoint):
         config = DepthProConfig.dinov2_l16_384()
+        if _is_quantized_checkpoint(checkpoint):
+            return DepthPro.load_quantized(checkpoint, config)
         template = DepthPro.init(jax.random.PRNGKey(0), config).params
         return DepthPro(config, load_checkpoint(checkpoint, template))
     model, _ = import_depth_pro(checkpoint)
@@ -184,9 +195,12 @@ def _load_depth_anything3(checkpoint: str):
         configs.reverse()
 
     native = _is_native_checkpoint(checkpoint)
+    quantized = native and _is_quantized_checkpoint(checkpoint)
     last_err: Optional[Exception] = None
     for variant, config in configs:
         try:
+            if quantized:
+                return DepthAnything3.load_quantized(checkpoint, config)
             if native:
                 template = DepthAnything3.init(jax.random.PRNGKey(0), config).params
                 return DepthAnything3(config, load_checkpoint(checkpoint, template))

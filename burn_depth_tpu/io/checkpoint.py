@@ -117,6 +117,22 @@ def load_flat_auto(path: str) -> dict[str, np.ndarray]:
     return load_flat_orbax(path) if is_orbax_path(path) else load_safetensors(path)
 
 
+def checkpoint_keys(path) -> list[str]:
+    """Flat key names of a native checkpoint WITHOUT loading tensor data
+    for safetensors files (header-only read); Orbax directories fall back to
+    a full flat load.  Used for cheap structure sniffing (e.g. detecting a
+    pre-calibrated int8 tree before choosing a load template)."""
+    import os
+
+    p = os.fspath(path)
+    if os.path.isdir(p) or p.endswith(".orbax"):
+        return sorted(load_flat_auto(p).keys())
+    from safetensors import safe_open
+
+    with safe_open(p, framework="np") as f:
+        return sorted(f.keys())
+
+
 def load_safetensors(path: str) -> dict[str, np.ndarray]:
     """Read any ``.safetensors`` file to ``{key: np.ndarray}`` (bf16-aware)."""
     from safetensors import safe_open

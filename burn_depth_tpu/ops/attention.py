@@ -649,7 +649,12 @@ def multi_head_attention(
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
     if impl == "auto":
-        impl = "pallas" if _on_tpu() else "jnp"
+        # Same T>=128 gate as the flash BACKWARD: at tiny T the XLA softmax
+        # path is faster (train_attn_probe: T=65 jnp 138 ms vs pallas 149),
+        # and this Mosaic rejects the kernel's sub-128 q-tile dot outright
+        # (vector<16x128> matmul lowering error — caught by the opt-in
+        # real-TPU smoke, tests/test_backend_matrix.py).
+        impl = "pallas" if _on_tpu() and q.shape[2] >= 128 else "jnp"
     if impl == "pallas":
         import os
 

@@ -148,3 +148,24 @@ def test_unified_api_depth_pro_tiny():
     assert pred.focallength_px.shape == (1,)
     assert pred.fovy_rad.shape == (1,)
     assert pred.has_intrinsics
+
+
+def test_registry_autoloads_quantized_checkpoint(tmp_path, monkeypatch):
+    """A pre-calibrated int8 checkpoint (cli.quantize output) loads through
+    the SAME registry entry point as float checkpoints — the int8 structure
+    is sniffed from the flat keys (header-only) and the quantized template
+    used, including the config fallback-retry."""
+    cfg = _tiny_da3()
+    model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    q = model.quantize_vit(jnp.ones((1, 3, 28, 28)) * 0.3)
+    path = str(tmp_path / "weights_int8.safetensors")
+    save_checkpoint(path, q.params)
+
+    monkeypatch.setattr(DepthAnything3Config, "metric_large", staticmethod(lambda: _tiny_da3()))
+    monkeypatch.setattr(DepthAnything3Config, "small", staticmethod(lambda: _tiny_da3("small")))
+
+    loaded = AnyDepthModel.load(DepthModelKind.DEPTH_ANYTHING3, path)
+    blk = loaded.model.params["backbone"]["pretrained"]["blocks"][0]
+    assert "weight_i8" in blk["attn"]["qkv"] and "x_scale" in blk["attn"]["qkv"]
+    pred = loaded.infer_depth(jnp.zeros((1, 3, 28, 28)))
+    assert pred.depth.shape == (1, 28, 28)
