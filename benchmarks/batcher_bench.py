@@ -48,15 +48,11 @@ def main() -> None:
 
     # The production /infer configuration (serve/http._InferService): u8
     # frames up (4x fewer tunnel/PCIe bytes than f32), ImageNet normalize
-    # fused in-graph, normalized-u8 depth + per-frame min/max back (what the
-    # PNG response needs) — NOT full f32 depth maps.
-    from burn_depth_tpu.api.predict import IMAGENET_MEAN, IMAGENET_STD
+    # fused in-graph via with_u8_ingest, normalized-u8 depth + per-frame
+    # min/max back (what the PNG response needs) — NOT full f32 depth maps.
+    from burn_depth_tpu.serve.step import with_u8_ingest
 
-    def f(p, x_u8):
-        x = x_u8.astype(jnp.float32) / 255.0
-        x = (x - jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)) / jnp.asarray(
-            IMAGENET_STD
-        ).reshape(1, 3, 1, 1)
+    def forward(p, x):
         head_out, camera_pred, _ = model._forward_internal(p, x.astype(jnp.bfloat16), None, None)
         depth = model._finalize(head_out, camera_pred).depth
         lo = depth.min(axis=(1, 2))
@@ -64,7 +60,7 @@ def main() -> None:
         u8 = (255.0 * (depth - lo[:, None, None]) / (hi - lo + 1e-12)[:, None, None]).astype(jnp.uint8)
         return u8, jnp.stack([lo, hi], axis=1).astype(jnp.float32)
 
-    fn = jax.jit(f)
+    fn = jax.jit(with_u8_ingest(forward))
 
     def infer_batch(x_np):  # [B,3,518,518] u8 host -> host result, synced
         out = fn(model.params, jnp.asarray(x_np))

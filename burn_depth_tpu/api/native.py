@@ -48,12 +48,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bd_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, _f32p, _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
     ]
     lib.bd_loader_create.restype = ctypes.c_void_p
     lib.bd_loader_next.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
     ]
-    lib.bd_loader_next.restype = ctypes.c_int
+    lib.bd_loader_next.restype = ctypes.c_longlong  # 64-bit: loop mode can pass 2^31 items
     lib.bd_loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
@@ -113,10 +114,12 @@ def resize_and_crop_u8(rgb: np.ndarray, target: int, a: float = CATMULL_ROM) -> 
     h, w = rgb.shape[:2]
     if h == target and w == target:
         return rgb
+    from burn_depth_tpu.api.preprocess import round_half_away
+
     shortest = max(min(h, w), 1)
     scale = target / shortest
-    sw = max(int(round(w * scale)), target)
-    sh = max(int(round(h * scale)), target)
+    sw = max(round_half_away(w * scale), target)
+    sh = max(round_half_away(h * scale), target)
     resized = resize_bicubic_u8(rgb, sh, sw, a=a)
     cx, cy = (sw - target) // 2, (sh - target) // 2
     return np.ascontiguousarray(resized[cy : cy + target, cx : cx + target])
@@ -141,7 +144,8 @@ class ImageLoader:
     """
 
     def __init__(self, paths, target: int, mode: str = "u8", *, threads: int = 4,
-                 window: int = 8, a: float = CATMULL_ROM, loop: bool = False):
+                 window: int = 8, a: float = CATMULL_ROM, loop: bool = False,
+                 crop: bool = True):
         if mode not in ("u8", "nchw"):
             raise ValueError(f"mode must be 'u8' or 'nchw', got {mode!r}")
         self.paths = [os.fspath(p) for p in paths]
@@ -150,6 +154,9 @@ class ImageLoader:
         self.target = int(target)
         self.mode = mode
         self.loop = loop
+        self.crop = crop  # True = shortest-side + center crop (DA3 prep);
+        # False = squash resize, full frame preserved (Depth Pro ingest —
+        # its canonical path squash-resizes in-graph, never crops FOV away)
         self._handle = None
         self._fallback = None
         lib = _load()
@@ -158,7 +165,7 @@ class ImageLoader:
             self._handle = lib.bd_loader_create(
                 arr, len(self.paths), self.target, 0 if mode == "u8" else 1,
                 a, np.ascontiguousarray(IMAGENET_MEAN), np.ascontiguousarray(IMAGENET_STD),
-                threads, window, int(loop),
+                threads, window, int(loop), int(crop),
             )
             if not self._handle:
                 raise RuntimeError("bd_loader_create failed")
@@ -177,6 +184,8 @@ class ImageLoader:
         from PIL import Image
 
         rgb = np.asarray(Image.open(path).convert("RGB"))
+        if not self.crop and rgb.shape[:2] != (self.target, self.target):
+            rgb = resize_bicubic_u8(rgb, self.target, self.target, a=self._a)
         if self.mode == "u8":
             return resize_and_crop_u8(rgb, self.target, a=self._a)
         return prepare_image_nchw(rgb, self.target, a=self._a)

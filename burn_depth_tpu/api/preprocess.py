@@ -24,6 +24,16 @@ CATMULL_ROM = -0.5  # image-crate FilterType::CatmullRom (runtime prep)
 TORCH_BICUBIC = -0.75  # torch/OpenCV kernel (golden-dump tool)
 
 
+def round_half_away(x: float) -> int:
+    """Round half AWAY from zero, like the reference's Rust ``f32::round``
+    (``model/mod.rs:181-182``) and the native lane's C++ ``lround``.  Python's
+    built-in ``round`` is banker's rounding and diverges on exact .5 scaled
+    dimensions (e.g. 1037px at scale 0.5 → 519, not 518)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
 def _cubic_kernel(x: np.ndarray, a: float) -> np.ndarray:
     ax = np.abs(x)
     ax2, ax3 = ax * ax, ax * ax * ax
@@ -90,8 +100,8 @@ def prepare_depth_anything3_image(image: np.ndarray, target: int) -> PreparedMod
 
     shortest = max(min(orig_w, orig_h), 1)
     scale = target / shortest
-    scaled_w = max(int(round(orig_w * scale)), target)
-    scaled_h = max(int(round(orig_h * scale)), target)
+    scaled_w = max(round_half_away(orig_w * scale), target)
+    scaled_h = max(round_half_away(orig_h * scale), target)
     resized = resize_bicubic(image, scaled_h, scaled_w, a=CATMULL_ROM)
     crop_x = (scaled_w - target) // 2
     crop_y = (scaled_h - target) // 2

@@ -51,8 +51,9 @@ def main(argv=None) -> int:
         _, _, dev = args.source.partition(":")
         source = CameraSource(int(dev) if dev.isdigit() else (dev or 0))
     elif args.prefetch:
+        kind_da3 = model.preferred_input_resolution() is not None
         target = model.preferred_input_resolution() or model.model.config.img_size
-        source = PrefetchedDirSource(args.source, target)
+        source = PrefetchedDirSource(args.source, target, crop=kind_da3)
     else:
         source = ImageDirSource(args.source)
 

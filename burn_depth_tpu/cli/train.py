@@ -93,11 +93,14 @@ def _resize_and_crop_depth(dep, size: int):
     import numpy as np
     from PIL import Image
 
+    from burn_depth_tpu.api.preprocess import round_half_away
+
     h, w = dep.shape
     if (h, w) == (size, size):
         return dep
     scale = size / max(min(h, w), 1)
-    sw, sh = max(round(w * scale), size), max(round(h * scale), size)
+    sw = max(round_half_away(w * scale), size)
+    sh = max(round_half_away(h * scale), size)
     resized = np.asarray(Image.fromarray(dep).resize((sw, sh), Image.BILINEAR), np.float32)
     cy, cx = (sh - size) // 2, (sw - size) // 2
     return resized[cy : cy + size, cx : cx + size]

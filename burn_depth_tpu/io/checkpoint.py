@@ -118,15 +118,21 @@ def load_flat_auto(path: str) -> dict[str, np.ndarray]:
 
 
 def checkpoint_keys(path) -> list[str]:
-    """Flat key names of a native checkpoint WITHOUT loading tensor data
-    for safetensors files (header-only read); Orbax directories fall back to
-    a full flat load.  Used for cheap structure sniffing (e.g. detecting a
-    pre-calibrated int8 tree before choosing a load template)."""
+    """Flat key names of a native checkpoint WITHOUT loading tensor data:
+    safetensors files get a header-only read, Orbax directories a
+    metadata-only read (full flat load only as a last-resort fallback).
+    Used for cheap structure sniffing (e.g. detecting a pre-calibrated int8
+    tree before choosing a load template)."""
     import os
 
     p = os.fspath(path)
     if os.path.isdir(p) or p.endswith(".orbax"):
-        return sorted(load_flat_auto(p).keys())
+        from burn_depth_tpu.io.orbax_io import orbax_keys
+
+        try:
+            return orbax_keys(p)
+        except Exception:  # older layouts without readable metadata
+            return sorted(load_flat_auto(p).keys())
     from safetensors import safe_open
 
     with safe_open(p, framework="np") as f:

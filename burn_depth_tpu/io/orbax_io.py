@@ -77,6 +77,22 @@ def load_orbax(path: str, template: Optional[Any] = None) -> Any:
         return ckptr.restore(path, spec)
 
 
+def orbax_keys(path: str) -> list:
+    """Flat key names of an Orbax checkpoint from its METADATA (no tensor
+    reads) — the directory counterpart of a safetensors header peek."""
+    ocp = _ocp()
+    with ocp.StandardCheckpointer() as ckptr:
+        meta = ckptr.metadata(os.path.abspath(path))
+    # StepMetadata -> TreeMetadata -> the actual metadata pytree
+    tree = getattr(getattr(meta, "item_metadata", meta), "tree", None)
+    if tree is None:
+        raise ValueError(f"no tree metadata in {path}")
+    from burn_depth_tpu.io.checkpoint import _path_str
+
+    leaves, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return sorted(_path_str(p) for p, _ in leaves)
+
+
 def _template_spec(template: Any):
     return jax.tree_util.tree_map(
         lambda leaf: jax.ShapeDtypeStruct(

@@ -94,6 +94,7 @@ class DynamicBatcher:
         self._queue: queue.Queue[_Request | None] = queue.Queue(maxsize=queue_limit)
         self._worker: threading.Thread | None = None
         self._stopping = threading.Event()
+        self._submit_lock = threading.Lock()  # orders submit() vs stop()'s drain
         # stats
         self._lock = threading.Lock()
         self._served = 0
@@ -119,14 +120,18 @@ class DynamicBatcher:
         self._queue.put(None)  # wake the blocking get
         self._worker.join()
         self._worker = None
-        # fail anything still queued
-        while True:
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if req is not None:
-                req.future.set_exception(RuntimeError("batcher stopped"))
+        # Fail anything still queued.  Under _submit_lock: a submit() that
+        # passed its liveness check cannot slip its request in AFTER this
+        # drain (it would hang forever with no worker) — it either queued
+        # before (drained here) or re-checks `stopping` under the lock.
+        with self._submit_lock:
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None and not req.future.cancelled():
+                    req.future.set_exception(RuntimeError("batcher stopped"))
 
     def __enter__(self) -> "DynamicBatcher":
         return self.start()
@@ -138,10 +143,17 @@ class DynamicBatcher:
 
     def submit(self, frame: np.ndarray) -> Future:
         """Enqueue one frame; blocks when ``queue_limit`` requests are pending."""
-        if self._worker is None or self._stopping.is_set():
-            raise RuntimeError("batcher not running")
         req = _Request(frame)
-        self._queue.put(req)
+        with self._submit_lock:
+            if self._worker is None or self._stopping.is_set():
+                raise RuntimeError("batcher not running")
+            while True:  # bounded put that never outlives a shutdown
+                try:
+                    self._queue.put(req, timeout=0.1)
+                    break
+                except queue.Full:
+                    if self._stopping.is_set():
+                        raise RuntimeError("batcher stopped") from None
         return req.future
 
     def infer(self, frame: np.ndarray, timeout: float | None = None) -> Any:
@@ -197,17 +209,22 @@ class DynamicBatcher:
     def _serve(self, batch: list[_Request]) -> None:
         import jax
 
+        # Claim every future (RUNNING) — a caller-cancelled request drops out
+        # here, and cancel() can no longer race set_result below.
+        batch = [r for r in batch if r.future.set_running_or_notify_cancel()]
+        if not batch:
+            return
         n = len(batch)
-        bucket = bucket_for(n, self._batch_sizes)
         now = time.monotonic()
-        frames = [r.frame for r in batch]
-        frames += [frames[-1]] * (bucket - n)  # pad: repeat keeps dtype/layout
-        x = np.stack(frames, axis=0)
         try:
+            bucket = bucket_for(n, self._batch_sizes)
+            frames = [r.frame for r in batch]
+            frames += [frames[-1]] * (bucket - n)  # pad: repeat keeps dtype/layout
+            x = np.stack(frames, axis=0)  # raises on ragged shapes/dtypes
             out = self._infer_batch(x)
             for i, req in enumerate(batch):
                 req.future.set_result(jax.tree.map(lambda a, i=i: a[i], out))
-        except Exception as e:  # propagate to every caller of this batch
+        except Exception as e:  # propagate to every caller; keep the worker alive
             for req in batch:
                 if not req.future.done():
                     req.future.set_exception(e)

@@ -168,19 +168,16 @@ class _InferService:
         import jax
         import jax.numpy as jnp
 
-        from burn_depth_tpu.api.predict import IMAGENET_MEAN, IMAGENET_STD
         from burn_depth_tpu.serve.batcher import DynamicBatcher
         from burn_depth_tpu.serve.realtime import _normalize_u8
+        from burn_depth_tpu.serve.step import with_u8_ingest
 
         inner = self.model.model
-        kind_da3 = self.model.preferred_input_resolution() is not None
+        self._kind_da3 = self.model.preferred_input_resolution() is not None
         self._size = self.model.preferred_input_resolution() or inner.config.img_size
+        kind_da3 = self._kind_da3
 
-        def step(params, x_u8):  # [B,3,S,S] u8 -> (depth [B,S,S], u8 [B,S,S])
-            x = x_u8.astype(jnp.float32) / 255.0
-            x = (x - jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)) / jnp.asarray(
-                IMAGENET_STD
-            ).reshape(1, 3, 1, 1)
+        def forward(params, x):  # normalized [B,3,S,S] -> (depth [B,S,S], u8 [B,S,S])
             if kind_da3:
                 head_out, camera_pred, _ = inner._forward_internal(params, x, None, None)
                 depth = inner._finalize(head_out, camera_pred).depth
@@ -189,7 +186,7 @@ class _InferService:
             u8 = jnp.stack([_normalize_u8(depth[i]) for i in range(depth.shape[0])])
             return depth, u8
 
-        fn = jax.jit(step)
+        fn = jax.jit(with_u8_ingest(forward))  # u8 up, normalize fused in-graph
         self._batcher = DynamicBatcher(
             lambda x: fn(inner.params, jnp.asarray(x)),
             batch_sizes=self._batch_sizes,
@@ -203,7 +200,14 @@ class _InferService:
         with self._lock:
             if self._batcher is None:
                 self._build()
-        rgb = native.resize_and_crop_u8(frame, self._size)
+        if self._kind_da3:
+            rgb = native.resize_and_crop_u8(frame, self._size)  # DA3's canonical prep
+        elif frame.shape[:2] != (self._size, self._size):
+            # Depth Pro never crops FOV away — its canonical path
+            # squash-resizes the FULL frame to the net size in-graph.
+            rgb = native.resize_bicubic_u8(frame, self._size, self._size)
+        else:
+            rgb = frame
         x = np.ascontiguousarray(rgb.transpose(2, 0, 1))
         depth, u8 = self._batcher.infer(x)
         return np.asarray(depth), np.asarray(u8)
@@ -362,6 +366,11 @@ class DepthHTTPServer:
         self.infer_service.stop()
         self.httpd.shutdown()
         self.httpd.server_close()
+        # Give the inference thread a chance to leave its jitted step —
+        # tearing the interpreter down mid-XLA-compile aborts the process.
+        for t in self._threads:
+            if t.is_alive():
+                t.join(timeout=10.0)
 
     def serve_forever(self) -> None:
         self.start()

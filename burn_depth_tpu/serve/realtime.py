@@ -161,7 +161,8 @@ class PrefetchedDirSource(FrameSource):
     the target size).
     """
 
-    def __init__(self, path: str, target: int, *, threads: int = 4, window: int = 8):
+    def __init__(self, path: str, target: int, *, threads: int = 4, window: int = 8,
+                 crop: bool = True):
         from burn_depth_tpu.api.native import ImageLoader
 
         exts = (".png", ".jpg", ".jpeg", ".ppm")
@@ -170,7 +171,10 @@ class PrefetchedDirSource(FrameSource):
         )
         if not files:
             raise FileNotFoundError(f"no images under {path}")
-        self._loader = ImageLoader(files, target, mode="u8", threads=threads, window=window)
+        # crop=True = DA3 prep (shortest-side + center crop); crop=False =
+        # squash resize (Depth Pro — full frame, no FOV discarded)
+        self._loader = ImageLoader(files, target, mode="u8", threads=threads,
+                                   window=window, crop=crop)
 
     def read(self) -> Optional[np.ndarray]:
         try:

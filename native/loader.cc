@@ -214,6 +214,7 @@ struct Loader {
   std::vector<std::string> paths;
   int target = 0;
   int mode = 0;  // 0 = u8 HWC, 1 = f32 NCHW normalized
+  int crop = 1;  // 1 = shortest-side resize + center crop; 0 = squash resize
   double a = -0.5;
   float mean[3] = {0, 0, 0}, stddev[3] = {1, 1, 1};
   int window = 8;
@@ -259,6 +260,15 @@ struct Loader {
     std::vector<uint8_t> mem;
     Image img;
     if (!read_file(path, mem, item.err) || !decode_any(mem, img, item.err)) return item;
+    if (!crop && (img.h != target || img.w != target)) {
+      // squash resize (no FOV loss) — the Depth Pro ingest semantics: the
+      // canonical path squash-resizes the FULL frame to the net size.
+      Image sq;
+      sq.h = sq.w = target;
+      sq.rgb.resize(item_elems());
+      bd_resize_bicubic_u8(img.rgb.data(), img.h, img.w, 3, sq.rgb.data(), target, target, a);
+      img = std::move(sq);
+    }
     if (mode == 0) {
       item.u8.resize(item_elems());
       resize_and_crop(img, target, a, item.u8.data());
@@ -276,12 +286,13 @@ extern "C" {
 
 void* bd_loader_create(const char* const* paths, int n, int target, int mode,
                        double a, const float* mean, const float* stddev,
-                       int threads, int window, int loop) {
+                       int threads, int window, int loop, int crop) {
   if (n <= 0 || target <= 0 || window <= 0) return nullptr;
   auto* ld = new Loader();
   ld->paths.assign(paths, paths + n);
   ld->target = target;
   ld->mode = mode;
+  ld->crop = crop;
   ld->a = a;
   if (mean) std::memcpy(ld->mean, mean, 3 * sizeof(float));
   if (stddev) std::memcpy(ld->stddev, stddev, 3 * sizeof(float));
@@ -293,17 +304,18 @@ void* bd_loader_create(const char* const* paths, int n, int target, int mode,
   return ld;
 }
 
-// Fills `out` with the next item IN PATH ORDER.  Returns the item's index
-// (monotone; `index % n_paths` is the path), -1 at end of stream (loop=0),
-// -2 on decode failure for that item (message in errbuf; the stream
-// continues — call again for the following item).
-int bd_loader_next(void* handle, void* out, char* errbuf, int errbuf_len) {
+// Fills `out` with the next item IN PATH ORDER.  Returns the item's
+// monotone 64-bit index (`index % n_paths` is the path; never truncates,
+// loop mode can stream past 2^31), -1 at end of stream (loop=0), -2 on
+// decode failure for that item (message in errbuf; the stream continues —
+// call again for the following item).
+long long bd_loader_next(void* handle, void* out, char* errbuf, int errbuf_len) {
   auto* ld = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(ld->mu);
   if (!ld->loop && ld->next_out >= static_cast<long>(ld->paths.size())) return -1;
   ld->cv_consumer.wait(lk, [&] { return ld->ready.count(ld->next_out) != 0; });
   auto node = ld->ready.extract(ld->next_out);
-  const long idx = ld->next_out++;
+  const long long idx = ld->next_out++;
   ld->cv_worker.notify_all();
   lk.unlock();
   Item& item = node.mapped();
@@ -317,7 +329,7 @@ int bd_loader_next(void* handle, void* out, char* errbuf, int errbuf_len) {
     std::memcpy(out, item.u8.data(), item.u8.size());
   else
     std::memcpy(out, item.f32.data(), item.f32.size() * sizeof(float));
-  return static_cast<int>(idx);
+  return idx;
 }
 
 void bd_loader_destroy(void* handle) {

@@ -152,3 +152,47 @@ def test_batcher_over_sharded_serving_step():
         results = [np.asarray(f.result(30.0)) for f in fs]
     for i, r in enumerate(results):
         np.testing.assert_allclose(r, np.full((2, 2), 6.0 * i))
+
+
+def test_ragged_batch_fails_callers_but_worker_survives():
+    """Mismatched frame shapes in one batch must error those callers only —
+    the worker thread stays alive and serves the next request."""
+    def infer(x):
+        return x
+
+    b = DynamicBatcher(infer, batch_sizes=(2,), max_delay_s=0.05).start()
+    try:
+        f1 = b.submit(np.zeros((2, 2), np.float32))
+        f2 = b.submit(np.zeros((3, 3), np.float32))  # ragged with f1
+        for f in (f1, f2):
+            with pytest.raises(Exception):
+                f.result(5.0)
+        # worker must still be alive
+        out = b.submit(np.ones((2, 2), np.float32))
+        out2 = b.submit(np.ones((2, 2), np.float32))
+        np.testing.assert_array_equal(np.asarray(out.result(5.0)), np.ones((2, 2), np.float32))
+        np.testing.assert_array_equal(np.asarray(out2.result(5.0)), np.ones((2, 2), np.float32))
+    finally:
+        b.stop()
+
+
+def test_cancelled_future_skipped_without_poisoning_batch():
+    release = threading.Event()
+
+    def infer(x):
+        release.wait(5.0)
+        return x + 1.0
+
+    b = DynamicBatcher(infer, batch_sizes=(1, 4), max_delay_s=0.05).start()
+    try:
+        hold = b.submit(np.zeros((1,), np.float32))  # occupies the worker
+        time.sleep(0.05)
+        f_cancel = b.submit(np.full((1,), 5.0, np.float32))
+        f_keep = b.submit(np.full((1,), 7.0, np.float32))
+        assert f_cancel.cancel()
+        release.set()
+        hold.result(5.0)
+        np.testing.assert_array_equal(np.asarray(f_keep.result(5.0)), np.full((1,), 8.0, np.float32))
+        assert f_cancel.cancelled()
+    finally:
+        b.stop()

@@ -201,3 +201,35 @@ def test_image_loader_python_fallback_matches_native(tmp_path, monkeypatch):
     assert len(native_outs) == len(fb_outs) == 4
     for a, b in zip(native_outs, fb_outs):
         np.testing.assert_array_equal(a, b)
+
+
+def test_image_loader_squash_mode_preserves_full_frame(tmp_path):
+    """crop=False (Depth Pro ingest): squash resize, no FOV discarded —
+    matches resize_bicubic_u8 to the square target exactly; fallback agrees."""
+    from burn_depth_tpu.api import native as native_mod
+
+    paths, arrays = _write_images(tmp_path, n=2, size=(30, 50), seed=7)
+    with native_mod.ImageLoader(paths, target=16, mode="u8", crop=False, threads=2) as loader:
+        outs = list(loader)
+    for got, src in zip(outs, arrays):
+        np.testing.assert_array_equal(got, native_mod.resize_bicubic_u8(src, 16, 16))
+
+
+def test_round_half_away_matches_native_lane():
+    """Python banker's round() diverges from the reference's half-away
+    rounding at exact .5 scaled dims (Rust f32::round, C++ lround) — the
+    Python prep must agree with the native lane on such shapes."""
+    from burn_depth_tpu.api.preprocess import prepare_depth_anything3_image, round_half_away
+
+    assert round_half_away(518.5) == 519  # round(518.5) == 518 (banker's)
+    assert round_half_away(517.5) == 518
+    # 37x74 at target 37: scale 1.0 exactly -> no .5; use 37x75 at target 18:
+    # scale 18/37, w' = 75*18/37 = 36.486 -> 36.  Construct a true .5 case:
+    # h=36, w=37, target=18 -> scale 0.5, w' = 18.5 -> 519-style tie.
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (36, 37, 3), dtype=np.uint8)
+    prep = prepare_depth_anything3_image(img, 18)
+    assert prep.rgb.shape == (18, 18, 3)
+    # python lane and native lane agree bit-for-bit on the tie shape
+    nat = native.resize_and_crop_u8(img, 18)
+    np.testing.assert_array_equal(prep.rgb, nat)

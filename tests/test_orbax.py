@@ -199,3 +199,16 @@ def test_registry_loads_orbax_model_dir(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(got)[0]),
         np.asarray(jax.tree_util.tree_leaves(model.params)[0]),
     )
+
+
+def test_checkpoint_keys_orbax_metadata_only(tmp_path):
+    """checkpoint_keys on an Orbax directory must come from metadata (no
+    tensor reads) and match the flat key set of the saved tree."""
+    from burn_depth_tpu.io.checkpoint import checkpoint_keys, flatten_tree
+    from burn_depth_tpu.io.orbax_io import save_orbax
+
+    tree = {"a": {"b": np.ones((2, 2), np.float32)}, "w_i8": np.zeros((3,), np.int8)}
+    path = str(tmp_path / "ck.orbax")
+    save_orbax(path, tree)
+    keys = checkpoint_keys(path)
+    assert keys == sorted(flatten_tree(tree).keys())
