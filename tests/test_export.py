@@ -77,3 +77,24 @@ def test_export_cli_roundtrip(tmp_path):
     out_path = str(tmp_path / "depth.png")
     rc = export_main(["--run", art, "--image", img_path, "--output", out_path])
     assert rc == 0 and os.path.exists(out_path)
+
+
+def test_quantized_model_export_roundtrip(tmp_path):
+    """The int8 serving tier exports too: quantized weights + scales bake
+    into the StableHLO artifact as constants, and the artifact reproduces
+    the quantized model's outputs exactly."""
+    import numpy as np
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.linspace(0, 1, 3 * cfg.img_size**2, dtype=jnp.float32).reshape(
+        1, 3, cfg.img_size, cfg.img_size
+    )
+    q = model.quantize_vit(x)
+    path = str(tmp_path / "dp_int8.stablehlo")
+    n = export_serving(q, path)
+    assert n > 0
+    call = load_exported(path)
+    out = call(np.asarray(x))
+    ref = q.infer(x)
+    np.testing.assert_array_equal(np.asarray(out.depth), np.asarray(ref.depth))
