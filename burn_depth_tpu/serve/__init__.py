@@ -23,7 +23,9 @@ from burn_depth_tpu.serve.realtime import (  # noqa: F401
     RealtimeFrame,
     SyntheticSource,
     run_realtime,
+    run_realtime_multi,
 )
+from burn_depth_tpu.serve.service import BatchedInferService  # noqa: F401
 from burn_depth_tpu.serve.http import DepthHTTPServer  # noqa: F401
 from burn_depth_tpu.serve.batcher import DynamicBatcher  # noqa: F401
 from burn_depth_tpu.serve.export import export_serving, load_exported  # noqa: F401

@@ -314,3 +314,70 @@ def _finish(pending, fps: FpsDiagnostic, sink) -> RealtimeFrame:
     if sink is not None:
         sink(rf)
     return rf
+
+
+def run_realtime_multi(
+    model,
+    sources: dict,
+    sink: Optional[Callable[[str, RealtimeFrame], None]] = None,
+    *,
+    batch_sizes=(1, 2, 4, 8),
+    max_delay_s: float = 0.003,
+) -> dict:
+    """Stream N independent frame sources through ONE batched inference lane.
+
+    Beyond-parity production shape (the reference drives exactly one webcam,
+    ``platform.rs:24``): each source gets a reader thread that preps and
+    submits frames to a shared ``BatchedInferService``; frames from different
+    streams coalesce into the same static-shape batch buckets on the chip,
+    so N cameras cost far less than N sequential single-frame passes.
+
+    ``sources``: ``{stream_name: FrameSource}``.  ``sink(name, frame)`` is
+    called from that stream's thread (order preserved per stream).  Blocks
+    until every source is exhausted; returns ``{stream_name: frames_served}``
+    plus the batcher stats under the ``"_batcher"`` key.
+    """
+    import threading
+
+    from burn_depth_tpu.serve.service import BatchedInferService
+
+    service = BatchedInferService(model, batch_sizes=batch_sizes, max_delay_s=max_delay_s)
+    counts = {name: 0 for name in sources}
+    errors: list = []
+
+    def pump(name: str, source: FrameSource) -> None:
+        fps = FpsDiagnostic()
+        index = 0
+        try:
+            while True:
+                frame = source.read()
+                if frame is None:
+                    return
+                depth, u8 = service.infer(frame)
+                fps.tick()
+                rf = RealtimeFrame(depth_u8=u8, depth=depth, fps=fps.fps, index=index)
+                if sink is not None:
+                    sink(name, rf)
+                counts[name] += 1
+                index += 1
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append((name, e))
+
+    threads = [
+        threading.Thread(target=pump, args=(name, src), name=f"stream-{name}", daemon=True)
+        for name, src in sources.items()
+    ]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        service.stop()
+    if errors:
+        name, err = errors[0]
+        raise RuntimeError(f"stream {name!r} failed: {err}") from err
+    stats = service.stats()
+    if stats is not None:
+        counts["_batcher"] = stats
+    return counts

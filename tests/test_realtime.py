@@ -196,3 +196,35 @@ def test_prefetched_dir_source_streams_presized_frames(tmp_path):
     )
     outs = list(run_realtime(model, PrefetchedDirSource(str(tmp_path), target=28)))
     assert len(outs) == 3 and outs[0].depth_u8.shape == (28, 28)
+
+
+def test_run_realtime_multi_streams_share_one_batch_lane(tmp_path):
+    """N sources through ONE BatchedInferService: every stream gets its own
+    ordered frames; the shared batcher coalesces across streams."""
+    import threading
+
+    from burn_depth_tpu.serve.realtime import run_realtime_multi
+
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = AnyDepthModel(
+        DepthModelKind.DEPTH_ANYTHING3, DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    )
+    got = {}
+    lock = threading.Lock()
+
+    def sink(name, rf):
+        with lock:
+            got.setdefault(name, []).append(rf)
+
+    counts = run_realtime_multi(
+        model,
+        {"cam0": SyntheticSource(40, 30, 4), "cam1": SyntheticSource(32, 24, 3)},
+        sink,
+        max_delay_s=0.01,
+    )
+    assert counts["cam0"] == 4 and counts["cam1"] == 3
+    assert [rf.index for rf in got["cam0"]] == [0, 1, 2, 3]  # per-stream order
+    assert [rf.index for rf in got["cam1"]] == [0, 1, 2]
+    for rf in got["cam0"] + got["cam1"]:
+        assert rf.depth_u8.shape == (28, 28) and rf.depth_u8.dtype == np.uint8
+    assert counts["_batcher"]["served"] == 7
