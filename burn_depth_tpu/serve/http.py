@@ -165,23 +165,34 @@ class DepthHTTPServer:
         infer_service = BatchedInferService(model, batch_sizes=infer_batch_sizes)
         self.infer_service = infer_service
 
+        max_upload = 32 << 20  # bound per-request host memory (413 beyond)
+
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
 
+            def _read_body(self):
+                length = int(self.headers.get("Content-Length", 0))
+                if length > max_upload:
+                    self._send(413, "text/plain", b"payload too large")
+                    return None
+                return self.rfile.read(length)
+
             def do_POST(self):
                 try:
                     if self.path == "/ingest" and browser_source is not None:
-                        length = int(self.headers.get("Content-Length", 0))
-                        body = self.rfile.read(length)
+                        body = self._read_body()
+                        if body is None:
+                            return
                         from PIL import Image
 
                         frame = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
                         browser_source.push(frame)
                         self._send(200, "application/json", b'{"ok": true}')
                     elif self.path == "/infer":
-                        length = int(self.headers.get("Content-Length", 0))
-                        body = self.rfile.read(length)
+                        body = self._read_body()
+                        if body is None:
+                            return
                         from PIL import Image
 
                         frame = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))

@@ -196,3 +196,15 @@ def test_infer_endpoint_concurrent_requests_batch(server):
     meta = json.loads(_get(server, "/stats").read())
     assert meta["infer"]["served"] >= 7  # 1 warmup + 6 concurrent
     assert meta["infer"]["batches"] >= 1
+
+
+def test_oversize_upload_rejected_413(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/infer",
+        data=b"x",
+        headers={"Content-Type": "image/png", "Content-Length": str(64 << 20)},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 413

@@ -229,3 +229,28 @@ def test_quantize_cli_smoke(tmp_path):
     # the quantized structure is present
     blk = m.params["encoder"]["patch_encoder"]["blocks"][0]
     assert "weight_i8" in blk["attn"]["qkv"] and "x_scale" in blk["attn"]["qkv"]
+
+
+def test_da3_small_variant_quantized_checkpoint_roundtrip(tmp_path):
+    """The dual-head small variant (qk-norm/RoPE/cat-token backbone)
+    quantizes + persists + reloads like the mono models."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from burn_depth_tpu.io.checkpoint import save_checkpoint
+    from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+
+    cfg = dataclasses.replace(DepthAnything3Config.small(), image_size=28, attn_impl="jnp")
+    model = DepthAnything3.init(jax.random.PRNGKey(2), cfg)
+    x = jnp.ones((1, 3, 28, 28), jnp.float32) * 0.1
+    q = model.quantize_vit(x)
+    path = str(tmp_path / "qs.safetensors")
+    save_checkpoint(path, q.params)
+    loaded = DepthAnything3.load_quantized(path, cfg, dtype=jnp.float32)
+    a, b = q.infer(x), loaded.infer(x)
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+    np.testing.assert_array_equal(
+        np.asarray(a.depth_confidence), np.asarray(b.depth_confidence)
+    )
