@@ -1,0 +1,126 @@
+"""Offline bulk inference: a directory of images → depth maps, batched.
+
+    python -m burn_depth_tpu.cli.batch photos/ --model depth-anything-3 \\
+        --checkpoint da3.safetensors --batch 8 --out-dir depth/ --save-npy
+
+The throughput shape of BASELINE config 4 as a CLI: the native threaded
+loader (``api/native.ImageLoader``) decodes + preps an ordered window ahead,
+frames pack into fixed ``--batch`` static-shape batches (last batch padded),
+and the jitted step runs with persistent weights while the next batch's
+decode and upload overlap (JAX async dispatch).  Outputs: normalized depth
+PNGs (and raw f32 ``.npy`` with ``--save-npy``), named after the inputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("images", help="directory of images (png/jpg/jpeg/ppm)")
+    p.add_argument("--model", choices=["depth-pro", "depth-anything-3"], default="depth-anything-3")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--out-dir", default="depth_out")
+    p.add_argument("--save-npy", action="store_true", help="also write raw f32 depth .npy")
+    p.add_argument("--threads", type=int, default=4, help="native decode workers")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from burn_depth_tpu.api import AnyDepthModel, DepthModelKind, load_model
+    from burn_depth_tpu.api.native import ImageLoader
+    from burn_depth_tpu.serve.realtime import _normalize_u8
+    from burn_depth_tpu.serve.step import with_u8_ingest
+
+    kind = DepthModelKind.from_str(args.model)
+    if args.checkpoint:
+        model = AnyDepthModel.load(kind, args.checkpoint)
+    else:
+        print("no --checkpoint: random-init weights (smoke mode)", file=sys.stderr)
+        model = load_model(kind)
+
+    inner = model.model
+    kind_da3 = model.preferred_input_resolution() is not None
+    size = model.preferred_input_resolution() or inner.config.img_size
+
+    exts = (".png", ".jpg", ".jpeg", ".ppm")
+    files = sorted(
+        os.path.join(args.images, f)
+        for f in os.listdir(args.images)
+        if f.lower().endswith(exts)
+    )
+    if not files:
+        raise FileNotFoundError(f"no images under {args.images}")
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def forward(params, x):
+        if kind_da3:
+            head_out, camera_pred, _ = inner._forward_internal(params, x, None, None)
+            depth = inner._finalize(head_out, camera_pred).depth
+        else:
+            depth = inner._infer_fn(params, x).depth
+        u8 = jnp.stack([_normalize_u8(depth[i]) for i in range(depth.shape[0])])
+        return depth, u8
+
+    fn = jax.jit(with_u8_ingest(forward))
+
+    # DA3 prep = shortest-side + crop; Depth Pro = squash (full frame).
+    loader = ImageLoader(
+        files, size, mode="u8", threads=args.threads,
+        window=max(2 * args.batch, 4), crop=kind_da3,
+    )
+
+    def save(idx: int, depth: np.ndarray, u8: np.ndarray) -> None:
+        from PIL import Image
+
+        stem = os.path.splitext(os.path.basename(files[idx]))[0]
+        Image.fromarray(u8, mode="L").save(os.path.join(args.out_dir, f"{stem}_depth.png"))
+        if args.save_npy:
+            np.save(os.path.join(args.out_dir, f"{stem}_depth.npy"), depth)
+
+    t0 = time.perf_counter()
+    done = 0
+    pending = None  # (start_index, count, device outputs) — one batch in flight
+    frames: list = []
+    index = 0
+    for frame in loader:
+        frames.append(frame.transpose(2, 0, 1))
+        if len(frames) < args.batch and index + len(frames) < len(files):
+            continue
+        n = len(frames)
+        frames += [frames[-1]] * (args.batch - n)  # pad the final batch
+        x = jnp.asarray(np.stack(frames))
+        out = fn(inner.params, x)  # async dispatch: overlaps next decode
+        if pending is not None:
+            _flush(pending, save)
+            done += pending[1]
+        pending = (index, n, out)
+        index += n
+        frames = []
+    if pending is not None:
+        _flush(pending, save)
+        done += pending[1]
+    dt = time.perf_counter() - t0
+    print(f"{done} images -> {args.out_dir} in {dt:.2f}s ({done / dt:.2f} img/s)")
+    return 0
+
+
+def _flush(pending, save) -> None:
+    import numpy as np
+
+    start, n, (depth, u8) = pending
+    depth_np = np.asarray(depth)  # blocks until the batch is done
+    u8_np = np.asarray(u8)
+    for i in range(n):
+        save(start + i, depth_np[i], u8_np[i])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

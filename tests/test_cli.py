@@ -249,3 +249,42 @@ def test_train_cli_with_paired_file_data(tmp_path):
         "--remat", "none",
     ])
     assert rc == 0
+
+
+def test_batch_cli_end_to_end(tmp_path):
+    """Directory -> batched depth maps: native prefetch loader, fixed-size
+    padded batches, one batch in flight, PNG + npy outputs named per input."""
+    import numpy as np
+    from PIL import Image
+
+    from burn_depth_tpu.cli.batch import main as batch_main
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        Image.fromarray(rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)).save(
+            src / f"im{i}.png"
+        )
+    out = tmp_path / "depth"
+    import unittest.mock as mock
+
+    import dataclasses
+    import jax
+
+    from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+
+    tiny = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+
+    # steer the no-checkpoint smoke path onto the tiny config
+    with mock.patch.object(
+        DepthAnything3Config, "metric_large", staticmethod(lambda: tiny)
+    ):
+        rc = batch_main([str(src), "--batch", "2", "--out-dir", str(out), "--save-npy"])
+    assert rc == 0
+    pngs = sorted(p.name for p in out.glob("*_depth.png"))
+    npys = sorted(p.name for p in out.glob("*_depth.npy"))
+    assert pngs == [f"im{i}_depth.png" for i in range(5)]
+    assert npys == [f"im{i}_depth.npy" for i in range(5)]
+    d = np.load(out / "im3_depth.npy")
+    assert d.shape == (28, 28) and np.isfinite(d).all()
