@@ -487,15 +487,25 @@ class DepthPro:
         canonical, _, _, _, fov = self._forward_internal(self.params, x)
         return canonical, fov
 
+    def _debug_encoder_params(self) -> dict:
+        enc = self.params["encoder"]
+        if "image_fov_stacked" in enc:
+            raise ValueError(
+                "encoder debug entry points need the unstacked model — call "
+                "them before stack_dual_encoders() (the stacked tree has no "
+                "standalone image_encoder)"
+            )
+        return enc
+
     def encoder_features(self, x: jnp.ndarray):
         cfg = self.config
-        enc = self.params["encoder"]
+        enc = self._debug_encoder_params()
         features, _ = enc_mod.encoder_forward(enc, enc["patch_encoder"], enc["image_encoder"], x, cfg)
         return features
 
     def encoder_forward_debug(self, x: jnp.ndarray):
         cfg = self.config
-        enc = self.params["encoder"]
+        enc = self._debug_encoder_params()
         return enc_mod.encoder_forward(enc, enc["patch_encoder"], enc["image_encoder"], x, cfg, debug=True)
 
     def decoder_from_features(self, features):

@@ -11,6 +11,13 @@ one shot.  Scores and the softmax run in f32; inputs may be bf16.
 VMEM budget at the worst case (DA3-L: T=1408 padded, hd=64, f32):
 K + V = 2·1408·64·4 ≈ 720 KB, scores block 128·1408·4 ≈ 720 KB — comfortably
 inside the ~16 MB/core VMEM.
+
+KNOB CONTRACT: the ``BDT_ATTN_*`` serving knobs are read from the
+environment at TRACE time.  jit's cache key does not include them, so
+toggling a knob after a same-shape jitted call reuses the stale program —
+set knobs before the first call of a process (bench.py's protocol runs one
+configuration per process).  Calling the dispatch eagerly (fresh trace per
+call) honors toggles, which is what the knob A/B tests rely on.
 """
 
 from __future__ import annotations
@@ -55,11 +62,17 @@ def fold_softmax_scale(q: jnp.ndarray, scale: float, impl: str = "auto"):
 
     Returns ``(q', residual_scale)``.  Power-of-two scales (hd=64 → 0.125
     everywhere here) fold bf16-EXACTLY (pure exponent shift).  Under
-    ``BDT_ATTN_EXP2=1`` (and a Pallas-bound dispatch) ``scale·log2e`` is
-    folded instead and the kernel uses ``exp2`` — see ``_exp2_mode``."""
+    ``BDT_ATTN_EXP2=1`` ``scale·log2e`` is folded instead and the kernel
+    uses ``exp2`` — but ONLY when this call will actually reach the Pallas
+    kernel (explicit ``pallas``, or ``auto`` on TPU with T>=128, mirroring
+    ``multi_head_attention``'s dispatch): a base-e consumer fed log2e-scaled
+    logits would silently run at the wrong temperature."""
     import math
 
-    if impl in ("auto", "pallas") and _exp2_mode():
+    pallas_bound = impl == "pallas" or (
+        impl == "auto" and _on_tpu() and q.ndim >= 3 and q.shape[-2] >= 128
+    )
+    if pallas_bound and _exp2_mode():
         return q * jnp.asarray(scale * _LOG2E, q.dtype), 1.0
     if math.log2(scale).is_integer():
         return q * jnp.asarray(scale, q.dtype), 1.0
@@ -662,7 +675,11 @@ def multi_head_attention(
         exp_bf16 = os.environ.get("BDT_ATTN_EXP_BF16", "0") == "1"
         no_max = os.environ.get("BDT_ATTN_NOMAX", "0") == "1"
         interleave = int(os.environ.get("BDT_ATTN_INTERLEAVE", "0"))
-        if pad_hd and not (exp_bf16 or no_max or interleave):
+        # exp2 counts as a serving-only knob: the differentiable wrapper's
+        # backward recomputes probabilities base-e, so letting it wrap an
+        # exp2 forward would produce silently wrong gradients — route to the
+        # plain kernel instead (differentiating it fails loudly).
+        if pad_hd and not (exp_bf16 or no_max or interleave or _exp2_mode()):
             # knob-free default: the differentiable wrapper (same kernel,
             # same arguments — plus a VJP so training works on TPU)
             return _attention_pallas_diff(q, k, v, scale, quiet_softmax)

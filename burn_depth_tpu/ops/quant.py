@@ -165,9 +165,15 @@ def int8_linear(
         x_i8 = jnp.clip(jnp.round((x * inv).astype(jnp.float32)), -127, 127).astype(jnp.int8)
         return int8_matmul_s8in(x_i8, weight_i8, scale_vec, bias, out_dtype=x.dtype)
     if impl == "pallas":
-        from burn_depth_tpu.ops.int8_matmul import int8_matmul
+        # same probe-only gate as the static kernels: this dynamic-scale
+        # Pallas form is slower than XLA on the current Mosaic and must not
+        # be reachable from a stray BDT_INT8_IMPL=pallas in production
+        if not _pallas_int8_enabled():
+            impl = "xla"
+        else:
+            from burn_depth_tpu.ops.int8_matmul import _default_interpret, int8_matmul
 
-        return int8_matmul(x, weight_i8, w_scale, bias)
+            return int8_matmul(x, weight_i8, w_scale, bias, interpret=_default_interpret())
     if impl != "xla":
         raise ValueError(f"unknown int8_linear impl `{impl}`")
 
@@ -236,7 +242,13 @@ def qlinear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
             x, p["weight_hm_i8"], p["scale"], p.get("bias"), x_scale=p.get("x_scale")
         )
     if "weight_hm" in p:
-        # head-major TP layout (parallel/tp_layout.py) — same math, permuted rows
+        # head-major TP layout (parallel/tp_layout.py) — same math, permuted
+        # rows.  Calibration capture applies here too: head-major trees
+        # quantize to weight_hm_i8 (+ x_scale), so skipping the amax append
+        # would make quantize_vit(calibration_input) on a to_head_major model
+        # run out of scales (StopIteration).
+        if _CAPTURE is not None:
+            _CAPTURE.append(jnp.max(jnp.abs(x)).astype(jnp.float32))
         from burn_depth_tpu.ops.linear import linear
 
         return linear(x, p["weight_hm"], p.get("bias"))

@@ -69,8 +69,11 @@ def synthetic_depth_batches(
     while steps is None or produced < steps:
         a = rng.uniform(-1.5, 1.5, size=(batch, 1, 1)).astype(np.float32)
         b = rng.uniform(-1.5, 1.5, size=(batch, 1, 1)).astype(np.float32)
-        c = rng.uniform(2.0, 5.0, size=(batch, 1, 1)).astype(np.float32)
-        depth = a * uu + b * vv + c  # [B, H, W], metres-ish, > 0
+        # c ≥ 3.2 keeps min depth = c - |a| - |b| ≥ 0.2 everywhere: a
+        # non-positive corner would hit the 1/clip(depth, 1e-4) inverse in
+        # the objectives as a ~1e4 target and dominate the unmasked losses.
+        c = rng.uniform(3.2, 6.0, size=(batch, 1, 1)).astype(np.float32)
+        depth = a * uu + b * vv + c  # [B, H, W], metres-ish, strictly > 0
         shade = (depth - depth.min(axis=(1, 2), keepdims=True)) / (
             np.ptp(depth, axis=(1, 2), keepdims=True) + 1e-6
         )
@@ -83,6 +86,6 @@ def synthetic_depth_batches(
             axis=1 if channels_first else -1,
         ).astype(np.float32)
         img += rng.normal(0.0, 0.02, size=img.shape).astype(np.float32)
-        mask = (rng.random(depth.shape) > 0.1).astype(np.float32)
+        mask = ((rng.random(depth.shape) > 0.1) & (depth > 0)).astype(np.float32)
         yield {"image": img, "depth": depth, "mask": mask}
         produced += 1

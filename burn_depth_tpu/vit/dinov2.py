@@ -289,9 +289,12 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
 
     import os
 
+    from burn_depth_tpu.ops.attention import _on_tpu
+
     if (
         os.environ.get("BDT_ATTN_PACKED4", "0") == "1"
         and attn_impl in ("auto", "pallas")
+        and _on_tpu()  # non-interpreted Mosaic kernel: no CPU fallback
         and "weight_hm" not in bp["attn"]["qkv"]
         and "weight_hm_i8" not in bp["attn"]["qkv"]
         and "q_norm" not in bp["attn"]
@@ -300,7 +303,8 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
         and h % 8 == 0
     ):
         # Packed 4-D attention: consume [B,T,3H,hd] directly — the two HBM
-        # qkv relayouts and the output transpose never materialize.
+        # qkv relayouts and the output transpose never materialize.  Falls
+        # through to the SAME proj/MLP tail as the standard path.
         from burn_depth_tpu.ops.attention import _attention_pallas_packed4
 
         attn_out = _attention_pallas_packed4(
@@ -449,8 +453,7 @@ def dinov2_forward_stacked(
         bb = None if p.get("bias") is None else p["bias"][:, None, None, :]
         return layer_norm(z, w, bb, cfg.ln_eps)
 
-    scale = float(hd) ** -0.5
-    fold = math.log2(scale).is_integer()
+    base_scale = float(hd) ** -0.5
     for bi in range(cfg.depth):
         bp = stacked["blocks"][bi]
         y = ln(xs, bp["norm1"])
@@ -460,10 +463,13 @@ def dinov2_forward_stacked(
         q = q.reshape(s * b, h, t_len, hd)
         k = k.reshape(s * b, h, t_len, hd)
         v = v.reshape(s * b, h, t_len, hd)
-        if fold:
-            q = q * jnp.asarray(scale, q.dtype)
+        # shared fold helper: absorbs log2e too under BDT_ATTN_EXP2 (a hand
+        # fold here once missed that and ran the exp2 kernel at ln2 temperature)
+        from burn_depth_tpu.ops.attention import fold_softmax_scale
+
+        q, scale = fold_softmax_scale(q, base_scale, attn_impl)
         attn = multi_head_attention(
-            q, k, v, scale=1.0 if fold else scale, quiet_softmax=cfg.quiet_softmax,
+            q, k, v, scale=scale, quiet_softmax=cfg.quiet_softmax,
             impl=attn_impl,
         )
         attn = attn.reshape(s, b, h, t_len, hd).transpose(0, 1, 3, 2, 4).reshape(s, b, t_len, d)

@@ -254,3 +254,28 @@ def test_da3_small_variant_quantized_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(a.depth_confidence), np.asarray(b.depth_confidence)
     )
+
+
+def test_calibrated_quantization_composes_with_head_major():
+    """to_head_major BEFORE quantize (the documented TP+int8 composition):
+    the calibration capture must record amaxima for head-major linears too —
+    it once skipped them and quantize ran out of scales (StopIteration)."""
+    import jax
+    import jax.numpy as jnp
+
+    from burn_depth_tpu.ops.quant import calibrate_amax, quantize_vit_blocks
+    from burn_depth_tpu.parallel import vit_to_head_major
+    from burn_depth_tpu.vit import DinoViTConfig, dinov2_forward, init_dinov2
+
+    cfg = DinoViTConfig.vits(img_size=28, patch_size=14, depth=2)
+    params = vit_to_head_major(init_dinov2(jax.random.PRNGKey(0), cfg), cfg.num_heads)
+    x = jnp.ones((1, 3, 28, 28), jnp.float32) * 0.2
+
+    amax = calibrate_amax(lambda p, xx: dinov2_forward(p, xx, cfg).x_norm_patchtokens, params, x)
+    assert len(amax) == 4 * cfg.depth  # qkv/proj/fc1/fc2 per block
+    q = quantize_vit_blocks(params, iter(amax))
+    blk = q["blocks"][0]["attn"]["qkv"]
+    assert "weight_hm_i8" in blk and "x_scale" in blk
+    # quantized head-major forward still runs
+    out = dinov2_forward(q, x, cfg)
+    assert out.x_norm_patchtokens.shape == (1, 4, cfg.embed_dim)
