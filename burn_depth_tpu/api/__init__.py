@@ -3,6 +3,16 @@
 TPU-native counterpart of reference ``src/inference.rs`` + ``src/model/mod.rs``.
 """
 
+from burn_depth_tpu.api.geometry import (  # noqa: F401
+    camera_to_world,
+    intrinsics_from_focal,
+    pointcloud_from_depth,
+    points_from_rays,
+    project_points,
+    unproject_depth,
+    world_to_camera,
+    write_ply,
+)
 from burn_depth_tpu.api.predict import (  # noqa: F401
     DepthPrediction,
     infer_from_rgb,

@@ -55,6 +55,16 @@ def main(argv=None) -> int:
     parser.add_argument("--checkpoint", default=None, help="native or upstream checkpoint path")
     parser.add_argument("--image", required=True)
     parser.add_argument("--output", default=None, help="default: depth.png beside the input")
+    parser.add_argument(
+        "--pointcloud",
+        default=None,
+        metavar="OUT.ply",
+        help="also write a colored metric point cloud (needs a focal length: "
+        "predicted by Depth Pro, or given via --focal-px)",
+    )
+    parser.add_argument("--focal-px", type=float, default=None, help="override/provide focal length in pixels (at the output resolution)")
+    parser.add_argument("--pc-stride", type=int, default=2, help="point-cloud pixel subsampling stride")
+    parser.add_argument("--pc-max-depth", type=float, default=None, help="drop points beyond this depth")
     args = parser.parse_args(argv)
 
     from PIL import Image
@@ -88,6 +98,30 @@ def main(argv=None) -> int:
     out_path = args.output or os.path.join(os.path.dirname(args.image) or ".", "depth.png")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     Image.fromarray(normalize_to_u8(depth), mode="L").save(out_path)
+
+    if args.pointcloud is not None:
+        focal = args.focal_px
+        if focal is None and result.focallength_px is not None:
+            # The predicted focal is in pixels of the raster the model saw
+            # (prep.width); the depth map has since been cropped (focal
+            # unchanged, center preserved) and resized to orig_w — rescale.
+            pre_crop_w = prep.crop.width if prep.crop is not None else prep.width
+            focal = float(np.asarray(result.focallength_px).ravel()[0]) * (orig_w / pre_crop_w)
+        if focal is None:
+            print(
+                "--pointcloud needs a focal length, but this model predicts none "
+                "and --focal-px was not given.",
+                file=sys.stderr,
+            )
+            return 1
+        from burn_depth_tpu.api.geometry import pointcloud_from_depth, write_ply
+
+        pts, colors = pointcloud_from_depth(
+            depth, focal, rgb=image, stride=args.pc_stride, max_depth=args.pc_max_depth
+        )
+        os.makedirs(os.path.dirname(args.pointcloud) or ".", exist_ok=True)
+        write_ply(args.pointcloud, pts, colors)
+        print(f"Wrote {pts.shape[0]} points (focal {focal:.2f} px) to {args.pointcloud}")
 
     if result.focallength_px is not None:
         print(f"Focal length (px): {np.asarray(result.focallength_px).tolist()}")
