@@ -6,6 +6,7 @@ TPU-native counterpart of reference ``src/inference.rs`` + ``src/model/mod.rs``.
 from burn_depth_tpu.api.geometry import (  # noqa: F401
     camera_to_world,
     intrinsics_from_focal,
+    normals_from_depth,
     pointcloud_from_depth,
     points_from_rays,
     project_points,

@@ -159,6 +159,23 @@ def points_from_rays(
     return o + jnp.asarray(t, jnp.float32)[..., None] * d
 
 
+def normals_from_depth(depth: jnp.ndarray, intrinsics: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Camera-space surface normals from a Z-depth map.
+
+    ``depth [B, H, W]`` + ``K [B, 3, 3]`` → unit normals ``[B, H, W, 3]``,
+    oriented toward the camera (``n · ray <= 0``).  Central differences of
+    the unprojected point map; jit-fusable.
+    """
+    pts = unproject_depth(depth, intrinsics)
+    du = jnp.gradient(pts, axis=2)  # along x (columns)
+    dv = jnp.gradient(pts, axis=1)  # along y (rows)
+    n = jnp.cross(du, dv)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), eps)
+    # orient toward the camera: the viewing ray at each pixel is `pts` itself
+    flip = jnp.sum(n * pts, axis=-1, keepdims=True) > 0
+    return jnp.where(flip, -n, n)
+
+
 # --------------------------------------------------------------------------
 # host-side point-cloud extraction + PLY
 # --------------------------------------------------------------------------

@@ -65,6 +65,14 @@ def main(argv=None) -> int:
     parser.add_argument("--focal-px", type=float, default=None, help="override/provide focal length in pixels (at the output resolution)")
     parser.add_argument("--pc-stride", type=int, default=2, help="point-cloud pixel subsampling stride")
     parser.add_argument("--pc-max-depth", type=float, default=None, help="drop points beyond this depth")
+    parser.add_argument("--colormap", default="gray", choices=["gray", "turbo"], help="depth PNG colormap")
+    parser.add_argument("--save-npy", default=None, metavar="OUT.npy", help="also write raw f32 metric depth")
+    parser.add_argument(
+        "--normals",
+        default=None,
+        metavar="OUT.png",
+        help="also write camera-space surface normals (RGB-encoded; needs a focal length like --pointcloud)",
+    )
     args = parser.parse_args(argv)
 
     from PIL import Image
@@ -97,23 +105,36 @@ def main(argv=None) -> int:
 
     out_path = args.output or os.path.join(os.path.dirname(args.image) or ".", "depth.png")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    Image.fromarray(normalize_to_u8(depth), mode="L").save(out_path)
+    if args.colormap == "gray":
+        Image.fromarray(normalize_to_u8(depth), mode="L").save(out_path)
+    else:
+        from burn_depth_tpu.utils.colormap import apply_colormap
 
-    if args.pointcloud is not None:
-        focal = args.focal_px
-        if focal is None and result.focallength_px is not None:
-            # The predicted focal is in pixels of the raster the model saw
-            # (prep.width); the depth map has since been cropped (focal
-            # unchanged, center preserved) and resized to orig_w — rescale.
-            pre_crop_w = prep.crop.width if prep.crop is not None else prep.width
-            focal = float(np.asarray(result.focallength_px).ravel()[0]) * (orig_w / pre_crop_w)
+        Image.fromarray(apply_colormap(normalize_to_u8(depth) / 255.0, args.colormap)).save(out_path)
+
+    if args.save_npy is not None:
+        os.makedirs(os.path.dirname(args.save_npy) or ".", exist_ok=True)
+        np.save(args.save_npy, depth.astype(np.float32))
+
+    # focal length at the output raster, needed by --pointcloud / --normals.
+    # The predicted focal is in pixels of the raster the model saw
+    # (prep.width); the depth map has since been cropped (focal unchanged,
+    # center preserved) and resized to orig_w — rescale.
+    focal = args.focal_px
+    if focal is None and result.focallength_px is not None:
+        pre_crop_w = prep.crop.width if prep.crop is not None else prep.width
+        focal = float(np.asarray(result.focallength_px).ravel()[0]) * (orig_w / pre_crop_w)
+
+    if args.pointcloud is not None or args.normals is not None:
         if focal is None:
             print(
-                "--pointcloud needs a focal length, but this model predicts none "
-                "and --focal-px was not given.",
+                "--pointcloud/--normals need a focal length, but this model "
+                "predicts none and --focal-px was not given.",
                 file=sys.stderr,
             )
             return 1
+
+    if args.pointcloud is not None:
         from burn_depth_tpu.api.geometry import pointcloud_from_depth, write_ply
 
         pts, colors = pointcloud_from_depth(
@@ -122,6 +143,16 @@ def main(argv=None) -> int:
         os.makedirs(os.path.dirname(args.pointcloud) or ".", exist_ok=True)
         write_ply(args.pointcloud, pts, colors)
         print(f"Wrote {pts.shape[0]} points (focal {focal:.2f} px) to {args.pointcloud}")
+
+    if args.normals is not None:
+        from burn_depth_tpu.api.geometry import intrinsics_from_focal, normals_from_depth
+
+        k = intrinsics_from_focal(focal, orig_h, orig_w)
+        n = np.asarray(normals_from_depth(np.asarray(depth, np.float32)[None], k)[0])
+        rgb8 = np.clip(np.round((n * 0.5 + 0.5) * 255.0), 0, 255).astype(np.uint8)
+        os.makedirs(os.path.dirname(args.normals) or ".", exist_ok=True)
+        Image.fromarray(rgb8).save(args.normals)
+        print(f"Wrote normals map to {args.normals}")
 
     if result.focallength_px is not None:
         print(f"Focal length (px): {np.asarray(result.focallength_px).tolist()}")

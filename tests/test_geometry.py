@@ -118,6 +118,51 @@ def test_pointcloud_matches_unproject_and_filters():
         pointcloud_from_depth(depth, f, rgb=rgb[:-1])
 
 
+def test_normals_from_depth_flat_and_tilted_plane():
+    from burn_depth_tpu.api.geometry import normals_from_depth
+
+    h, w, f = 10, 12, 20.0
+    k = intrinsics_from_focal(f, h, w)
+
+    flat = jnp.full((1, h, w), 3.0)
+    n = np.asarray(normals_from_depth(flat, k))
+    np.testing.assert_allclose(n, np.broadcast_to([0.0, 0.0, -1.0], n.shape), atol=1e-6)
+
+    # plane n·P = d: depth Z(u,v) = d / (nx·(u+0.5-cx)/f + ny·(v+0.5-cy)/f + nz)
+    plane_n = np.array([0.3, -0.2, 0.933], np.float32)
+    plane_n /= np.linalg.norm(plane_n)
+    d = 5.0
+    u = (np.arange(w) + 0.5 - w / 2.0) / f
+    v = (np.arange(h) + 0.5 - h / 2.0) / f
+    denom = plane_n[0] * u[None, :] + plane_n[1] * v[:, None] + plane_n[2]
+    depth = (d / denom).astype(np.float32)[None]
+    got = np.asarray(normals_from_depth(jnp.asarray(depth), k))
+    # oriented toward the camera: n·ray <= 0, so the recovered normal is -plane_n
+    np.testing.assert_allclose(got, np.broadcast_to(-plane_n, got.shape), atol=1e-4)
+
+
+def test_colormaps():
+    from burn_depth_tpu.utils.colormap import apply_colormap, grayscale, turbo
+
+    x = np.linspace(0, 1, 7)
+    g = grayscale(x)
+    assert g.shape == (7, 3) and g[0, 0] == 0 and g[-1, 0] == 255
+    assert np.all(g[:, 0] == g[:, 1]) and np.all(g[:, 1] == g[:, 2])
+
+    t = turbo(x)
+    assert t.shape == (7, 3) and t.dtype == np.uint8
+    # turbo ramps blue-dominant → red-dominant (the polynomial approximation
+    # is loose at the exact endpoints, so probe at 0.1 / 0.9)
+    lo, hi = turbo(np.array([0.1]))[0], turbo(np.array([0.9]))[0]
+    assert lo[2] > lo[0] and hi[0] > hi[2]
+    # out-of-range inputs clamp rather than wrap
+    np.testing.assert_array_equal(turbo(np.array([-1.0])), turbo(np.array([0.0])))
+
+    with pytest.raises(KeyError):
+        apply_colormap(x, "nope")
+    np.testing.assert_array_equal(apply_colormap(x, "turbo"), t)
+
+
 def test_ply_roundtrip(tmp_path):
     rng = np.random.default_rng(4)
     pts = rng.normal(size=(17, 3)).astype(np.float32)
@@ -162,10 +207,13 @@ def test_infer_cli_pointcloud(tmp_path, monkeypatch):
     Image.fromarray(rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)).save(img_path)
 
     ply_path = str(tmp_path / "cloud.ply")
+    npy_path = str(tmp_path / "d.npy")
+    normals_path = str(tmp_path / "n.png")
     rc = infer_main(
         [
             "--model", "depth-anything-3", "--checkpoint", ckpt, "--image", img_path,
-            "--output", str(tmp_path / "d.png"),
+            "--output", str(tmp_path / "d.png"), "--colormap", "turbo",
+            "--save-npy", npy_path, "--normals", normals_path,
             "--pointcloud", ply_path, "--focal-px", "55.0", "--pc-stride", "2",
         ]
     )
@@ -173,6 +221,12 @@ def test_infer_cli_pointcloud(tmp_path, monkeypatch):
     pts, colors = read_ply(ply_path)
     assert pts.shape[1] == 3 and colors is not None and colors.shape == pts.shape
     assert pts.shape[0] > 0
+    raw = np.load(npy_path)
+    assert raw.shape == (40, 64) and raw.dtype == np.float32 and np.isfinite(raw).all()
+    depth_png = np.asarray(Image.open(tmp_path / "d.png"))
+    assert depth_png.shape == (40, 64, 3)  # turbo colormap writes RGB
+    normals_png = np.asarray(Image.open(normals_path))
+    assert normals_png.shape == (40, 64, 3)
 
     # DA3 predicts no focal: without --focal-px the CLI must fail loudly
     rc2 = infer_main(
