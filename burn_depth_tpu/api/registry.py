@@ -145,10 +145,26 @@ class AnyDepthModel:
 
         def da3_fn(params, x):
             head_out, camera_pred, _ = m._forward_internal(params, x, None, None)
-            return m._finalize(head_out, camera_pred).depth
+            inf = m._finalize(head_out, camera_pred)
+            return inf.depth, inf.intrinsics
 
         fn = jax.jit(da3_fn)
-        return lambda x: DepthPrediction(depth=fn(m.params, x))
+
+        def run(x):
+            depth, intr = fn(m.params, x)
+            focal = fovy = None
+            if intr is not None:
+                # Beyond-parity: the reference leaves DA3's DepthPrediction
+                # intrinsics empty (inference.rs:43-55); DA3-small's camera
+                # decoder predicts K in pixels of the model raster
+                # (camera.rs:281-356), so surface fx + the fy-derived vertical
+                # FOV — this makes downstream unprojection work checkpoint-free.
+                k = intr.reshape(-1, 3, 3)
+                focal = k[:, 0, 0]
+                fovy = 2.0 * jnp.arctan((m.img_size / 2.0) / k[:, 1, 1])
+            return DepthPrediction(depth=depth, focallength_px=focal, fovy_rad=fovy)
+
+        return run
 
 
 def load_model(kind: Union[DepthModelKind, str], checkpoint: Optional[str] = None) -> AnyDepthModel:

@@ -228,11 +228,24 @@ def test_infer_cli_pointcloud(tmp_path, monkeypatch):
     normals_png = np.asarray(Image.open(normals_path))
     assert normals_png.shape == (40, 64, 3)
 
-    # DA3 predicts no focal: without --focal-px the CLI must fail loudly
+    # DA3-small predicts intrinsics: --pointcloud works without --focal-px
     rc2 = infer_main(
         [
             "--model", "depth-anything-3", "--checkpoint", ckpt, "--image", img_path,
             "--output", str(tmp_path / "d2.png"), "--pointcloud", str(tmp_path / "c2.ply"),
         ]
     )
-    assert rc2 == 1
+    assert rc2 == 0 and os.path.exists(tmp_path / "c2.ply")
+
+    # DA3 metric-large (mono head, no camera decoder) predicts no focal:
+    # without --focal-px the CLI must fail loudly
+    model_l = DepthAnything3.init(jax.random.PRNGKey(1), tiny_large)
+    ckpt_l = str(tmp_path / "da3_metric_large.safetensors")
+    save_checkpoint(ckpt_l, model_l.params)
+    rc3 = infer_main(
+        [
+            "--model", "depth-anything-3", "--checkpoint", ckpt_l, "--image", img_path,
+            "--output", str(tmp_path / "d3.png"), "--pointcloud", str(tmp_path / "c3.ply"),
+        ]
+    )
+    assert rc3 == 1

@@ -119,7 +119,11 @@ def test_registry_load_native_da3_with_fallback_retry(tmp_path, monkeypatch):
 
     pred = loaded.infer_depth(jnp.zeros((1, 3, 28, 28)))
     assert pred.depth.shape == (1, 28, 28)
-    assert pred.focallength_px is None
+    # DA3-small predicts intrinsics via its camera decoder: the registry
+    # surfaces fx + the fy-derived vertical FOV (beyond-parity; the reference
+    # leaves these None for DA3).
+    assert pred.focallength_px.shape == (1,)
+    assert np.isfinite(np.asarray(pred.fovy_rad)).all()
 
 
 def test_registry_load_bad_da3_checkpoint_raises(tmp_path, monkeypatch):
