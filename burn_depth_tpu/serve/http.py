@@ -26,6 +26,9 @@ Endpoints:
                (serve/batcher.py).  Returns a normalized depth PNG with
                X-Depth-Min/X-Depth-Max headers, or raw little-endian f32
                (with X-Shape) when ``Accept: application/octet-stream``.
+    /metrics   Prometheus text format: request counters per endpoint/code,
+               latency histograms (+ /infer p50/p99 gauges), inference FPS,
+               frame counters (serve/metrics.py)
 """
 
 from __future__ import annotations
@@ -160,10 +163,13 @@ class DepthHTTPServer:
         self._stop = threading.Event()
         slot, stop = self.slot, self._stop
         browser_source = source if isinstance(source, BrowserSource) else None
+        from burn_depth_tpu.serve.metrics import ServingMetrics
         from burn_depth_tpu.serve.service import BatchedInferService
 
         infer_service = BatchedInferService(model, batch_sizes=infer_batch_sizes)
         self.infer_service = infer_service
+        metrics = ServingMetrics()
+        self.metrics = metrics
 
         max_upload = 32 << 20  # bound per-request host memory (413 beyond)
 
@@ -178,20 +184,30 @@ class DepthHTTPServer:
                     return None
                 return self.rfile.read(length)
 
+            def _finish(self, endpoint: str, code: int, t0: float) -> None:
+                metrics.inc("http_requests_total", {"endpoint": endpoint, "code": str(code)})
+                metrics.observe(
+                    "http_request_seconds", time.perf_counter() - t0, {"endpoint": endpoint}
+                )
+
             def do_POST(self):
+                t0 = time.perf_counter()
                 try:
                     if self.path == "/ingest" and browser_source is not None:
                         body = self._read_body()
                         if body is None:
+                            self._finish("/ingest", 413, t0)
                             return
                         from PIL import Image
 
                         frame = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
                         browser_source.push(frame)
                         self._send(200, "application/json", b'{"ok": true}')
+                        self._finish("/ingest", 200, t0)
                     elif self.path == "/infer":
                         body = self._read_body()
                         if body is None:
+                            self._finish("/infer", 413, t0)
                             return
                         from PIL import Image
 
@@ -205,6 +221,7 @@ class DepthHTTPServer:
                             self.send_header("Content-Length", str(len(raw)))
                             self.end_headers()
                             self.wfile.write(raw)
+                            self._finish("/infer", 200, t0)
                         else:
                             png = _encode(u8, "PNG")
                             self.send_response(200)
@@ -214,31 +231,49 @@ class DepthHTTPServer:
                             self.send_header("Content-Length", str(len(png)))
                             self.end_headers()
                             self.wfile.write(png)
+                            self._finish("/infer", 200, t0)
                     else:
                         self._send(404, "text/plain", b"not found")
+                        self._finish(self.path, 404, t0)
                 except (BrokenPipeError, ConnectionResetError):
                     pass
                 except Exception as e:  # malformed frame: report, don't kill the handler thread
                     self._send(400, "text/plain", f"bad frame: {e}".encode())
+                    self._finish(self.path, 400, t0)
 
             def do_GET(self):
+                t0 = time.perf_counter()
                 try:
                     if self.path == "/":
                         self._send(200, "text/html", _PAGE)
+                        self._finish("/", 200, t0)
                     elif self.path == "/camera":
                         self._send(200, "text/html", _CAMERA_PAGE)
+                        self._finish("/camera", 200, t0)
                     elif self.path == "/snapshot":
                         frame, _, _ = slot.wait_next(-1)
                         if frame is None:
                             self._send(503, "text/plain", b"no frame yet")
+                            self._finish("/snapshot", 503, t0)
                         else:
                             self._send(200, "image/png", _encode(frame, "PNG"))
+                            self._finish("/snapshot", 200, t0)
                     elif self.path == "/stats":
                         _, meta, _ = slot.wait_next(-1, timeout=0)
                         batcher = infer_service.stats()
                         if batcher is not None:
                             meta = dict(meta, infer=batcher)
                         self._send(200, "application/json", json.dumps(meta).encode())
+                        self._finish("/stats", 200, t0)
+                    elif self.path == "/metrics":
+                        p50 = metrics.quantile("http_request_seconds", 0.5, {"endpoint": "/infer"})
+                        if p50 is not None:
+                            metrics.set_gauge("infer_latency_p50_seconds", p50)
+                            p99 = metrics.quantile("http_request_seconds", 0.99, {"endpoint": "/infer"})
+                            metrics.set_gauge("infer_latency_p99_seconds", p99)
+                        self._send(
+                            200, "text/plain; version=0.0.4", metrics.render().encode()
+                        )
                     elif self.path == "/stream":
                         self.send_response(200)
                         self.send_header(
@@ -255,8 +290,10 @@ class DepthHTTPServer:
                             self.wfile.write(b"--frame\r\nContent-Type: image/jpeg\r\n")
                             self.wfile.write(f"Content-Length: {len(jpg)}\r\n\r\n".encode())
                             self.wfile.write(jpg + b"\r\n")
+                            metrics.inc("stream_frames_total")
                     else:
                         self._send(404, "text/plain", b"not found")
+                        self._finish(self.path, 404, t0)
                 except (BrokenPipeError, ConnectionResetError):
                     pass
 
@@ -288,6 +325,8 @@ class DepthHTTPServer:
         while not self._stop.is_set():
             for rf in run_realtime(self.model, self.source):
                 self.slot.put(rf.depth_u8, rf.index, rf.fps)
+                self.metrics.set_gauge("inference_fps", rf.fps)
+                self.metrics.inc("frames_inferred_total")
                 if self._stop.is_set():
                     return
             if not self.loop_source or not self._reset_source():
