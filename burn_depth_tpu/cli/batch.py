@@ -9,6 +9,9 @@ frames pack into fixed ``--batch`` static-shape batches (last batch padded),
 and the jitted step runs with persistent weights while the next batch's
 decode and upload overlap (JAX async dispatch).  Outputs: normalized depth
 PNGs (and raw f32 ``.npy`` with ``--save-npy``), named after the inputs.
+
+With ``--dp N`` the batch dim shards over an N-device data-parallel ICI mesh
+(BASELINE config 5 as a CLI; params resident, XLA SPMD collectives).
 """
 
 from __future__ import annotations
@@ -28,6 +31,13 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", default="depth_out")
     p.add_argument("--save-npy", action="store_true", help="also write raw f32 depth .npy")
     p.add_argument("--threads", type=int, default=4, help="native decode workers")
+    p.add_argument(
+        "--dp",
+        type=int,
+        default=1,
+        help="shard each batch over this many devices on the ICI mesh "
+        "(data parallel; --batch must be divisible)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -69,7 +79,23 @@ def main(argv=None) -> int:
         u8 = jnp.stack([_normalize_u8(depth[i]) for i in range(depth.shape[0])])
         return depth, u8
 
-    fn = jax.jit(with_u8_ingest(forward))
+    if args.dp > 1:
+        # BASELINE config 5 as a CLI: params resident on a (dp, 1) mesh,
+        # batch dim sharded over `data`, XLA SPMD lays collectives on ICI.
+        devs = jax.devices()
+        if len(devs) < args.dp:
+            raise SystemExit(f"--dp {args.dp} > {len(devs)} available devices")
+        if args.batch % args.dp:
+            raise SystemExit(f"--batch {args.batch} not divisible by --dp {args.dp}")
+        from burn_depth_tpu.parallel import make_mesh
+        from burn_depth_tpu.serve.step import compile_serving_step
+
+        mesh = make_mesh(devs[: args.dp])
+        step = compile_serving_step(with_u8_ingest(forward), inner.params, mesh)
+        run = step
+    else:
+        fn = jax.jit(with_u8_ingest(forward))
+        run = lambda x: fn(inner.params, x)  # noqa: E731
 
     # DA3 prep = shortest-side + crop; Depth Pro = squash (full frame).
     loader = ImageLoader(
@@ -97,7 +123,7 @@ def main(argv=None) -> int:
         n = len(frames)
         frames += [frames[-1]] * (args.batch - n)  # pad the final batch
         x = jnp.asarray(np.stack(frames))
-        out = fn(inner.params, x)  # async dispatch: overlaps next decode
+        out = run(x)  # async dispatch: overlaps next decode
         if pending is not None:
             _flush(pending, save)
             done += pending[1]

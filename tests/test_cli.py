@@ -288,3 +288,44 @@ def test_batch_cli_end_to_end(tmp_path):
     assert npys == [f"im{i}_depth.npy" for i in range(5)]
     d = np.load(out / "im3_depth.npy")
     assert d.shape == (28, 28) and np.isfinite(d).all()
+
+
+def test_batch_cli_dp_sharded(tmp_path):
+    """--dp 2: the batch dim shards over a 2-device data-parallel mesh
+    (virtual CPU devices in CI); outputs must match the single-device run."""
+    import numpy as np
+    from PIL import Image
+
+    from burn_depth_tpu.cli.batch import main as batch_main
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)).save(
+            src / f"im{i}.png"
+        )
+    import unittest.mock as mock
+
+    tiny = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    with mock.patch.object(DepthAnything3Config, "metric_large", staticmethod(lambda: tiny)):
+        out_dp = tmp_path / "depth_dp"
+        rc = batch_main(
+            [str(src), "--batch", "2", "--dp", "2", "--out-dir", str(out_dp), "--save-npy"]
+        )
+        assert rc == 0
+        out_1 = tmp_path / "depth_1"
+        rc = batch_main([str(src), "--batch", "2", "--out-dir", str(out_1), "--save-npy"])
+        assert rc == 0
+
+    for i in range(4):
+        a = np.load(out_dp / f"im{i}_depth.npy")
+        b = np.load(out_1 / f"im{i}_depth.npy")
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    # invalid compositions fail loudly
+    with mock.patch.object(DepthAnything3Config, "metric_large", staticmethod(lambda: tiny)):
+        with pytest.raises(SystemExit):
+            batch_main([str(src), "--batch", "3", "--dp", "2", "--out-dir", str(tmp_path / "x")])
+        with pytest.raises(SystemExit):
+            batch_main([str(src), "--batch", "16", "--dp", "16", "--out-dir", str(tmp_path / "y")])
