@@ -22,11 +22,14 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 @dataclasses.dataclass
 class DepthPrediction:
-    """Reference ``DepthPrediction`` (``src/inference.rs:9-20``)."""
+    """Reference ``DepthPrediction`` (``src/inference.rs:9-20``), extended
+    with the per-pixel confidence DA3's dual head emits (the reference keeps
+    it only on its DA3-specific inference struct)."""
 
     depth: jnp.ndarray  # [B, H, W] metric depth (or relative for DA3)
     focallength_px: Optional[jnp.ndarray] = None  # [B]
     fovy_rad: Optional[jnp.ndarray] = None  # [B]
+    confidence: Optional[jnp.ndarray] = None  # [B, H, W] (DA3 dual head only)
 
     @property
     def has_intrinsics(self) -> bool:

@@ -146,12 +146,12 @@ class AnyDepthModel:
         def da3_fn(params, x):
             head_out, camera_pred, _ = m._forward_internal(params, x, None, None)
             inf = m._finalize(head_out, camera_pred)
-            return inf.depth, inf.intrinsics
+            return inf.depth, inf.intrinsics, inf.depth_confidence
 
         fn = jax.jit(da3_fn)
 
         def run(x):
-            depth, intr = fn(m.params, x)
+            depth, intr, conf = fn(m.params, x)
             focal = fovy = None
             if intr is not None:
                 # Beyond-parity: the reference leaves DA3's DepthPrediction
@@ -162,7 +162,9 @@ class AnyDepthModel:
                 k = intr.reshape(-1, 3, 3)
                 focal = k[:, 0, 0]
                 fovy = 2.0 * jnp.arctan((m.img_size / 2.0) / k[:, 1, 1])
-            return DepthPrediction(depth=depth, focallength_px=focal, fovy_rad=fovy)
+            return DepthPrediction(
+                depth=depth, focallength_px=focal, fovy_rad=fovy, confidence=conf
+            )
 
         return run
 

@@ -66,6 +66,12 @@ def main(argv=None) -> int:
     parser.add_argument("--pc-stride", type=int, default=2, help="point-cloud pixel subsampling stride")
     parser.add_argument("--pc-max-depth", type=float, default=None, help="drop points beyond this depth")
     parser.add_argument("--colormap", default="gray", choices=["gray", "turbo"], help="depth PNG colormap")
+    parser.add_argument(
+        "--save-conf",
+        default=None,
+        metavar="OUT.png",
+        help="write the per-pixel confidence map (DA3 dual-head models)",
+    )
     parser.add_argument("--save-npy", default=None, metavar="OUT.npy", help="also write raw f32 metric depth")
     parser.add_argument(
         "--normals",
@@ -115,6 +121,20 @@ def main(argv=None) -> int:
     if args.save_npy is not None:
         os.makedirs(os.path.dirname(args.save_npy) or ".", exist_ok=True)
         np.save(args.save_npy, depth.astype(np.float32))
+
+    if args.save_conf is not None:
+        if result.confidence is None:
+            print("--save-conf: this model emits no confidence map", file=sys.stderr)
+            return 1
+        conf = np.asarray(result.confidence[0], dtype=np.float32)
+        if prep.crop is not None:
+            c = prep.crop
+            conf = conf[c.y : c.y + c.height, c.x : c.x + c.width]
+        if conf.shape != (orig_h, orig_w):
+            conf = resize_depth_field(conf, orig_h, orig_w)
+        os.makedirs(os.path.dirname(args.save_conf) or ".", exist_ok=True)
+        Image.fromarray(normalize_to_u8(conf), mode="L").save(args.save_conf)
+        print(f"Wrote confidence map to {args.save_conf}")
 
     # focal length at the output raster, needed by --pointcloud / --normals.
     # The predicted focal is in pixels of the raster the model saw

@@ -329,3 +329,39 @@ def test_batch_cli_dp_sharded(tmp_path):
             batch_main([str(src), "--batch", "3", "--dp", "2", "--out-dir", str(tmp_path / "x")])
         with pytest.raises(SystemExit):
             batch_main([str(src), "--batch", "16", "--dp", "16", "--out-dir", str(tmp_path / "y")])
+
+
+def test_infer_cli_save_conf(tmp_path, monkeypatch):
+    """--save-conf writes DA3-small's confidence map (restored to the input
+    dims) and fails loudly for models without one."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    model = DepthAnything3.init(jax.random.PRNGKey(0), _TINY_SMALL)
+    ckpt = str(tmp_path / "da3_small.safetensors")
+    save_checkpoint(ckpt, model.params)
+    monkeypatch.setattr(DepthAnything3Config, "metric_large", staticmethod(lambda: _TINY_LARGE))
+    monkeypatch.setattr(DepthAnything3Config, "small", staticmethod(lambda: _TINY_SMALL))
+
+    img_path = str(tmp_path / "in.png")
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)).save(img_path)
+
+    conf_path = str(tmp_path / "conf.png")
+    rc = infer_main(
+        ["--model", "depth-anything-3", "--checkpoint", ckpt, "--image", img_path,
+         "--output", str(tmp_path / "d.png"), "--save-conf", conf_path]
+    )
+    assert rc == 0
+    conf = np.asarray(Image.open(conf_path))
+    assert conf.shape == (40, 64)
+
+    # mono head: no confidence -> loud failure
+    model_l = DepthAnything3.init(jax.random.PRNGKey(1), _TINY_LARGE)
+    ckpt_l = str(tmp_path / "da3_metric_large.safetensors")
+    save_checkpoint(ckpt_l, model_l.params)
+    rc2 = infer_main(
+        ["--model", "depth-anything-3", "--checkpoint", ckpt_l, "--image", img_path,
+         "--output", str(tmp_path / "d2.png"), "--save-conf", str(tmp_path / "c2.png")]
+    )
+    assert rc2 == 1
