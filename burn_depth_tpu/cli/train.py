@@ -191,6 +191,17 @@ def main(argv=None) -> int:
     parser.add_argument("--eval-data", default=None, help="held-out dir for --eval-batches (falls back to --data, labeled train-set)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
+        "--augment",
+        action="store_true",
+        help="host-side train augmentation: hflip + photometric jitter (train/augment.py)",
+    )
+    parser.add_argument(
+        "--aug-depth-scale",
+        type=float,
+        default=0.0,
+        help="with --augment: per-sample exp(U(-s,s)) depth scaling for scale-invariant objectives",
+    )
+    parser.add_argument(
         "--platform", default=None, choices=["cpu", "tpu"],
         help="pin the JAX platform (the TPU plugin ignores JAX_PLATFORMS; this pins via jax.config)",
     )
@@ -305,6 +316,12 @@ def main(argv=None) -> int:
         if args.data
         else synthetic_depth_batches(args.seed, eff_batch, size, steps=args.steps)
     )
+    if args.augment:
+        from burn_depth_tpu.train.augment import augmented_batches
+
+        gen = augmented_batches(
+            gen, args.seed + 1, depth_scale=args.aug_depth_scale
+        )
 
     def shaped(b):
         if args.accum > 1:
