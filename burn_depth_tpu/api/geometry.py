@@ -188,12 +188,15 @@ def pointcloud_from_depth(
     stride: int = 1,
     max_depth: Optional[float] = None,
     min_depth: float = 0.0,
+    focal_y_px: Optional[float] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """``[H, W]`` Z-depth + focal (pixels) → filtered ``[N, 3]`` points
     (+ ``[N, 3]`` u8 colors when ``rgb [H, W, 3]`` is given).
 
     Host-side: subsamples by ``stride``, drops non-finite depths and depths
-    outside ``(min_depth, max_depth]``.
+    outside ``(min_depth, max_depth]``.  ``focal_y_px`` overrides the
+    vertical focal for anisotropic rasters (e.g. a square model raster
+    stretched back to the source aspect ratio).
     """
     if stride < 1:
         raise ValueError("stride must be >= 1")
@@ -201,9 +204,10 @@ def pointcloud_from_depth(
     h, w = depth.shape
     if rgb is not None and rgb.shape[:2] != (h, w):
         raise ValueError(f"rgb {rgb.shape[:2]} does not match depth {(h, w)}")
+    fy = float(focal_px if focal_y_px is None else focal_y_px)
     d = depth[::stride, ::stride]
     u = (np.arange(0, w, stride, dtype=np.float32) + 0.5 - w / 2.0) / float(focal_px)
-    v = (np.arange(0, h, stride, dtype=np.float32) + 0.5 - h / 2.0) / float(focal_px)
+    v = (np.arange(0, h, stride, dtype=np.float32) + 0.5 - h / 2.0) / fy
     x = u[None, :] * d
     y = v[:, None] * d
     pts = np.stack([x, y, d], axis=-1).reshape(-1, 3)

@@ -111,41 +111,16 @@ def main(argv=None) -> int:
         if args.save_npy:
             np.save(os.path.join(args.out_dir, f"{stem}_depth.npy"), depth)
 
+    from burn_depth_tpu.serve.bulk import batched_depth_iter
+
     t0 = time.perf_counter()
     done = 0
-    pending = None  # (start_index, count, device outputs) — one batch in flight
-    frames: list = []
-    index = 0
-    for frame in loader:
-        frames.append(frame.transpose(2, 0, 1))
-        if len(frames) < args.batch and index + len(frames) < len(files):
-            continue
-        n = len(frames)
-        frames += [frames[-1]] * (args.batch - n)  # pad the final batch
-        x = jnp.asarray(np.stack(frames))
-        out = run(x)  # async dispatch: overlaps next decode
-        if pending is not None:
-            _flush(pending, save)
-            done += pending[1]
-        pending = (index, n, out)
-        index += n
-        frames = []
-    if pending is not None:
-        _flush(pending, save)
-        done += pending[1]
+    for idx, (depth_i, u8_i) in batched_depth_iter(run, loader, args.batch):
+        save(idx, depth_i, u8_i)
+        done += 1
     dt = time.perf_counter() - t0
     print(f"{done} images -> {args.out_dir} in {dt:.2f}s ({done / dt:.2f} img/s)")
     return 0
-
-
-def _flush(pending, save) -> None:
-    import numpy as np
-
-    start, n, (depth, u8) = pending
-    depth_np = np.asarray(depth)  # blocks until the batch is done
-    u8_np = np.asarray(u8)
-    for i in range(n):
-        save(start + i, depth_np[i], u8_np[i])
 
 
 if __name__ == "__main__":

@@ -127,23 +127,29 @@ def main(argv=None) -> int:
             print("--save-conf: this model emits no confidence map", file=sys.stderr)
             return 1
         conf = np.asarray(result.confidence[0], dtype=np.float32)
-        if prep.crop is not None:
-            c = prep.crop
-            conf = conf[c.y : c.y + c.height, c.x : c.x + c.width]
         if conf.shape != (orig_h, orig_w):
             conf = resize_depth_field(conf, orig_h, orig_w)
         os.makedirs(os.path.dirname(args.save_conf) or ".", exist_ok=True)
         Image.fromarray(normalize_to_u8(conf), mode="L").save(args.save_conf)
         print(f"Wrote confidence map to {args.save_conf}")
 
-    # focal length at the output raster, needed by --pointcloud / --normals.
+    # Focal lengths at the output raster, needed by --pointcloud / --normals.
     # The predicted focal is in pixels of the raster the model saw
-    # (prep.width); the depth map has since been cropped (focal unchanged,
-    # center preserved) and resized to orig_w — rescale.
-    focal = args.focal_px
+    # (prep.width × prep.height); the depth map has since been resized to
+    # (orig_h, orig_w) — anisotropic for DA3's square raster — so the two
+    # axes rescale independently.  fy comes from the predicted vertical FOV
+    # when available (DA3-small predicts fx and fy separately).
+    focal = focal_y = args.focal_px
     if focal is None and result.focallength_px is not None:
-        pre_crop_w = prep.crop.width if prep.crop is not None else prep.width
-        focal = float(np.asarray(result.focallength_px).ravel()[0]) * (orig_w / pre_crop_w)
+        fx_raster = float(np.asarray(result.focallength_px).ravel()[0])
+        fy_raster = fx_raster
+        if result.fovy_rad is not None:
+            fovy = float(np.asarray(result.fovy_rad).ravel()[0])
+            tan_half = np.tan(fovy / 2.0)
+            if np.isfinite(tan_half) and tan_half > 1e-8:
+                fy_raster = (prep.height / 2.0) / tan_half
+        focal = fx_raster * (orig_w / prep.width)
+        focal_y = fy_raster * (orig_h / prep.height)
 
     if args.pointcloud is not None or args.normals is not None:
         if focal is None:
@@ -158,16 +164,17 @@ def main(argv=None) -> int:
         from burn_depth_tpu.api.geometry import pointcloud_from_depth, write_ply
 
         pts, colors = pointcloud_from_depth(
-            depth, focal, rgb=image, stride=args.pc_stride, max_depth=args.pc_max_depth
+            depth, focal, rgb=image, stride=args.pc_stride,
+            max_depth=args.pc_max_depth, focal_y_px=focal_y,
         )
         os.makedirs(os.path.dirname(args.pointcloud) or ".", exist_ok=True)
         write_ply(args.pointcloud, pts, colors)
-        print(f"Wrote {pts.shape[0]} points (focal {focal:.2f} px) to {args.pointcloud}")
+        print(f"Wrote {pts.shape[0]} points (focal {focal:.2f}/{focal_y:.2f} px) to {args.pointcloud}")
 
     if args.normals is not None:
         from burn_depth_tpu.api.geometry import intrinsics_from_focal, normals_from_depth
 
-        k = intrinsics_from_focal(focal, orig_h, orig_w)
+        k = intrinsics_from_focal(focal, orig_h, orig_w, focal_y_px=focal_y)
         n = np.asarray(normals_from_depth(np.asarray(depth, np.float32)[None], k)[0])
         rgb8 = np.clip(np.round((n * 0.5 + 0.5) * 255.0), 0, 255).astype(np.uint8)
         os.makedirs(os.path.dirname(args.normals) or ".", exist_ok=True)

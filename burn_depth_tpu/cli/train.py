@@ -320,7 +320,12 @@ def main(argv=None) -> int:
         from burn_depth_tpu.train.augment import augmented_batches
 
         gen = augmented_batches(
-            gen, args.seed + 1, depth_scale=args.aug_depth_scale
+            gen,
+            args.seed + 1,
+            depth_scale=args.aug_depth_scale,
+            # paired-file batches arrive ImageNet-normalized; synthetic ones
+            # are raw [0,1] — the jitter must know which space it's in
+            normalized=bool(args.data),
         )
 
     def shaped(b):

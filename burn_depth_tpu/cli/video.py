@@ -17,12 +17,14 @@ import argparse
 import os
 import sys
 import time
-from typing import Iterator, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
 
-def _dir_frames(path: str, size: int, crop: bool, threads: int, batch: int) -> Tuple[int, Iterator[np.ndarray]]:
+def _dir_frames(path: str, size: int, crop: bool, threads: int, batch: int) -> Tuple[Optional[float], Iterator[np.ndarray]]:
+    """Ordered directory frames via the native prefetch loader.  Returns
+    ``(source_fps=None, frames)`` — directories carry no frame rate."""
     from burn_depth_tpu.api.native import ImageLoader
 
     exts = (".png", ".jpg", ".jpeg", ".ppm")
@@ -32,48 +34,35 @@ def _dir_frames(path: str, size: int, crop: bool, threads: int, batch: int) -> T
     if not files:
         raise FileNotFoundError(f"no frames under {path}")
     loader = ImageLoader(files, size, mode="u8", threads=threads, window=max(2 * batch, 4), crop=crop)
-    return len(files), iter(loader)
+    return None, iter(loader)
 
 
-def _video_frames(path: str, size: int, crop: bool) -> Tuple[int, Iterator[np.ndarray]]:
+def _video_frames(path: str, size: int, crop: bool) -> Tuple[Optional[float], Iterator[np.ndarray]]:
+    """Video-file frames, prepped with the SAME geometry as the directory
+    loader (``api/native``: CatmullRom shortest-side + center crop for DA3,
+    square squash otherwise).  Returns ``(source_fps, frames)``."""
     try:
         import cv2
     except ImportError as e:  # pragma: no cover - cv2 is in the image
         raise RuntimeError("video-file input needs OpenCV (cv2); pass a frame directory instead") from e
 
+    from burn_depth_tpu.api.native import resize_and_crop_u8, resize_bicubic_u8
+
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video {path}")
-    count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or -1
+    src_fps = float(cap.get(cv2.CAP_PROP_FPS)) or None
 
     def gen() -> Iterator[np.ndarray]:
         while True:
             ok, bgr = cap.read()
             if not ok:
                 break
-            rgb = bgr[:, :, ::-1]
-            yield _prep_frame(rgb, size, crop)
+            rgb = np.ascontiguousarray(bgr[:, :, ::-1])
+            yield resize_and_crop_u8(rgb, size) if crop else resize_bicubic_u8(rgb, size, size)
         cap.release()
 
-    return count, gen()
-
-
-def _prep_frame(rgb: np.ndarray, size: int, crop: bool) -> np.ndarray:
-    """Resize (and center-crop for DA3) a HWC u8 frame to ``size``² — the
-    same geometry the native loader applies to directory inputs."""
-    from PIL import Image
-
-    img = Image.fromarray(rgb)
-    if crop:
-        w, h = img.size
-        scale = size / min(w, h)
-        img = img.resize((max(size, round(w * scale)), max(size, round(h * scale))), Image.BICUBIC)
-        w, h = img.size
-        left, top = (w - size) // 2, (h - size) // 2
-        img = img.crop((left, top, left + size, top + size))
-    else:
-        img = img.resize((size, size), Image.BICUBIC)
-    return np.asarray(img, np.uint8)
+    return src_fps, gen()
 
 
 def main(argv=None) -> int:
@@ -89,11 +78,15 @@ def main(argv=None) -> int:
     p.add_argument("--norm", choices=["running", "frame"], default="running", help="visualization normalization")
     p.add_argument("--norm-momentum", type=float, default=0.9)
     p.add_argument("--colormap", default="turbo", choices=["gray", "turbo"])
-    p.add_argument("--fps", type=float, default=24.0, help="output video frame rate")
+    p.add_argument(
+        "--fps",
+        type=float,
+        default=None,
+        help="output video frame rate (default: the source video's rate, else 24)",
+    )
     args = p.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from burn_depth_tpu.api import AnyDepthModel, DepthModelKind, load_model
     from burn_depth_tpu.serve.step import with_u8_ingest
@@ -112,9 +105,10 @@ def main(argv=None) -> int:
     size = model.preferred_input_resolution() or inner.config.img_size
 
     if os.path.isdir(args.input):
-        total, frames = _dir_frames(args.input, size, kind_da3, args.threads, args.batch)
+        src_fps, frames = _dir_frames(args.input, size, kind_da3, args.threads, args.batch)
     else:
-        total, frames = _video_frames(args.input, size, kind_da3)
+        src_fps, frames = _video_frames(args.input, size, kind_da3)
+    out_fps = args.fps or src_fps or 24.0
 
     def forward(params, x):
         if kind_da3:
@@ -149,7 +143,7 @@ def main(argv=None) -> int:
             if writer is None:
                 h, w = rgb.shape[:2]
                 writer = cv2.VideoWriter(
-                    args.output, cv2.VideoWriter_fourcc(*"mp4v"), args.fps, (w, h)
+                    args.output, cv2.VideoWriter_fourcc(*"mp4v"), out_fps, (w, h)
                 )
                 if not writer.isOpened():
                     raise RuntimeError(f"cannot open video writer for {args.output}")
@@ -159,42 +153,15 @@ def main(argv=None) -> int:
 
             Image.fromarray(rgb).save(os.path.join(args.output, f"depth_{idx:06d}.png"))
 
+    from burn_depth_tpu.serve.bulk import batched_depth_iter
+
     t0 = time.perf_counter()
     done = 0
-    pending = None  # (start_index, count, device depth) — one batch in flight
-    buf: list = []
-    index = 0
-    stream_ended = False
-    frames_iter = frames
-    while not stream_ended or buf or pending is not None:
-        if not stream_ended:
-            frame = next(frames_iter, None)
-            if frame is None:
-                stream_ended = True
-            else:
-                buf.append(frame.transpose(2, 0, 1))
-        flush_now = len(buf) == args.batch or (stream_ended and buf)
-        if flush_now:
-            n = len(buf)
-            buf = buf + [buf[-1]] * (args.batch - n)
-            x = jnp.asarray(np.stack(buf))
-            out = fn(inner.params, x)  # async dispatch
-            if pending is not None:
-                s, c, d = pending
-                d_np = np.asarray(d)
-                for i in range(c):
-                    emit(s + i, d_np[i])
-                done += c
-            pending = (index, n, out)
-            index += n
-            buf = []
-        elif stream_ended and pending is not None:
-            s, c, d = pending
-            d_np = np.asarray(d)
-            for i in range(c):
-                emit(s + i, d_np[i])
-            done += c
-            pending = None
+    for idx, depth_i in batched_depth_iter(
+        lambda x: fn(inner.params, x), frames, args.batch
+    ):
+        emit(idx, depth_i)
+        done += 1
 
     if writer is not None:
         writer.release()

@@ -184,7 +184,15 @@ class DepthHTTPServer:
                     return None
                 return self.rfile.read(length)
 
+            _KNOWN_ENDPOINTS = frozenset(
+                {"/", "/camera", "/ingest", "/infer", "/snapshot", "/stats", "/metrics", "/stream"}
+            )
+
             def _finish(self, endpoint: str, code: int, t0: float) -> None:
+                # Unknown paths collapse to one label value: bot scans must
+                # not grow the metric registry without bound.
+                if endpoint not in self._KNOWN_ENDPOINTS:
+                    endpoint = "_other"
                 metrics.inc("http_requests_total", {"endpoint": endpoint, "code": str(code)})
                 metrics.observe(
                     "http_request_seconds", time.perf_counter() - t0, {"endpoint": endpoint}

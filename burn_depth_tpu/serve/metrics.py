@@ -57,10 +57,15 @@ class LatencyHistogram:
         return self.bounds[-1]
 
 
+def _escape(value: str) -> str:
+    """Prometheus label-value escaping: backslash, double-quote, newline."""
+    return str(value).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _fmt_labels(labels: Dict[str, str]) -> str:
     if not labels:
         return ""
-    inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+    inner = ",".join(f'{k}="{_escape(v)}"' for k, v in sorted(labels.items()))
     return "{" + inner + "}"
 
 
@@ -105,22 +110,30 @@ class ServingMetrics:
             return hist.quantile(q) if hist else None
 
     def render(self) -> str:
-        """Prometheus text exposition format 0.0.4."""
+        """Prometheus text exposition format 0.0.4 (one ``# TYPE`` line per
+        metric name, as the spec requires, even with many label sets)."""
         ns = self.namespace
         out = []
         with self._lock:
+            seen_type: set = set()
             for (name, labels), v in sorted(self._counters.items()):
                 full = f"{ns}_{name}"
-                out.append(f"# TYPE {full} counter")
+                if full not in seen_type:
+                    seen_type.add(full)
+                    out.append(f"# TYPE {full} counter")
                 out.append(f"{full}{_fmt_labels(dict(labels))} {_num(v)}")
             for (name, labels), v in sorted(self._gauges.items()):
                 full = f"{ns}_{name}"
-                out.append(f"# TYPE {full} gauge")
+                if full not in seen_type:
+                    seen_type.add(full)
+                    out.append(f"# TYPE {full} gauge")
                 out.append(f"{full}{_fmt_labels(dict(labels))} {_num(v)}")
             for (name, labels), h in sorted(self._hists.items()):
                 full = f"{ns}_{name}"
                 base = dict(labels)
-                out.append(f"# TYPE {full} histogram")
+                if full not in seen_type:
+                    seen_type.add(full)
+                    out.append(f"# TYPE {full} histogram")
                 cum = 0
                 for bound, c in zip(h.bounds, h.counts):
                     cum += c

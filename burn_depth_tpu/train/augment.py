@@ -30,6 +30,7 @@ def augment_batch(
     contrast: float = 0.2,
     noise: float = 0.01,
     depth_scale: float = 0.0,
+    normalized: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Return an augmented copy of ``batch`` (inputs not mutated).
 
@@ -39,6 +40,9 @@ def augment_batch(
     * ``noise``: gaussian pixel noise stddev ([0,1] space).
     * ``depth_scale``: if > 0, scale depth per-sample by ``exp(U(-s, s))``
       (for scale-invariant objectives; leave 0 for metric fine-tunes).
+    * ``normalized``: whether ``image`` is ImageNet-normalized (the
+      paired-file pipeline) or raw [0,1] (the synthetic pipeline).  The
+      photometric knobs are defined in [0,1] space either way.
     """
     img = np.array(batch["image"], np.float32)  # [B,3,H,W] normalized
     depth = np.array(batch["depth"], np.float32)
@@ -52,9 +56,14 @@ def augment_batch(
         mask[flip] = mask[flip, :, ::-1]
 
     if brightness > 0 or contrast > 0 or noise > 0:
-        mean = np.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
-        std = np.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
-        x01 = img * std + mean
+        if normalized:
+            mean = np.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
+            std = np.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
+            x01 = img * std + mean
+        else:
+            mean = np.zeros((1, 3, 1, 1), np.float32)
+            std = np.ones((1, 3, 1, 1), np.float32)
+            x01 = img
         if contrast > 0:
             c = rng.uniform(1 - contrast, 1 + contrast, (b, 1, 1, 1)).astype(np.float32)
             pivot = x01.mean(axis=(1, 2, 3), keepdims=True)

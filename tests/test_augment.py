@@ -30,17 +30,37 @@ def test_hflip_consistent_across_fields():
 
 
 def test_photometric_touches_image_only_and_stays_normalized():
-    batch = _batch()
+    # the paired-file pipeline: images arrive ImageNet-normalized
+    raw = _batch()
+    mean = np.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
+    std = np.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
+    batch = dict(raw, image=((np.clip(raw["image"], 0, 1) - mean) / std).astype(np.float32))
     rng = np.random.default_rng(2)
     out = augment_batch(batch, rng, hflip=0.0, brightness=0.3, contrast=0.3, noise=0.02)
     assert not np.array_equal(out["image"], batch["image"])
     np.testing.assert_array_equal(out["depth"], batch["depth"])
     np.testing.assert_array_equal(out["mask"], batch["mask"])
     # re-normalized output maps back into [0, 1] exactly (clipped pre-norm)
-    mean = np.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
-    std = np.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
     x01 = out["image"] * std + mean
     assert x01.min() >= -1e-5 and x01.max() <= 1.0 + 1e-5
+
+
+def test_photometric_unnormalized_space():
+    # the synthetic pipeline: images are raw [0,1]; jitter must clip there
+    batch = _batch()
+    rng = np.random.default_rng(5)
+    out = augment_batch(
+        batch, rng, hflip=0.0, brightness=0.3, contrast=0.3, noise=0.02, normalized=False
+    )
+    assert not np.array_equal(out["image"], batch["image"])
+    assert out["image"].min() >= -1e-5 and out["image"].max() <= 1.0 + 1e-5
+    # a brightness shift lands 1:1 in image space (no ~1/std amplification)
+    shift_only = augment_batch(
+        _batch(), np.random.default_rng(6),
+        hflip=0.0, brightness=0.3, contrast=0.0, noise=0.0, normalized=False,
+    )
+    delta = np.abs(shift_only["image"] - np.clip(_batch()["image"], 0, 1))
+    assert delta.max() <= 0.3 + 1e-5
 
 
 def test_depth_scale_bounded_and_positive():

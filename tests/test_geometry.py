@@ -112,6 +112,11 @@ def test_pointcloud_matches_unproject_and_filters():
     pts3, _ = pointcloud_from_depth(depth, f, stride=2)
     assert pts3.shape[0] == ((h + 1) // 2) * ((w + 1) // 2)
 
+    # anisotropic focal: Y uses focal_y_px, X keeps focal_px
+    pts4, _ = pointcloud_from_depth(depth, f, focal_y_px=2 * f)
+    np.testing.assert_allclose(pts4[:, 0], pts[:, 0], rtol=1e-6)
+    np.testing.assert_allclose(pts4[:, 1], pts[:, 1] / 2.0, rtol=1e-6)
+
     with pytest.raises(ValueError):
         pointcloud_from_depth(depth, f, stride=0)
     with pytest.raises(ValueError):

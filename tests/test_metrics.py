@@ -34,6 +34,8 @@ def test_counter_gauge_render_format():
     m.observe("http_request_seconds", 0.07, {"endpoint": "/infer"})
     text = m.render()
     assert '# TYPE bd_test_http_requests_total counter' in text
+    # exactly ONE TYPE line per metric name even with several label sets
+    assert text.count("# TYPE bd_test_http_requests_total counter") == 1
     assert 'bd_test_http_requests_total{code="200",endpoint="/infer"} 2' in text
     assert 'bd_test_http_requests_total{code="400",endpoint="/infer"} 1' in text
     assert '# TYPE bd_test_inference_fps gauge' in text
@@ -51,6 +53,14 @@ def test_counter_gauge_render_format():
     assert vals == sorted(vals) and vals[-1] == 2
     # every default bound renders (le= label per bound + +Inf)
     assert len(vals) == len(DEFAULT_BUCKETS) + 1
+
+
+def test_label_values_escaped():
+    m = ServingMetrics(namespace="bd_test")
+    m.inc("n_total", {"endpoint": 'a"b\\c\nd'})
+    text = m.render()
+    assert 'endpoint="a\\"b\\\\c\\nd"' in text
+    assert "\n\n" not in text  # no raw newline leaked into a sample line
 
 
 def test_timer_context_manager_and_thread_safety():
@@ -109,7 +119,8 @@ def test_metrics_endpoint_live(tmp_path):
         assert resp.headers["Content-Type"].startswith("text/plain")
         text = resp.read().decode()
         assert 'burn_depth_http_requests_total{code="200",endpoint="/"} 1' in text
-        assert 'burn_depth_http_requests_total{code="404",endpoint="/nope"} 1' in text
+        # unknown paths collapse to "_other" (bounded label cardinality)
+        assert 'burn_depth_http_requests_total{code="404",endpoint="_other"} 1' in text
         assert 'burn_depth_http_requests_total{code="200",endpoint="/infer"} 1' in text
         assert 'burn_depth_http_request_seconds_bucket{endpoint="/infer",le="+Inf"} 1' in text
         assert "burn_depth_infer_latency_p50_seconds" in text

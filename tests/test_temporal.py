@@ -135,11 +135,13 @@ def test_video_cli_mp4_roundtrip(tmp_path, monkeypatch):
     out_mp4 = str(tmp_path / "depth.mp4")
     rc = video_main(
         [in_mp4, "--model", "depth-anything-3", "--checkpoint", ckpt,
-         "--output", out_mp4, "--batch", "2", "--fps", "10"]
+         "--output", out_mp4, "--batch", "2"]
     )
     assert rc == 0 and os.path.exists(out_mp4)
     cap = cv2.VideoCapture(out_mp4)
     assert cap.isOpened()
+    # no --fps given: the output inherits the source's 10 fps
+    assert abs(cap.get(cv2.CAP_PROP_FPS) - 10.0) < 0.5
     n = 0
     while True:
         ok, frame = cap.read()
