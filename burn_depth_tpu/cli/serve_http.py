@@ -26,6 +26,11 @@ def main(argv=None) -> int:
         help="POST /infer bucket sizes (static shapes XLA compiles; "
         "concurrent requests coalesce up to the largest)",
     )
+    parser.add_argument(
+        "--adaptive-batching", action="store_true",
+        help="linger for stragglers only when the recent arrival rate can "
+        "fill the bucket (greedy under sparse traffic, coalescing under load)",
+    )
     args = parser.parse_args(argv)
 
     from burn_depth_tpu.api import AnyDepthModel, DepthModelKind, load_model
@@ -55,7 +60,8 @@ def main(argv=None) -> int:
 
     buckets = tuple(int(b) for b in args.infer_batch_sizes.split(","))
     server = DepthHTTPServer(model, source, host=args.host, port=args.port,
-                             infer_batch_sizes=buckets)
+                             infer_batch_sizes=buckets,
+                             adaptive_batching=args.adaptive_batching)
     extra = " (camera page: /camera)" if args.source == "browser" else ""
     print(f"serving on http://{args.host}:{server.port}{extra}", flush=True)
     server.serve_forever()

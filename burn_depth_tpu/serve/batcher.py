@@ -75,6 +75,13 @@ class DynamicBatcher:
         Backpressure bound: ``submit`` blocks once this many requests are
         queued (the bounded-channel role of the reference's
         ``sync_channel(1)``, ``platform.rs:25``).
+    adaptive:
+        When True, the worker lingers for stragglers only while the recent
+        request arrival rate (EWMA of inter-arrival times) says the wait can
+        plausibly fill the current bucket's padding gap.  Sparse traffic is
+        served greedily (no ``max_delay_s`` latency tax on a lone request);
+        bursty traffic still coalesces.  ``max_delay_s`` remains the hard
+        ceiling on the linger either way.
     """
 
     def __init__(
@@ -84,6 +91,7 @@ class DynamicBatcher:
         batch_sizes: Sequence[int] = (1, 2, 4, 8),
         max_delay_s: float = 0.002,
         queue_limit: int = 256,
+        adaptive: bool = False,
     ):
         sizes = sorted(set(int(b) for b in batch_sizes))
         if not sizes or sizes[0] < 1:
@@ -91,6 +99,11 @@ class DynamicBatcher:
         self._infer_batch = infer_batch
         self._batch_sizes = tuple(sizes)
         self._max_delay_s = float(max_delay_s)
+        self._adaptive = bool(adaptive)
+        # Arrival-rate EWMA (seconds between submits), maintained under
+        # _submit_lock.  None = no history yet → assume sparse (rate 0).
+        self._ewma_gap_s: float | None = None
+        self._last_arrival: float | None = None
         self._queue: queue.Queue[_Request | None] = queue.Queue(maxsize=queue_limit)
         self._worker: threading.Thread | None = None
         self._stopping = threading.Event()
@@ -147,6 +160,14 @@ class DynamicBatcher:
         with self._submit_lock:
             if self._worker is None or self._stopping.is_set():
                 raise RuntimeError("batcher not running")
+            if self._adaptive:
+                if self._last_arrival is not None:
+                    gap = req.enqueued_at - self._last_arrival
+                    self._ewma_gap_s = (
+                        gap if self._ewma_gap_s is None
+                        else 0.3 * gap + 0.7 * self._ewma_gap_s
+                    )
+                self._last_arrival = req.enqueued_at
             while True:  # bounded put that never outlives a shutdown
                 try:
                     self._queue.put(req, timeout=0.1)
@@ -174,6 +195,26 @@ class DynamicBatcher:
 
     # -- worker ---------------------------------------------------------------
 
+    def _worth_waiting(self, n: int, remaining: float) -> bool:
+        """Adaptive linger policy: keep waiting only if the recent arrival
+        rate says the remaining budget can plausibly fill the current
+        bucket's padding gap (or, at a boundary, reach the next bucket)."""
+        target = bucket_for(n, self._batch_sizes)
+        gap = target - n
+        if gap == 0:
+            bigger = [b for b in self._batch_sizes if b > n]
+            if not bigger:
+                return False
+            gap = bigger[0] - n
+        # Lock-free read: submit() updates the EWMA under _submit_lock, but a
+        # stale float only skews the linger decision, never correctness —
+        # and taking _submit_lock here could deadlock against a submitter
+        # blocked on a full queue waiting for this worker to drain it.
+        ewma = self._ewma_gap_s
+        if ewma is None or ewma <= 0:
+            return False  # no arrival history → assume sparse, serve greedily
+        return remaining / ewma >= gap
+
     def _collect(self) -> list[_Request]:
         """Block for the first request, then linger ``max_delay_s`` for more
         (up to the largest bucket)."""
@@ -185,8 +226,14 @@ class DynamicBatcher:
         max_b = self._batch_sizes[-1]
         while len(batch) < max_b:
             remaining = deadline - time.monotonic()
+            block = remaining > 0
+            if block and self._adaptive and not self._worth_waiting(len(batch), remaining):
+                block = False
             try:
-                req = self._queue.get(block=remaining > 0, timeout=max(remaining, 0) or None)
+                if block:
+                    req = self._queue.get(timeout=remaining)
+                else:
+                    req = self._queue.get_nowait()
             except queue.Empty:
                 break
             if req is None:  # shutdown sentinel — hand back what we have

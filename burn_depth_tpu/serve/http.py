@@ -155,7 +155,8 @@ class DepthHTTPServer:
     """Serve depth frames from a model + frame source over HTTP."""
 
     def __init__(self, model, source, host: str = "127.0.0.1", port: int = 8000,
-                 loop_source: bool = True, infer_batch_sizes=(1, 2, 4)):
+                 loop_source: bool = True, infer_batch_sizes=(1, 2, 4),
+                 adaptive_batching: bool = False):
         self.model = model
         self.source = source
         self.loop_source = loop_source
@@ -166,7 +167,9 @@ class DepthHTTPServer:
         from burn_depth_tpu.serve.metrics import ServingMetrics
         from burn_depth_tpu.serve.service import BatchedInferService
 
-        infer_service = BatchedInferService(model, batch_sizes=infer_batch_sizes)
+        infer_service = BatchedInferService(
+            model, batch_sizes=infer_batch_sizes, adaptive=adaptive_batching
+        )
         self.infer_service = infer_service
         metrics = ServingMetrics()
         self.metrics = metrics

@@ -29,10 +29,14 @@ class BatchedInferService:
     buckets XLA compiles — the chip sees ``[B, 3, S, S]`` u8 batches with
     the ImageNet normalize fused in-graph."""
 
-    def __init__(self, model, batch_sizes=(1, 2, 4), max_delay_s: float = 0.003):
+    def __init__(
+        self, model, batch_sizes=(1, 2, 4), max_delay_s: float = 0.003,
+        adaptive: bool = False,
+    ):
         self.model = model
         self._batch_sizes = batch_sizes
         self._max_delay_s = max_delay_s
+        self._adaptive = adaptive
         self._lock = threading.Lock()
         self._batcher = None
         self._size = None
@@ -64,6 +68,7 @@ class BatchedInferService:
             lambda x: fn(inner.params, jnp.asarray(x)),
             batch_sizes=self._batch_sizes,
             max_delay_s=self._max_delay_s,
+            adaptive=self._adaptive,
         ).start()
 
     def infer(self, frame: np.ndarray):

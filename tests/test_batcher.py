@@ -176,6 +176,57 @@ def test_ragged_batch_fails_callers_but_worker_survives():
         b.stop()
 
 
+def test_adaptive_lone_request_skips_the_linger():
+    """With no arrival history, an adaptive batcher serves a lone request
+    immediately instead of holding it for the full max_delay_s."""
+    def infer(x):
+        return x
+
+    with DynamicBatcher(infer, batch_sizes=(1, 2, 4), max_delay_s=1.0, adaptive=True) as b:
+        t0 = time.monotonic()
+        b.infer(np.zeros((1,), np.float32), timeout=5.0)
+        dt = time.monotonic() - t0
+    assert dt < 0.5, f"adaptive batcher lingered {dt:.3f}s on a lone request"
+
+
+def test_adaptive_burst_still_coalesces():
+    release = threading.Event()
+
+    def infer(x):
+        release.wait(5.0)  # hold the first batch so the burst piles up
+        return x
+
+    b = DynamicBatcher(infer, batch_sizes=(1, 2, 4, 8), max_delay_s=0.01, adaptive=True).start()
+    try:
+        futures = [b.submit(np.full((2,), i, np.float32)) for i in range(9)]
+        time.sleep(0.1)
+        release.set()
+        for f in futures:
+            f.result(10.0)
+        assert b.stats()["mean_batch"] > 1.0
+    finally:
+        b.stop()
+
+
+def test_worth_waiting_policy():
+    b = DynamicBatcher(lambda x: x, batch_sizes=(1, 2, 4), adaptive=True)
+    # no history -> sparse assumption -> never wait
+    assert not b._worth_waiting(1, remaining=1.0)
+    # fast arrivals (1 ms apart): 10 ms remaining covers the 1-lane gap at n=3
+    b._ewma_gap_s = 0.001
+    assert b._worth_waiting(3, remaining=0.010)
+    # slow arrivals (100 ms apart): the same gap can't fill in 10 ms
+    b._ewma_gap_s = 0.1
+    assert not b._worth_waiting(3, remaining=0.010)
+    # at the largest bucket there is nothing to wait for
+    b._ewma_gap_s = 0.001
+    assert not b._worth_waiting(4, remaining=1.0)
+    # at an interior boundary (n=2), waiting targets the next bucket (gap 2)
+    assert b._worth_waiting(2, remaining=0.010)
+    b._ewma_gap_s = 0.1
+    assert not b._worth_waiting(2, remaining=0.010)
+
+
 def test_cancelled_future_skipped_without_poisoning_batch():
     release = threading.Event()
 
