@@ -14,7 +14,7 @@ TPU-native equivalents mandated by ``BASELINE.json`` configs 4-5:
 """
 
 from burn_depth_tpu.serve.step import ServingStep, compile_serving_step, with_u8_ingest  # noqa: F401
-from burn_depth_tpu.serve.stream import DepthStream  # noqa: F401
+from burn_depth_tpu.serve.stream import DepthStream, stream_image_dir  # noqa: F401
 from burn_depth_tpu.serve.realtime import (  # noqa: F401
     FpsDiagnostic,
     FrameSource,

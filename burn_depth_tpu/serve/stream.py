@@ -56,3 +56,75 @@ class DepthStream:
             # dispatch returned immediately; device_put rides the other DMA.
             fill()
             yield out
+
+
+def stream_image_dir(
+    step: ServingStep,
+    path_or_files,
+    size: int,
+    batch: int,
+    *,
+    prefetch: int = 2,
+    threads: int = 4,
+    crop: bool = True,
+):
+    """Offline directory → sharded depth stream, fully pipelined.
+
+    Composes the native prefetch decoder (``api/native.ImageLoader``: N
+    decode workers behind an ordered window) with ``DepthStream``'s
+    double-buffered host→HBM staging, so decode, upload, and TPU compute all
+    overlap.  Frames are decoded to ``size``² u8 (CatmullRom shortest-side +
+    center crop when ``crop``, squash resize otherwise) and stacked into
+    ``[batch, 3, S, S]`` u8 — pair ``step`` with :func:`with_u8_ingest` so
+    the ImageNet normalize runs on device.
+
+    Yields ``(start_index, valid_count, outputs)`` per batch, in file order.
+    The final partial batch is padded by repeating its last frame (static
+    XLA shapes); padded lanes are excluded from ``valid_count``.
+    """
+    import os
+
+    import numpy as np
+
+    from burn_depth_tpu.api.native import ImageLoader
+
+    if isinstance(path_or_files, (str, os.PathLike)):
+        exts = (".png", ".jpg", ".jpeg", ".ppm")
+        files = sorted(
+            os.path.join(path_or_files, f)
+            for f in os.listdir(path_or_files)
+            if f.lower().endswith(exts)
+        )
+        if not files:
+            raise FileNotFoundError(f"no images under {path_or_files}")
+    else:
+        files = list(path_or_files)
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
+
+    counts: list[int] = []  # valid frames per staged batch, FIFO with yields
+
+    def batches():
+        loader = ImageLoader(
+            files, size, mode="u8", threads=threads, window=max(2 * batch, 4), crop=crop
+        )
+        buf: list[np.ndarray] = []
+        for arr in loader:
+            buf.append(arr.transpose(2, 0, 1))
+            if len(buf) == batch:
+                counts.append(batch)
+                yield np.stack(buf)
+                buf = []
+        if buf:
+            n = len(buf)
+            buf += [buf[-1]] * (batch - n)
+            counts.append(n)
+            yield np.stack(buf)
+
+    start = 0
+    for out in DepthStream(step, batches(), prefetch=prefetch):
+        # DepthStream stages ahead, so `counts` runs ahead of the yields —
+        # but both are FIFO, so the front entry always matches this batch.
+        n = counts.pop(0)
+        yield start, n, out
+        start += n

@@ -102,6 +102,44 @@ def test_depth_stream_double_buffered():
         np.testing.assert_allclose(np.asarray(o), np.asarray(ref), rtol=1e-6)
 
 
+def test_stream_image_dir_pipelines_decode_upload_compute(tmp_path):
+    """Directory → native decode → u8-ingest sharded step, in file order,
+    final partial batch padded; per-frame values match the unbatched path."""
+    from PIL import Image
+
+    from burn_depth_tpu.serve import stream_image_dir
+    from burn_depth_tpu.serve.step import with_u8_ingest
+
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(5):
+        arr = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"f{i:02d}.png")
+        frames.append(arr)
+
+    mesh = make_mesh()  # pure DP over the 8 virtual devices
+
+    def fwd(p, x):  # normalized [B,3,S,S] -> per-frame channel means [B,3]
+        return x.mean(axis=(2, 3)) + p["b"]
+
+    step = compile_serving_step(with_u8_ingest(fwd), {"b": jnp.zeros(())}, mesh)
+
+    got = {}
+    for start, n, out in stream_image_dir(step, str(tmp_path), 16, 8, crop=False):
+        out_np = np.asarray(out)
+        for i in range(n):
+            got[start + i] = out_np[i]
+    assert sorted(got) == list(range(5))  # 5 frames, one padded 8-batch
+
+    from burn_depth_tpu.api.predict import IMAGENET_MEAN, IMAGENET_STD
+
+    for i, arr in enumerate(frames):
+        x01 = arr.astype(np.float32).transpose(2, 0, 1) / 255.0
+        ref = ((x01 - np.asarray(IMAGENET_MEAN).reshape(3, 1, 1))
+               / np.asarray(IMAGENET_STD).reshape(3, 1, 1)).mean(axis=(1, 2))
+        np.testing.assert_allclose(got[i], ref, rtol=1e-5, atol=1e-6)
+
+
 def test_graft_dryrun_multichip():
     """The driver's multi-chip gate, run in-process on the 8-device CPU mesh."""
     import __graft_entry__
