@@ -27,5 +27,7 @@ from burn_depth_tpu.serve.realtime import (  # noqa: F401
 )
 from burn_depth_tpu.serve.service import BatchedInferService  # noqa: F401
 from burn_depth_tpu.serve.http import DepthHTTPServer  # noqa: F401
+from burn_depth_tpu.serve.grpc_server import DepthGrpcServer  # noqa: F401
+from burn_depth_tpu.serve.grpc_client import DepthGrpcClient  # noqa: F401
 from burn_depth_tpu.serve.batcher import DynamicBatcher  # noqa: F401
 from burn_depth_tpu.serve.export import export_serving, load_exported  # noqa: F401

@@ -71,8 +71,11 @@ class BatchedInferService:
             adaptive=self._adaptive,
         ).start()
 
-    def infer(self, frame: np.ndarray):
-        """RGB HWC u8 frame -> (depth f32 [S,S], normalized u8 [S,S])."""
+    def submit(self, frame: np.ndarray):
+        """RGB HWC u8 frame -> ``Future`` of device ``(depth, u8)`` lanes.
+
+        The async half of :meth:`infer` — lets a streaming front end keep
+        several frames in flight so they coalesce into one bucket."""
         from burn_depth_tpu.api import native
 
         with self._lock:
@@ -87,7 +90,11 @@ class BatchedInferService:
         else:
             rgb = frame
         x = np.ascontiguousarray(rgb.transpose(2, 0, 1))
-        depth, u8 = self._batcher.infer(x)
+        return self._batcher.submit(x)
+
+    def infer(self, frame: np.ndarray):
+        """RGB HWC u8 frame -> (depth f32 [S,S], normalized u8 [S,S])."""
+        depth, u8 = self.submit(frame).result()
         return np.asarray(depth), np.asarray(u8)
 
     def stats(self) -> Optional[dict]:
