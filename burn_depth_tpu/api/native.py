@@ -18,6 +18,28 @@ import numpy as np
 from burn_depth_tpu.api.predict import IMAGENET_MEAN, IMAGENET_STD
 from burn_depth_tpu.api.preprocess import CATMULL_ROM
 
+# Extensions the decode lane supports (native libjpeg/libpng/PPM and the
+# PIL fallback agree on this set).
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".ppm")
+
+
+def list_image_files(path) -> list:
+    """Sorted decodable image files directly under ``path``.
+
+    The one canonical directory-listing used by every image-directory
+    surface (batch CLI, realtime prefetch source, ``stream_image_dir``) so
+    the supported-extension set cannot drift between them.
+    """
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.lower().endswith(IMAGE_EXTS)
+    )
+    if not files:
+        raise FileNotFoundError(f"no images under {path}")
+    return files
+
+
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libburn_depth_host.so")
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False

@@ -60,14 +60,9 @@ def main(argv=None) -> int:
     kind_da3 = model.preferred_input_resolution() is not None
     size = model.preferred_input_resolution() or inner.config.img_size
 
-    exts = (".png", ".jpg", ".jpeg", ".ppm")
-    files = sorted(
-        os.path.join(args.images, f)
-        for f in os.listdir(args.images)
-        if f.lower().endswith(exts)
-    )
-    if not files:
-        raise FileNotFoundError(f"no images under {args.images}")
+    from burn_depth_tpu.api.native import list_image_files
+
+    files = list_image_files(args.images)
     os.makedirs(args.out_dir, exist_ok=True)
 
     def forward(params, x):

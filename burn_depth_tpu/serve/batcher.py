@@ -161,13 +161,18 @@ class DynamicBatcher:
             if self._worker is None or self._stopping.is_set():
                 raise RuntimeError("batcher not running")
             if self._adaptive:
+                # Stamp the arrival under the lock (NOT req.enqueued_at,
+                # which is taken before the lock): concurrent submits would
+                # otherwise produce negative gaps and poison the EWMA into
+                # the "no history" greedy branch exactly under burst load.
+                now = time.monotonic()
                 if self._last_arrival is not None:
-                    gap = req.enqueued_at - self._last_arrival
+                    gap = now - self._last_arrival
                     self._ewma_gap_s = (
                         gap if self._ewma_gap_s is None
                         else 0.3 * gap + 0.7 * self._ewma_gap_s
                     )
-                self._last_arrival = req.enqueued_at
+                self._last_arrival = now
             while True:  # bounded put that never outlives a shutdown
                 try:
                     self._queue.put(req, timeout=0.1)
@@ -211,8 +216,10 @@ class DynamicBatcher:
         # and taking _submit_lock here could deadlock against a submitter
         # blocked on a full queue waiting for this worker to drain it.
         ewma = self._ewma_gap_s
-        if ewma is None or ewma <= 0:
+        if ewma is None:
             return False  # no arrival history → assume sparse, serve greedily
+        if ewma <= 0:
+            return True  # back-to-back arrivals — the gap will fill instantly
         return remaining / ewma >= gap
 
     def _collect(self) -> list[_Request]:

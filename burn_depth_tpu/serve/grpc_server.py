@@ -87,12 +87,14 @@ class _DepthServicer:
         pending: collections.deque = collections.deque()
         for request in request_iterator:
             frame = _decode_frame(request, context)
+            # Drain BEFORE submitting so in-flight frames never exceed the
+            # window (submit-then-drain would transiently hold window+1).
+            while len(pending) >= self._stream_window:
+                yield self._reply(*pending.popleft())
             pending.append((self._service.submit(frame), request.request_id))
             with self._lock:
                 self._requests += 1
                 self._stream_frames += 1
-            while len(pending) > self._stream_window:
-                yield self._reply(*pending.popleft())
         while pending:
             yield self._reply(*pending.popleft())
 

@@ -163,14 +163,9 @@ class PrefetchedDirSource(FrameSource):
 
     def __init__(self, path: str, target: int, *, threads: int = 4, window: int = 8,
                  crop: bool = True):
-        from burn_depth_tpu.api.native import ImageLoader
+        from burn_depth_tpu.api.native import ImageLoader, list_image_files
 
-        exts = (".png", ".jpg", ".jpeg", ".ppm")
-        files = sorted(
-            os.path.join(path, f) for f in os.listdir(path) if f.lower().endswith(exts)
-        )
-        if not files:
-            raise FileNotFoundError(f"no images under {path}")
+        files = list_image_files(path)
         # crop=True = DA3 prep (shortest-side + center crop); crop=False =
         # squash resize (Depth Pro — full frame, no FOV discarded)
         self._loader = ImageLoader(files, target, mode="u8", threads=threads,

@@ -67,6 +67,7 @@ def stream_image_dir(
     prefetch: int = 2,
     threads: int = 4,
     crop: bool = True,
+    on_error: str = "skip",
 ):
     """Offline directory → sharded depth stream, fully pipelined.
 
@@ -78,38 +79,54 @@ def stream_image_dir(
     ``[batch, 3, S, S]`` u8 — pair ``step`` with :func:`with_u8_ingest` so
     the ImageNet normalize runs on device.
 
-    Yields ``(start_index, valid_count, outputs)`` per batch, in file order.
-    The final partial batch is padded by repeating its last frame (static
-    XLA shapes); padded lanes are excluded from ``valid_count``.
+    Yields ``(start_index, valid_count, outputs)`` per batch, in file order;
+    ``start_index`` indexes the *successfully decoded* frame sequence.  The
+    final partial batch is padded by repeating its last frame (static XLA
+    shapes); padded lanes are excluded from ``valid_count``.
+
+    ``on_error="skip"`` (default) warns and continues past undecodable files
+    (one truncated JPEG must not abort a 10k-image job) — note file indices
+    then diverge from decoded indices after the bad file.  ``"raise"``
+    propagates the decode error instead, preserving the exact
+    ``files[start:start+n]`` mapping.
     """
     import os
+    import warnings
 
     import numpy as np
 
-    from burn_depth_tpu.api.native import ImageLoader
+    from burn_depth_tpu.api.native import ImageLoader, list_image_files
 
     if isinstance(path_or_files, (str, os.PathLike)):
-        exts = (".png", ".jpg", ".jpeg", ".ppm")
-        files = sorted(
-            os.path.join(path_or_files, f)
-            for f in os.listdir(path_or_files)
-            if f.lower().endswith(exts)
-        )
-        if not files:
-            raise FileNotFoundError(f"no images under {path_or_files}")
+        files = list_image_files(path_or_files)
     else:
         files = list(path_or_files)
     if batch < 1:
         raise ValueError("batch must be >= 1")
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
 
     counts: list[int] = []  # valid frames per staged batch, FIFO with yields
 
-    def batches():
-        loader = ImageLoader(
+    def frames():
+        # Each ImageLoader.__next__ consumes exactly one path in order, so
+        # a decode failure maps to files[pos] even when we keep going.
+        with ImageLoader(
             files, size, mode="u8", threads=threads, window=max(2 * batch, 4), crop=crop
-        )
+        ) as loader:
+            for pos in range(len(files)):
+                try:
+                    yield next(loader)
+                except StopIteration:  # pragma: no cover — defensive
+                    return
+                except RuntimeError as e:
+                    if on_error == "raise":
+                        raise
+                    warnings.warn(f"skipping {files[pos]}: {e}", stacklevel=2)
+
+    def batches():
         buf: list[np.ndarray] = []
-        for arr in loader:
+        for arr in frames():
             buf.append(arr.transpose(2, 0, 1))
             if len(buf) == batch:
                 counts.append(batch)

@@ -96,11 +96,31 @@ def test_stats_counts_requests(server, client):
 
 
 def test_oversize_message_rejected(server):
-    """A frame beyond the 32 MB cap must fail cleanly, not OOM the server."""
+    """A frame beyond the 32 MB cap must fail cleanly, not OOM the server.
+
+    Uses a raw channel with a RAISED client-side send cap so the rejection
+    provably comes from the server's grpc.max_receive_message_length (the
+    default DepthGrpcClient channel would refuse to send it in the first
+    place, leaving the server enforcement untested)."""
     import grpc
 
-    with DepthGrpcClient(f"127.0.0.1:{server.port}") as big_client:
-        # bypass the client-side cap by building a raw oversized request
+    from burn_depth_tpu.serve.grpc_server import SERVICE_NAME
+    from burn_depth_tpu.serve.proto import depth_pb2
+
+    channel = grpc.insecure_channel(
+        f"127.0.0.1:{server.port}",
+        options=[("grpc.max_send_message_length", 64 << 20)],
+    )
+    try:
+        stub = channel.unary_unary(
+            f"/{SERVICE_NAME}/Infer",
+            request_serializer=depth_pb2.InferRequest.SerializeToString,
+            response_deserializer=depth_pb2.InferReply.FromString,
+        )
         big = np.zeros((4000, 3000, 3), np.uint8)  # 36 MB > 32 MB cap
-        with pytest.raises((grpc.RpcError, ValueError)):
-            big_client.infer(big, timeout=60.0)
+        req = depth_pb2.InferRequest(width=3000, height=4000, rgb=big.tobytes())
+        with pytest.raises(grpc.RpcError) as e:
+            stub(req, timeout=60.0)
+        assert e.value.code() == grpc.StatusCode.RESOURCE_EXHAUSTED
+    finally:
+        channel.close()

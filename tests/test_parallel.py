@@ -140,6 +140,41 @@ def test_stream_image_dir_pipelines_decode_upload_compute(tmp_path):
         np.testing.assert_allclose(got[i], ref, rtol=1e-5, atol=1e-6)
 
 
+def test_stream_image_dir_skips_corrupt_file(tmp_path):
+    """on_error='skip' (default): a truncated image warns and the stream
+    continues; on_error='raise' propagates the decode failure."""
+    import warnings
+
+    from PIL import Image
+
+    from burn_depth_tpu.serve import stream_image_dir
+    from burn_depth_tpu.serve.step import with_u8_ingest
+
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        arr = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"f{i:02d}.png")
+    (tmp_path / "f01.png").write_bytes(b"\x89PNG truncated garbage")
+
+    mesh = make_mesh()
+
+    def fwd(p, x):
+        return x.mean(axis=(2, 3)) + p["b"]
+
+    step = compile_serving_step(with_u8_ingest(fwd), {"b": jnp.zeros(())}, mesh)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        total = sum(
+            n for _, n, _ in stream_image_dir(step, str(tmp_path), 16, 8, crop=False)
+        )
+    assert total == 2  # the corrupt middle file was dropped, stream finished
+    assert any("f01.png" in str(w.message) for w in caught)
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(stream_image_dir(step, str(tmp_path), 16, 8, crop=False, on_error="raise"))
+
+
 def test_graft_dryrun_multichip():
     """The driver's multi-chip gate, run in-process on the 8-device CPU mesh."""
     import __graft_entry__
