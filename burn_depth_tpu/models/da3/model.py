@@ -184,12 +184,15 @@ class DepthAnything3:
         extrinsics: Optional[jnp.ndarray],
         intrinsics: Optional[jnp.ndarray],
         views: int = 1,
+        sp=None,
     ):
         """``forward_with_camera_internal`` (``mod.rs:495-564``).
 
         ``views`` S > 1 (multi-view extension, beyond the reference's S=1
         surface): ``x`` is ``[B0·S, 3, H, W]``; the backbone's alternating
         blocks attend cross-view, the head and camera decode stay per-view.
+        ``sp`` (``parallel.sp.ViewSP``): run the cross-view blocks
+        sequence-parallel over the mesh (views sharded, K/V gathered).
         """
         cfg = self.config
         _, _, height, width = x.shape
@@ -213,6 +216,7 @@ class DepthAnything3:
             camera_token=camera_token,
             attn_impl=cfg.attn_impl,
             views=views,
+            sp=sp,
         )
         hooks = out.hooks
 

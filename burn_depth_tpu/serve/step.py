@@ -80,3 +80,39 @@ def compile_serving_step(
         donate_argnums=(1,) if donate_input else (),
     )
     return ServingStep(mesh=mesh, params=placed, fn=fn, input_sharding=in_shard)
+
+
+def compile_multiview_step(
+    model,
+    mesh: Mesh,
+    views: int,
+    *,
+    tp_rules: Sequence[Rule] = (),
+    sp: bool = True,
+) -> ServingStep:
+    """Compile a view-sharded multi-view DA3 serving step.
+
+    The batch is the flattened view set ``[B0·S, 3, H, W]`` (views of a scene
+    contiguous), sharded over the ``data`` axis so each device encodes its own
+    views; outputs (``DepthAnything3Inference``) keep the flat leading dim.
+
+    ``sp=True`` (default) routes the cross-view global blocks through the
+    gather-KV sequence-parallel island (``parallel/sp.py``): queries stay
+    view-sharded, only K/V move — exactly 2 all-gathers per global block,
+    by construction.  ``sp=False`` = plain GSPMD (the SPMD partitioner
+    chooses the collectives for the merge reshape; currently it finds the
+    same schedule, but that is heuristic, not contractual).  Both are
+    numerically identical to single-device ``infer_multiview``
+    (tests/test_parallel.py).
+    """
+    from burn_depth_tpu.parallel.sp import ViewSP
+
+    sp_plan = ViewSP(mesh) if sp else None
+
+    def fwd(params, flat):
+        head_out, camera_pred, _ = model._forward_internal(
+            params, flat, None, None, views=views, sp=sp_plan
+        )
+        return model._finalize(head_out, camera_pred)
+
+    return compile_serving_step(fwd, model.params, mesh, tp_rules=tp_rules)

@@ -272,13 +272,18 @@ def _is_global_block(cfg: DinoViTConfig, block_idx: int) -> bool:
 
 def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
                    rope: Optional[tuple], num_prefix: int, attn_impl: str,
-                   view_count: int = 1) -> jnp.ndarray:
+                   view_count: int = 1, sp=None) -> jnp.ndarray:
     """Pre-norm DINOv2 block: ``x += ls1·attn(norm1(x)); x += ls2·mlp(norm2(x))``.
 
     ``view_count`` > 1: ``x`` is ``[B0·S, T, D]`` (views flattened into the
     batch).  View-local blocks attend within each view; global blocks merge
     the view axis into the sequence — RoPE/qk-norm are applied per view
-    BEFORE the merge, so positions stay view-relative."""
+    BEFORE the merge, so positions stay view-relative.
+
+    ``sp`` (a ``parallel.sp.ViewSP``): run global blocks' attention as the
+    gather-KV sequence-parallel island instead of the merge reshape —
+    queries stay view-sharded over the mesh, only K/V are all-gathered
+    (see ``parallel/sp.py``).  Numerics are formulation-identical."""
     d = cfg.embed_dim
     h = cfg.num_heads
     hd = cfg.head_dim
@@ -344,16 +349,23 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
     q, scale = fold_softmax_scale(q, float(hd) ** -0.5, attn_impl)
     s = view_count
     if s > 1 and _is_global_block(cfg, block_idx):
-        b0 = b // s
+        if sp is not None:
+            from burn_depth_tpu.parallel.sp import cross_view_attention_sp
 
-        def merge(a):  # [B0·S, H, T, hd] -> [B0, H, S·T, hd]
-            return a.reshape(b0, s, h, t, hd).transpose(0, 2, 1, 3, 4).reshape(b0, h, s * t, hd)
+            attn_out = cross_view_attention_sp(
+                sp, q, k, v, views=s, scale=scale, quiet_softmax=cfg.quiet_softmax
+            )
+        else:
+            b0 = b // s
 
-        attn_out = multi_head_attention(
-            merge(q), merge(k), merge(v), scale=scale, quiet_softmax=cfg.quiet_softmax,
-            impl=attn_impl,
-        )
-        attn_out = attn_out.reshape(b0, h, s, t, hd).transpose(0, 2, 1, 3, 4).reshape(b, h, t, hd)
+            def merge(a):  # [B0·S, H, T, hd] -> [B0, H, S·T, hd]
+                return a.reshape(b0, s, h, t, hd).transpose(0, 2, 1, 3, 4).reshape(b0, h, s * t, hd)
+
+            attn_out = multi_head_attention(
+                merge(q), merge(k), merge(v), scale=scale, quiet_softmax=cfg.quiet_softmax,
+                impl=attn_impl,
+            )
+            attn_out = attn_out.reshape(b0, h, s, t, hd).transpose(0, 2, 1, 3, 4).reshape(b, h, t, hd)
     else:
         attn_out = multi_head_attention(
             q, k, v, scale=scale, quiet_softmax=cfg.quiet_softmax, impl=attn_impl
@@ -494,6 +506,7 @@ def dinov2_forward(
     camera_token: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
     views: int = 1,
+    sp=None,
 ) -> DinoOutput:
     """Run the ViT.  ``x: [B, 3, H, W]`` with H, W divisible by patch_size.
 
@@ -503,6 +516,8 @@ def dinov2_forward(
     ``views`` S > 1: ``x`` is ``[B0·S, 3, H, W]`` (a multi-view set flattened
     into the batch, views of a set contiguous); blocks past
     ``alt_block_start`` alternate cross-view attention (``_is_global_block``).
+    ``sp``: a ``parallel.sp.ViewSP`` — run global blocks sequence-parallel
+    (queries view-sharded over the mesh, K/V gathered).
     """
     b, _, height, width = x.shape
     if views > 1 and b % views:
@@ -557,7 +572,8 @@ def dinov2_forward(
     prev_out = None
     for i in range(cfg.depth):
         x_new = _block_forward(
-            params["blocks"][i], x_seq, cfg, i, rope, num_prefix, attn_impl, view_count=views
+            params["blocks"][i], x_seq, cfg, i, rope, num_prefix, attn_impl,
+            view_count=views, sp=sp,
         )
         if i in hook_ids:
             if cfg.cat_token:

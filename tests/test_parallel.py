@@ -239,6 +239,85 @@ def test_tp_head_major_collective_audit():
     assert counts["head_major"] == (0, 2 * cfg.depth), counts  # Megatron-only
 
 
+def test_multiview_sp_matches_single_device():
+    """Gather-KV sequence parallelism (parallel/sp.py): views sharded over
+    the mesh with scenes SPANNING devices (1 view/device, 4-device scenes),
+    both the SP island and plain GSPMD must match single-device
+    ``infer_multiview``; the SP program's collective budget must be exactly
+    the 2 K/V all-gathers per global block."""
+    import re
+
+    from burn_depth_tpu.serve.step import compile_multiview_step
+    from burn_depth_tpu.vit.dinov2 import _is_global_block
+
+    cfg = dataclasses.replace(DepthAnything3Config.small(), image_size=28, attn_impl="jnp")
+    model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    views = 4
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, views, 3, 28, 28)) * 0.4
+    ref = model.infer_multiview(x)
+
+    bb = cfg.backbone_config()
+    n_global = sum(_is_global_block(bb, i) for i in range(bb.depth))
+    assert n_global == 4  # ViT-S/12, alt_block_start=4 -> blocks 4,6,8,10
+
+    mesh = make_mesh()  # 8-way data: 8 flat rows -> 1 view/device
+    flat = x.reshape(2 * views, 3, 28, 28)
+    gathers = {}
+    for sp_flag in (True, False):
+        step = compile_multiview_step(model, mesh, views, sp=sp_flag)
+        out = step(flat)
+        np.testing.assert_allclose(
+            np.asarray(out.depth).reshape(2, views, 28, 28),
+            np.asarray(ref.depth), rtol=2e-5, atol=2e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.extrinsics).reshape(2, views, 1, 3, 4),
+            np.asarray(ref.extrinsics), rtol=2e-5, atol=2e-6,
+        )
+        txt = step.fn.lower(step.params, flat).compile().as_text()
+        gathers[sp_flag] = len(re.findall(r"all-gather(?:-start)?\(", txt))
+    assert gathers[True] == 2 * n_global, gathers  # K + V per global block
+    # GSPMD's heuristic schedule must not beat the contractual minimum
+    assert gathers[False] >= gathers[True], gathers
+
+
+def test_multiview_sp_whole_scenes_device_local():
+    """When each device holds whole scenes (chunk % views == 0) the SP island
+    needs NO collective: views merge in-core, numerics still match."""
+    import re
+
+    from burn_depth_tpu.serve.step import compile_multiview_step
+
+    cfg = dataclasses.replace(DepthAnything3Config.small(), image_size=28, attn_impl="jnp")
+    model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    views = 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, views, 3, 28, 28)) * 0.4
+    ref = model.infer_multiview(x)
+
+    mesh = make_mesh()  # 16 flat rows / 8 devices = 2 rows = 1 whole scene each
+    step = compile_multiview_step(model, mesh, views, sp=True)
+    out = step(x.reshape(8 * views, 3, 28, 28))
+    np.testing.assert_allclose(
+        np.asarray(out.depth).reshape(8, views, 28, 28),
+        np.asarray(ref.depth), rtol=2e-5, atol=2e-6,
+    )
+    txt = step.fn.lower(step.params, x.reshape(16, 3, 28, 28)).compile().as_text()
+    assert len(re.findall(r"all-gather(?:-start)?\(", txt)) == 0
+
+
+def test_cross_view_attention_sp_rejects_straddling_chunks():
+    from burn_depth_tpu.parallel.sp import ViewSP, cross_view_attention_sp
+
+    mesh = make_mesh()
+    q = jnp.zeros((24, 2, 4, 8))  # 24 rows / 8 devices = 3-row chunks
+    with pytest.raises(ValueError, match="straddles scenes"):
+        # views=4: a 3-row chunk is neither whole scenes nor a whole-scene
+        # divisor -> rows 3..5 mix scene 0 and scene 1 on one device.
+        cross_view_attention_sp(
+            ViewSP(mesh), q, q, q, views=4, scale=1.0, quiet_softmax=False
+        )
+
+
 def test_u8_ingest_matches_f32_pipeline():
     """with_u8_ingest == host-side normalize + f32 upload, numerically."""
     from burn_depth_tpu.api.predict import IMAGENET_MEAN, IMAGENET_STD
