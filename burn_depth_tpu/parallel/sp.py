@@ -27,6 +27,13 @@ the global block's attention that makes the minimum-traffic schedule
 View-local blocks, the DPT head, and the camera decoder never see a
 collective: they stay batch-sharded GSPMD exactly like single-view serving.
 
+``ViewSP(mode="ring")`` swaps the gather for ring attention: K/V blocks
+rotate around the scene's device ring (``ppermute``, one disjoint cycle per
+scene) with flash-style online-softmax accumulation.  Same total bytes, but
+neighbor-link ICI only, transfer overlapped with each step's attention math,
+and peak K/V memory = one device block instead of the whole gathered scene —
+the scaling form for when ``S·T`` outgrows a device's memory budget.
+
 Verified HLO collective budget (``tests/test_parallel.py``): the SP program
 contains exactly ``2 × n_global_blocks`` all-gathers, each moving one
 scene's K (or V) rows — the minimum any exact cross-view attention must
@@ -60,10 +67,24 @@ class ViewSP:
     sharded over (the serving step's ``data`` axis).  Pass via
     ``DepthAnything3._forward_internal(..., sp=ViewSP(mesh))`` or
     ``serve.compile_multiview_step(..., sp=True)``.
+
+    ``mode``:
+
+    * ``"gather"`` (default) — all-gather each scene's K/V once, attend in
+      one shot.  Minimum collective *count*; peak K/V memory is the full
+      ``S·T`` scene.
+    * ``"ring"`` — rotate K/V blocks around the scene's device ring with
+      ``ppermute``, accumulating flash-style online softmax.  Same bytes
+      moved in total, but only neighbor ICI links are used, each step's
+      transfer overlaps the previous block's attention math, and peak K/V
+      memory stays at ONE device block — the right trade once ``S·T``
+      outgrows what a gathered scene comfortably holds.  Numerics are exact
+      softmax (online rescaling), equal to ``"gather"`` up to fp reordering.
     """
 
     mesh: Mesh
     axis: str = DATA_AXIS
+    mode: str = "gather"
 
     def shards(self) -> int:
         return self.mesh.shape[self.axis]
@@ -127,9 +148,14 @@ def cross_view_attention_sp(
     mp = sp.mesh.shape[maxis] if maxis else 1
     if h % mp:
         raise ValueError(f"{h} heads not divisible by model axis {mp}")
+    if sp.mode not in ("gather", "ring"):
+        raise ValueError(f"unknown ViewSP mode {sp.mode!r} (gather|ring)")
     groups = _scene_groups(dp, chunk, views)
+    ring = sp.mode == "ring" and groups is not None
 
     def island(ql, kl, vl):
+        if ring:
+            return _ring_island(sp, ql, kl, vl, views, chunk, t, scale, quiet_softmax)
         # local shapes: [chunk, H/mp, T, hd]
         hl = ql.shape[1]
         if groups is None:
@@ -162,6 +188,66 @@ def cross_view_attention_sp(
     return jax.shard_map(
         island, mesh=sp.mesh, in_specs=(spec, spec, spec), out_specs=spec
     )(q, k, v)
+
+
+def _ring_island(
+    sp: ViewSP,
+    ql: jnp.ndarray,
+    kl: jnp.ndarray,
+    vl: jnp.ndarray,
+    views: int,
+    chunk: int,
+    t: int,
+    scale: float,
+    quiet_softmax: bool,
+) -> jnp.ndarray:
+    """Ring cross-view attention body (runs inside the shard_map island).
+
+    Each step attends the local queries against the currently-held K/V block
+    and rotates the block one hop around the scene's device ring
+    (``ppermute`` with one disjoint cycle per scene), flash-style online
+    softmax carrying (m, denom, acc) across steps.  ``R-1`` permutes per
+    K and V — neighbor-link traffic only, transfer overlapped with the next
+    block's scores by XLA's async pair (collective-permute-start/done).
+
+    Local shapes: ``[chunk, hl, T, hd]``; queries flatten to one
+    ``[1, hl, chunk·T, hd]`` scene slice (rows of ONE scene by the
+    no-straddling precondition).
+    """
+    per_scene = views // chunk
+    groups = _scene_groups(sp.shards(), chunk, views)
+    perm = [(g[i], g[(i + 1) % per_scene]) for g in groups for i in range(per_scene)]
+
+    hl = ql.shape[1]
+    q_seq = ql.transpose(1, 0, 2, 3).reshape(1, hl, chunk * t, hd := ql.shape[-1])
+
+    m = jnp.full((1, hl, chunk * t, 1), -jnp.inf, jnp.float32)
+    denom = jnp.zeros((1, hl, chunk * t, 1), jnp.float32)
+    acc = jnp.zeros((1, hl, chunk * t, hd), jnp.float32)
+    k_blk, v_blk = kl, vl
+    for step in range(per_scene):
+        k_seq = k_blk.transpose(1, 0, 2, 3).reshape(1, hl, chunk * t, hd)
+        v_seq = v_blk.transpose(1, 0, 2, 3).reshape(1, hl, chunk * t, hd)
+        if step + 1 < per_scene:  # rotate while the math below runs
+            k_blk = jax.lax.ppermute(k_blk, sp.axis, perm)
+            v_blk = jax.lax.ppermute(v_blk, sp.axis, perm)
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q_seq, k_seq, preferred_element_type=jnp.float32
+        ) * scale
+        s = s.astype(jnp.float32)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        denom = denom * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum(
+            "bhqk,bhkd->bhqd", p.astype(v_seq.dtype), v_seq,
+            preferred_element_type=jnp.float32,
+        )
+        m = m_new
+    if quiet_softmax:
+        denom = denom + jnp.exp(-m)  # softmax-with-one: +1 unshifted
+    out = (acc / denom).astype(vl.dtype)  # [1, hl, chunk·T, hd]
+    return out.reshape(hl, chunk, t, hd).transpose(1, 0, 2, 3)
 
 
 def _attend(q, k, v, scale: float, quiet_softmax: bool) -> jnp.ndarray:

@@ -13,7 +13,12 @@ TPU-native equivalents mandated by ``BASELINE.json`` configs 4-5:
   static-shape batch buckets XLA compiles (production request batching).
 """
 
-from burn_depth_tpu.serve.step import ServingStep, compile_serving_step, with_u8_ingest  # noqa: F401
+from burn_depth_tpu.serve.step import (  # noqa: F401
+    ServingStep,
+    compile_multiview_step,
+    compile_serving_step,
+    with_u8_ingest,
+)
 from burn_depth_tpu.serve.stream import DepthStream, stream_image_dir  # noqa: F401
 from burn_depth_tpu.serve.realtime import (  # noqa: F401
     FpsDiagnostic,

@@ -88,7 +88,7 @@ def compile_multiview_step(
     views: int,
     *,
     tp_rules: Sequence[Rule] = (),
-    sp: bool = True,
+    sp="gather",
 ) -> ServingStep:
     """Compile a view-sharded multi-view DA3 serving step.
 
@@ -99,15 +99,23 @@ def compile_multiview_step(
     ``sp=True`` (default) routes the cross-view global blocks through the
     gather-KV sequence-parallel island (``parallel/sp.py``): queries stay
     view-sharded, only K/V move — exactly 2 all-gathers per global block,
-    by construction.  ``sp=False`` = plain GSPMD (the SPMD partitioner
+    by construction.  ``sp="ring"`` rotates K/V around each scene's device
+    ring instead (``ppermute`` + online softmax): same total bytes, neighbor
+    ICI links only, peak K/V memory = one device block — for scenes too
+    large to gather whole.  ``sp=False`` = plain GSPMD (the SPMD partitioner
     chooses the collectives for the merge reshape; currently it finds the
-    same schedule, but that is heuristic, not contractual).  Both are
-    numerically identical to single-device ``infer_multiview``
-    (tests/test_parallel.py).
+    same schedule as "gather", but that is heuristic, not contractual).
+    All are numerically identical to single-device ``infer_multiview``
+    (tests/test_parallel.py; "ring" up to online-softmax fp reordering).
     """
     from burn_depth_tpu.parallel.sp import ViewSP
 
-    sp_plan = ViewSP(mesh) if sp else None
+    if sp == "ring":
+        sp_plan = ViewSP(mesh, mode="ring")
+    elif sp:
+        sp_plan = ViewSP(mesh)
+    else:
+        sp_plan = None
 
     def fwd(params, flat):
         head_out, camera_pred, _ = model._forward_internal(

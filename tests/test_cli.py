@@ -77,6 +77,66 @@ def test_infer_cli_end_to_end(tmp_path, monkeypatch):
     assert depth_img.shape == (40, 64)  # restored to original dims
 
 
+def test_multiview_cli_end_to_end(tmp_path, monkeypatch):
+    """3 views of a scene → per-view depth PNGs (restored to source dims),
+    poses.json (w2c 3x4 + K 3x3 per view), fused world-space scene.ply."""
+    pytest.importorskip("PIL")
+    import json
+
+    from PIL import Image
+
+    from burn_depth_tpu.api.geometry import read_ply
+    from burn_depth_tpu.cli.multiview import main as multiview_main
+
+    model = DepthAnything3.init(jax.random.PRNGKey(0), _TINY_SMALL)
+    ckpt = str(tmp_path / "da3_small.safetensors")
+    save_checkpoint(ckpt, model.params)
+    monkeypatch.setattr(DepthAnything3Config, "metric_large", staticmethod(lambda: _TINY_LARGE))
+    monkeypatch.setattr(DepthAnything3Config, "small", staticmethod(lambda: _TINY_SMALL))
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"view{i}.png")
+        Image.fromarray(rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+
+    outdir = str(tmp_path / "scene")
+    rc = multiview_main(paths + ["--checkpoint", ckpt, "--outdir", outdir, "--save-npy"])
+    assert rc == 0
+
+    for i in range(3):
+        png = np.asarray(Image.open(os.path.join(outdir, f"depth_{i:02d}.png")))
+        assert png.shape == (40, 64)  # restored to source dims
+        raw = np.load(os.path.join(outdir, f"depth_{i:02d}.npy"))
+        assert raw.shape == (28, 28) and np.isfinite(raw).all()
+
+    with open(os.path.join(outdir, "poses.json")) as f:
+        poses = json.load(f)
+    assert poses["raster"] == [28, 28] and len(poses["views"]) == 3
+    for v in poses["views"]:
+        assert np.asarray(v["extrinsics_w2c"]).shape == (3, 4)
+        assert np.asarray(v["intrinsics_px"]).shape == (3, 3)
+
+    pts, cols = read_ply(os.path.join(outdir, "scene.ply"))
+    assert pts.shape[0] > 0 and pts.shape == cols.shape
+
+
+def test_multiview_cli_rejects_mono_backbone(tmp_path, monkeypatch, capsys):
+    """A backbone without alternating cross-view blocks must be refused."""
+    from burn_depth_tpu.cli.multiview import main as multiview_main
+
+    model = DepthAnything3.init(jax.random.PRNGKey(0), _TINY_LARGE)
+    ckpt = str(tmp_path / "da3_large.safetensors")
+    save_checkpoint(ckpt, model.params)
+    monkeypatch.setattr(DepthAnything3Config, "metric_large", staticmethod(lambda: _TINY_LARGE))
+    monkeypatch.setattr(DepthAnything3Config, "small", staticmethod(lambda: _TINY_SMALL))
+
+    rc = multiview_main(["x.png", "--checkpoint", ckpt, "--outdir", str(tmp_path / "o")])
+    assert rc == 1
+    assert "cross-view" in capsys.readouterr().err
+
+
 def test_infer_cli_missing_checkpoint(tmp_path, capsys):
     rc = infer_main(["--image", str(tmp_path / "x.png"), "--checkpoint", str(tmp_path / "no.safetensors")])
     assert rc == 1

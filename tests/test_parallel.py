@@ -305,6 +305,39 @@ def test_multiview_sp_whole_scenes_device_local():
     assert len(re.findall(r"all-gather(?:-start)?\(", txt)) == 0
 
 
+def test_multiview_sp_ring_matches_gather():
+    """Ring mode (ppermute K/V around each scene's device ring + online
+    softmax) must match single-device numerics up to fp reordering, use
+    exactly 2·(R-1) collective-permutes per global block (R = devices per
+    scene), and contain NO all-gathers."""
+    import re
+
+    from burn_depth_tpu.serve.step import compile_multiview_step
+    from burn_depth_tpu.vit.dinov2 import _is_global_block
+
+    cfg = dataclasses.replace(DepthAnything3Config.small(), image_size=28, attn_impl="jnp")
+    model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    views = 4
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, views, 3, 28, 28)) * 0.4
+    ref = model.infer_multiview(x)
+
+    bb = cfg.backbone_config()
+    n_global = sum(_is_global_block(bb, i) for i in range(bb.depth))
+
+    mesh = make_mesh()  # 8-way data: 1 view/device -> ring of R=4 per scene
+    flat = x.reshape(2 * views, 3, 28, 28)
+    step = compile_multiview_step(model, mesh, views, sp="ring")
+    out = step(flat)
+    np.testing.assert_allclose(
+        np.asarray(out.depth).reshape(2, views, 28, 28),
+        np.asarray(ref.depth), rtol=5e-5, atol=1e-5,
+    )
+    txt = step.fn.lower(step.params, flat).compile().as_text()
+    n_perm = len(re.findall(r"collective-permute(?:-start)?\(", txt))
+    assert n_perm == 2 * 3 * n_global, n_perm  # (R-1)=3 hops for K and V
+    assert len(re.findall(r"all-gather(?:-start)?\(", txt)) == 0
+
+
 def test_cross_view_attention_sp_rejects_straddling_chunks():
     from burn_depth_tpu.parallel.sp import ViewSP, cross_view_attention_sp
 
