@@ -176,6 +176,16 @@ def main(argv=None) -> int:
     parser.add_argument("--ema", type=float, default=None, help="EMA decay for an averaged param copy (e.g. 0.999)")
     parser.add_argument("--cosine", action="store_true", help="warmup-cosine decay over --steps")
     parser.add_argument("--model-parallel", type=int, default=1, help="TP size (mesh = data x model)")
+    parser.add_argument(
+        "--views", type=int, default=1,
+        help="multi-view DA3 fine-tune: views per scene (batch = scenes x views, "
+        "views of a scene contiguous); cross-view blocks run sequence-parallel "
+        "over the data axis when the sharding allows",
+    )
+    parser.add_argument(
+        "--pose-weight", type=float, default=0.0,
+        help="with --views>1: weight of the camera-pose loss (needs extrinsics/intrinsics in the data)",
+    )
     parser.add_argument("--out", default=None, help="save final params here")
     parser.add_argument("--state-out", default=None, help="save full train state here")
     parser.add_argument("--resume", default=None, help="resume from a saved train state")
@@ -254,6 +264,36 @@ def main(argv=None) -> int:
             )
         else:
             tp_rules = vit_tp_rules("backbone/pretrained/")
+
+    if args.views > 1:
+        # multi-view objective replaces the single-view one; built here
+        # (not in _build_model) because the SP plan needs the mesh.
+        if args.model != "depth-anything-3":
+            raise SystemExit("--views>1 is a DA3 (cross-view attention) feature")
+        if args.batch % args.views:
+            raise SystemExit(f"--batch {args.batch} not divisible by --views {args.views}")
+        if getattr(model.config.backbone_config(), "alt_block_start", None) is None:
+            raise SystemExit(
+                "--views>1 needs a DA3-small variant backbone (alternating cross-view blocks)"
+            )
+        from burn_depth_tpu.train import da3_multiview_objective
+
+        sp_plan = None
+        if mesh is not None and mesh.shape["data"] > 1:
+            chunk = args.batch // mesh.shape["data"]
+            if chunk and (chunk % args.views == 0 or args.views % chunk == 0):
+                from burn_depth_tpu.parallel.sp import ViewSP
+
+                sp_plan = ViewSP(mesh)
+            else:
+                print(
+                    f"note: device view-chunk of {chunk} straddles {args.views}-view "
+                    "scenes; cross-view blocks fall back to GSPMD",
+                    flush=True,
+                )
+        loss_fn = da3_multiview_objective(
+            model, views=args.views, pose_weight=args.pose_weight, sp=sp_plan
+        )
 
     # the optax schedule counts GLOBAL steps (it resumes with opt_state), so
     # a resumed cosine run must span restored_step + args.steps — otherwise

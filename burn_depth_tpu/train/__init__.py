@@ -20,7 +20,11 @@ from burn_depth_tpu.train.metrics import (
     depth_metrics,
     evaluate_model,
 )
-from burn_depth_tpu.train.objectives import da3_objective, depth_pro_objective
+from burn_depth_tpu.train.objectives import (
+    da3_multiview_objective,
+    da3_objective,
+    depth_pro_objective,
+)
 from burn_depth_tpu.train.step import (
     TrainStep,
     adamw,
@@ -35,6 +39,7 @@ __all__ = [
     "affine_alignment",
     "aligned_depth_metrics",
     "compile_train_step",
+    "da3_multiview_objective",
     "da3_objective",
     "depth_metrics",
     "depth_pro_objective",

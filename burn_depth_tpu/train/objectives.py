@@ -27,7 +27,7 @@ from burn_depth_tpu.train.losses import (
     ssi_mae_loss,
 )
 
-__all__ = ["depth_pro_objective", "da3_objective"]
+__all__ = ["depth_pro_objective", "da3_objective", "da3_multiview_objective"]
 
 
 def _inverse(depth: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
@@ -91,29 +91,104 @@ def da3_objective(
     def loss_fn(params, batch):
         head_out, _camera, _ = model._forward_internal(params, batch["image"], None, None)
         inf = model._finalize(head_out, None)
-        pred = inf.depth.astype(jnp.float32)  # [B, H, W]
-        tgt = batch["depth"].astype(jnp.float32)
-        mask = batch.get("mask")
+        return _da3_depth_terms(inf, batch, grad_weight, conf_weight)
 
-        ssi = ssi_mae_loss(pred, tgt, mask)
-        grad = gradient_matching_loss(pred, tgt, mask)
-        loss = ssi + grad_weight * grad
-        metrics = {"ssi_mae": ssi, "grad_match": grad}
+    return loss_fn
 
-        if conf_weight and inf.depth_confidence is not None:
-            # DA3's confidence head is positive (`exp`/`exp_p1` activation,
-            # higher = more confident) — use the confidence-weighted residual
-            # ``E[c·|d| − log c]`` (DUSt3R form): confident pixels pay more
-            # for error, claiming confidence costs ``−log c``.
-            c = jnp.clip(inf.depth_confidence.astype(jnp.float32), 1e-3, None)
-            per_px = c * jnp.abs(pred - tgt) - jnp.log(c)
-            if mask is None:
-                nll = jnp.mean(per_px)
-            else:
-                m = mask.astype(jnp.float32)
-                nll = jnp.sum(per_px * m) / jnp.maximum(jnp.sum(m), 1.0)
-            loss = loss + conf_weight * nll
-            metrics["conf_nll"] = nll
+
+def _da3_depth_terms(inf, batch, grad_weight: float, conf_weight: float):
+    """Shared DA3 depth supervision: SSI-MAE + gradient matching
+    (+ Laplace confidence NLL when the head emits a confidence channel)."""
+    pred = inf.depth.astype(jnp.float32)  # [B, H, W]
+    tgt = batch["depth"].astype(jnp.float32)
+    mask = batch.get("mask")
+
+    ssi = ssi_mae_loss(pred, tgt, mask)
+    grad = gradient_matching_loss(pred, tgt, mask)
+    loss = ssi + grad_weight * grad
+    metrics = {"ssi_mae": ssi, "grad_match": grad}
+
+    if conf_weight and inf.depth_confidence is not None:
+        # DA3's confidence head is positive (`exp`/`exp_p1` activation,
+        # higher = more confident) — use the confidence-weighted residual
+        # ``E[c·|d| − log c]`` (DUSt3R form): confident pixels pay more
+        # for error, claiming confidence costs ``−log c``.
+        c = jnp.clip(inf.depth_confidence.astype(jnp.float32), 1e-3, None)
+        per_px = c * jnp.abs(pred - tgt) - jnp.log(c)
+        if mask is None:
+            nll = jnp.mean(per_px)
+        else:
+            m = mask.astype(jnp.float32)
+            nll = jnp.sum(per_px * m) / jnp.maximum(jnp.sum(m), 1.0)
+        loss = loss + conf_weight * nll
+        metrics["conf_nll"] = nll
+    return loss, metrics
+
+
+def da3_multiview_objective(
+    model: Any,
+    *,
+    views: int,
+    grad_weight: float = 0.5,
+    conf_weight: float = 0.2,
+    pose_weight: float = 0.0,
+    sp=None,
+) -> Callable:
+    """Cross-view DA3 fine-tune loss (multi-view extension, S>1).
+
+    Batches carry the FLAT view layout the multi-view serving step uses
+    (``serve.compile_multiview_step``): ``"image" [B0·S, 3, H, W]`` with the
+    ``S`` views of a scene contiguous, ``"depth"``/``"mask"`` per view.  The
+    backbone's alternating blocks attend cross-view; depth supervision is the
+    same SSI-MAE + gradient-matching (+ confidence NLL) as ``da3_objective``.
+
+    ``pose_weight > 0`` adds camera supervision when the batch carries
+    ``"extrinsics" [B0·S, 3, 4]`` (w2c) and ``"intrinsics" [B0·S, 3, 3]``
+    (pixels of the training raster): targets are encoded into the model's
+    native 9-D pose space (translation + quaternion + fovs,
+    ``camera.rs:235-279``) and compared with L1 — quaternion term sign-
+    invariant, since ``q`` and ``−q`` are the same rotation.
+
+    ``sp`` (a ``parallel.ViewSP``): run the cross-view blocks sequence-
+    parallel while TRAINING — the shard_map island is differentiable (the
+    all-gather/ppermute transposes are reduce-scatter/inverse-permute), so
+    grads flow through the same minimum-traffic collective schedule as
+    serving (``tests/test_train.py`` pins sharded == single-device grads).
+    """
+
+    def loss_fn(params, batch):
+        x = batch["image"]
+        height, width = x.shape[-2], x.shape[-1]
+        head_out, camera, _ = model._forward_internal(
+            params, x, None, None, views=views, sp=sp
+        )
+        inf = model._finalize(head_out, camera)
+        loss, metrics = _da3_depth_terms(inf, batch, grad_weight, conf_weight)
+
+        if pose_weight and "extrinsics" in batch:
+            if inf.pose_encoding is None:
+                raise ValueError(
+                    "pose supervision needs a camera-decoder head (DA3-small variants)"
+                )
+            from burn_depth_tpu.models.da3.camera import extri_intri_to_pose_encoding
+
+            tgt_enc = extri_intri_to_pose_encoding(
+                batch["extrinsics"].astype(jnp.float32)[:, None],
+                batch["intrinsics"].astype(jnp.float32)[:, None],
+                height,
+                width,
+            ).reshape(-1, 9)
+            pred_enc = inf.pose_encoding.astype(jnp.float32).reshape(-1, 9)
+            trans_l1 = jnp.mean(jnp.abs(pred_enc[:, :3] - tgt_enc[:, :3]))
+            q_dist = jnp.minimum(
+                jnp.mean(jnp.abs(pred_enc[:, 3:7] - tgt_enc[:, 3:7]), axis=-1),
+                jnp.mean(jnp.abs(pred_enc[:, 3:7] + tgt_enc[:, 3:7]), axis=-1),
+            )
+            quat_l1 = jnp.mean(q_dist)
+            fov_l1 = jnp.mean(jnp.abs(pred_enc[:, 7:] - tgt_enc[:, 7:]))
+            pose_l = trans_l1 + quat_l1 + fov_l1
+            loss = loss + pose_weight * pose_l
+            metrics.update({"pose_trans_l1": trans_l1, "pose_quat_l1": quat_l1, "pose_fov_l1": fov_l1})
         return loss, metrics
 
     return loss_fn

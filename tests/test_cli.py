@@ -222,6 +222,35 @@ def test_train_cli_smoke(tmp_path):
     assert rc == 0
 
 
+def test_train_cli_multiview_smoke(tmp_path):
+    """--views 2: the multi-view objective trains through the CLI path
+    (synthetic flat-view batches, views contiguous by interpretation)."""
+    from burn_depth_tpu.cli.train import main as train_main
+
+    out = str(tmp_path / "p.safetensors")
+    rc = train_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--steps", "1",
+        "--batch", "2", "--views", "2", "--log-every", "1", "--out", out,
+        "--remat", "none",
+    ])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_train_cli_multiview_rejects_bad_combos(tmp_path):
+    from burn_depth_tpu.cli.train import main as train_main
+
+    with pytest.raises(SystemExit, match="not divisible"):
+        train_main([
+            "--model", "depth-anything-3", "--preset", "tiny", "--steps", "1",
+            "--batch", "3", "--views", "2",
+        ])
+    with pytest.raises(SystemExit, match="DA3"):
+        train_main([
+            "--model", "depth-pro", "--preset", "tiny", "--steps", "1",
+            "--batch", "2", "--views", "2",
+        ])
+
+
 def test_evaluate_cli_smoke(capsys):
     from burn_depth_tpu.cli.evaluate import main as eval_main
 
