@@ -35,7 +35,15 @@ def log(*a):
 def main() -> None:
     from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
 
-    backend = jax.default_backend()
+    try:
+        backend = jax.default_backend()
+    except RuntimeError as e:
+        # TPU tunnel outage (backend init raises UNAVAILABLE after its retry
+        # budget): degrade to the labeled CPU fallback instead of rc!=0 so
+        # the bench artifact records the outage rather than nothing.
+        log(f"TPU backend unavailable ({e}); falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.default_backend()
     on_tpu = backend == "tpu"
     log(f"backend={backend} devices={jax.devices()}")
 
