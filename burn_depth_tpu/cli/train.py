@@ -154,6 +154,89 @@ def _image_dir_batches(path: str, batch: int, size: int):
         }
 
 
+def _scene_dir_batches(path: str, scenes_per_batch: int, views: int, size: int):
+    """Multi-view scene loader, cycled: ``scene_*/view_*_rgb.png`` +
+    ``view_*_depth.npy`` (+ optional ``poses.json``) → flat batches in the
+    ``[scenes·views, ...]`` layout the multi-view objective expects.
+
+    ``poses.json`` uses the SAME schema ``cli/multiview.py`` writes
+    (``{"raster": [r, r], "views": [{"extrinsics_w2c", "intrinsics_px"}]}``),
+    so pose targets from SfM or from the model's own predictions round-trip.
+    Intrinsics are rescaled from the recorded raster to the training raster;
+    extrinsics are raster-independent.  Camera targets are emitted only when
+    EVERY scene in the run carries poses (a mixed dataset would silently
+    supervise half the batch with garbage).
+    """
+    import glob
+    import json
+    import os
+
+    import numpy as np
+
+    from burn_depth_tpu.api.native import ImageLoader
+
+    scene_dirs = sorted(
+        d for d in glob.glob(os.path.join(path, "*")) if os.path.isdir(d)
+    )
+    scenes = []
+    for d in scene_dirs:
+        rgbs = sorted(glob.glob(os.path.join(d, "*_rgb.png")))[:views]
+        if len(rgbs) < views:
+            continue
+        deps = [r.replace("_rgb.png", "_depth.npy") for r in rgbs]
+        if not all(os.path.exists(p) for p in deps):
+            continue
+        poses = None
+        pj = os.path.join(d, "poses.json")
+        if os.path.exists(pj):
+            with open(pj) as f:
+                meta = json.load(f)
+            k_scale = size / float(meta["raster"][0])
+            ex, ks = [], []
+            for v in meta["views"][:views]:
+                ex.append(np.asarray(v["extrinsics_w2c"], np.float32))
+                k = np.asarray(v["intrinsics_px"], np.float32).copy()
+                k[:2] *= k_scale  # fx/fy/cx/cy follow the raster rescale
+                ks.append(k)
+            poses = (np.stack(ex), np.stack(ks))
+        scenes.append((rgbs, deps, poses))
+    if not scenes:
+        raise FileNotFoundError(
+            f"no scene dirs with {views}x (*_rgb.png + *_depth.npy) under {path}"
+        )
+    with_poses = all(s[2] is not None for s in scenes)
+
+    flat_rgbs = [r for rgbs, _, _ in scenes for r in rgbs]
+    loader = ImageLoader(
+        flat_rgbs, size, mode="nchw", loop=True,
+        threads=4, window=max(2 * scenes_per_batch * views, 4),
+    )
+    i = 0
+    n = len(scenes)
+    while True:
+        imgs, deps, exs, ks = [], [], [], []
+        for _ in range(scenes_per_batch):
+            _, dep_paths, poses = scenes[i % n]
+            for d in dep_paths:
+                imgs.append(next(loader))
+                dep = np.load(d).astype(np.float32)
+                deps.append(_resize_and_crop_depth(dep, size))
+            if with_poses:
+                exs.append(poses[0])
+                ks.append(poses[1])
+            i += 1
+        deps_np = np.stack(deps)
+        batch = {
+            "image": np.stack(imgs),
+            "depth": deps_np,
+            "mask": (deps_np > 0).astype(np.float32),
+        }
+        if with_poses:
+            batch["extrinsics"] = np.concatenate(exs)  # [scenes·views, 3, 4]
+            batch["intrinsics"] = np.concatenate(ks)
+        yield batch
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Fine-tune a depth model on TPU")
     parser.add_argument("--model", default="depth-pro", choices=["depth-pro", "depth-anything-3"])
@@ -276,6 +359,11 @@ def main(argv=None) -> int:
             raise SystemExit(
                 "--views>1 needs a DA3-small variant backbone (alternating cross-view blocks)"
             )
+        if args.augment:
+            raise SystemExit(
+                "--augment with --views>1 is unsupported: geometric augmentation "
+                "(hflip) would invalidate the cross-view/pose geometry"
+            )
         from burn_depth_tpu.train import da3_multiview_objective
 
         sp_plan = None
@@ -351,11 +439,12 @@ def main(argv=None) -> int:
         print(f"resumed at step {int(step.state['step'])}", flush=True)
 
     eff_batch = args.batch * args.accum
-    gen = (
-        _image_dir_batches(args.data, eff_batch, size)
-        if args.data
-        else synthetic_depth_batches(args.seed, eff_batch, size, steps=args.steps)
-    )
+    if args.data and args.views > 1:
+        gen = _scene_dir_batches(args.data, eff_batch // args.views, args.views, size)
+    elif args.data:
+        gen = _image_dir_batches(args.data, eff_batch, size)
+    else:
+        gen = synthetic_depth_batches(args.seed, eff_batch, size, steps=args.steps)
     if args.augment:
         from burn_depth_tpu.train.augment import augmented_batches
 

@@ -236,6 +236,47 @@ def test_train_cli_multiview_smoke(tmp_path):
     assert rc == 0 and os.path.exists(out)
 
 
+def test_train_cli_multiview_scene_data_with_poses(tmp_path):
+    """--views + --data: scene dirs (view_*_rgb.png/_depth.npy + poses.json in
+    the multiview-CLI schema) feed flat view batches with camera targets;
+    --pose-weight trains through the pose loss."""
+    import json
+
+    from PIL import Image
+
+    from burn_depth_tpu.cli.train import main as train_main
+
+    rng = np.random.default_rng(3)
+    data = tmp_path / "scenes"
+    for s in range(2):
+        d = data / f"scene_{s:03d}"
+        d.mkdir(parents=True)
+        poses = {"raster": [56, 56], "views": []}
+        for v in range(2):
+            Image.fromarray(
+                rng.integers(0, 256, (56, 56, 3), dtype=np.uint8)
+            ).save(str(d / f"view_{v:02d}_rgb.png"))
+            np.save(str(d / f"view_{v:02d}_depth.npy"),
+                    rng.uniform(0.5, 4.0, (56, 56)).astype(np.float32))
+            extr = np.eye(3, 4, dtype=np.float32)
+            extr[:, 3] = rng.normal(scale=0.1, size=3)
+            poses["views"].append({
+                "extrinsics_w2c": extr.tolist(),
+                "intrinsics_px": [[56.0, 0, 28.0], [0, 56.0, 28.0], [0, 0, 1.0]],
+            })
+        with open(str(d / "poses.json"), "w") as f:
+            json.dump(poses, f)
+
+    out = str(tmp_path / "p.safetensors")
+    rc = train_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--steps", "1",
+        "--batch", "2", "--views", "2", "--data", str(data),
+        "--pose-weight", "0.5", "--log-every", "1", "--out", out,
+        "--remat", "none",
+    ])
+    assert rc == 0 and os.path.exists(out)
+
+
 def test_train_cli_multiview_rejects_bad_combos(tmp_path):
     from burn_depth_tpu.cli.train import main as train_main
 
