@@ -25,6 +25,11 @@ def main(argv=None) -> int:
     parser.add_argument("--batches", type=int, default=8)
     parser.add_argument("--batch", type=int, default=2)
     parser.add_argument("--align", action="store_true", help="affine-align predictions per image before scoring")
+    parser.add_argument(
+        "--views", type=int, default=1,
+        help="multi-view DA3: score scene dirs (cli/train schema) through "
+        "cross-view inference; adds pose metrics when scenes carry poses.json",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = parser.parse_args(argv)
@@ -45,6 +50,9 @@ def main(argv=None) -> int:
     # shared with the train CLI so the metric definition cannot drift
     predict = build_predict_fn(model, args.model)
 
+    if args.views > 1:
+        return _evaluate_multiview(args, model, size)
+
     gen = (
         _image_dir_batches(args.data, args.batch, size)
         if args.data
@@ -57,6 +65,61 @@ def main(argv=None) -> int:
         max_batches=args.batches,
     )
     print(" ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items())), flush=True)
+    return 0
+
+
+def _evaluate_multiview(args, model, size: int) -> int:
+    """Score scene batches through cross-view inference: depth battery on the
+    flat views (+ camera-pose battery vs poses.json targets when present)."""
+    import jax
+    import jax.numpy as jnp
+
+    from burn_depth_tpu.cli.train import _scene_dir_batches
+    from burn_depth_tpu.train import (
+        aligned_depth_metrics,
+        depth_metrics,
+        pose_metrics,
+        synthetic_depth_batches,
+    )
+
+    if args.model != "depth-anything-3":
+        print("--views>1 is a DA3 (cross-view attention) feature", file=sys.stderr)
+        return 1
+    if args.batch % args.views:
+        print(f"--batch {args.batch} not divisible by --views {args.views}", file=sys.stderr)
+        return 1
+    if args.data:
+        gen = _scene_dir_batches(args.data, args.batch // args.views, args.views, size)
+    else:
+        gen = synthetic_depth_batches(args.seed, args.batch, size, steps=args.batches)
+
+    views = args.views
+
+    @jax.jit
+    def predict_mv(params, flat):
+        head_out, camera, _ = model._forward_internal(params, flat, None, None, views=views)
+        inf = model._finalize(head_out, camera)
+        extr = None if inf.extrinsics is None else inf.extrinsics.reshape(-1, 3, 4)
+        return inf.depth, extr
+
+    metric_fn = jax.jit(aligned_depth_metrics if args.align else depth_metrics)
+    pose_fn = jax.jit(pose_metrics)
+    totals, n = {}, 0
+    for i, batch in enumerate(gen):
+        if i >= args.batches:
+            break
+        depth, extr = predict_mv(model.params, jnp.asarray(batch["image"]))
+        m = dict(metric_fn(depth, jnp.asarray(batch["depth"]), batch.get("mask")))
+        if extr is not None and "extrinsics" in batch:
+            m.update(pose_fn(extr, jnp.asarray(batch["extrinsics"])))
+        w = int(batch["depth"].shape[0])
+        for k, v in m.items():
+            totals[k] = totals.get(k, 0.0) + float(v) * w
+        n += w
+    if n == 0:
+        print("no batches scored", file=sys.stderr)
+        return 1
+    print(" ".join(f"{k}={totals[k] / n:.4f}" for k in sorted(totals)), flush=True)
     return 0
 
 

@@ -19,6 +19,7 @@ from burn_depth_tpu.train.metrics import (
     aligned_depth_metrics,
     depth_metrics,
     evaluate_model,
+    pose_metrics,
 )
 from burn_depth_tpu.train.objectives import (
     da3_multiview_objective,
@@ -44,6 +45,7 @@ __all__ = [
     "depth_metrics",
     "depth_pro_objective",
     "evaluate_model",
+    "pose_metrics",
     "fov_loss",
     "global_norm",
     "gradient_matching_loss",

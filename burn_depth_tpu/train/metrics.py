@@ -19,7 +19,36 @@ import jax.numpy as jnp
 
 from burn_depth_tpu.train.losses import affine_alignment, masked_mean
 
-__all__ = ["depth_metrics", "aligned_depth_metrics", "evaluate_model"]
+__all__ = ["depth_metrics", "aligned_depth_metrics", "evaluate_model", "pose_metrics"]
+
+
+def pose_metrics(pred_extr: jnp.ndarray, tgt_extr: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Camera-pose error battery over w2c ``[N, 3, 4]`` pairs.
+
+    * ``rot_deg`` — mean geodesic rotation error,
+      ``arccos((trace(R_p R_tᵀ) − 1) / 2)`` in degrees;
+    * ``trans_l2`` — mean L2 between the w2c translation columns;
+    * ``center_l2`` — mean L2 between camera CENTERS ``c = −Rᵀ t`` (the
+      physically meaningful position error; differs from ``trans_l2`` when
+      rotations disagree).
+
+    Pure jnp (jit-friendly), f32 accumulation.
+    """
+    p = jnp.asarray(pred_extr, jnp.float32).reshape(-1, 3, 4)
+    t = jnp.asarray(tgt_extr, jnp.float32).reshape(-1, 3, 4)
+    rp, rt = p[:, :, :3], t[:, :, :3]
+    rel_trace = jnp.einsum("nij,nij->n", rp, rt)  # trace(R_p R_t^T)
+    cos = jnp.clip((rel_trace - 1.0) / 2.0, -1.0, 1.0)
+    rot_deg = jnp.rad2deg(jnp.arccos(cos))
+    trans = jnp.linalg.norm(p[:, :, 3] - t[:, :, 3], axis=-1)
+    cp = -jnp.einsum("nij,ni->nj", rp, p[:, :, 3])  # -R^T t
+    ct = -jnp.einsum("nij,ni->nj", rt, t[:, :, 3])
+    center = jnp.linalg.norm(cp - ct, axis=-1)
+    return {
+        "rot_deg": jnp.mean(rot_deg),
+        "trans_l2": jnp.mean(trans),
+        "center_l2": jnp.mean(center),
+    }
 
 
 def depth_metrics(

@@ -292,6 +292,45 @@ def test_train_cli_multiview_rejects_bad_combos(tmp_path):
         ])
 
 
+def test_evaluate_cli_multiview_with_poses(tmp_path, capsys):
+    """--views on the evaluate CLI: depth battery through cross-view
+    inference plus the camera-pose battery vs poses.json targets."""
+    import json
+
+    from PIL import Image
+
+    from burn_depth_tpu.cli.evaluate import main as eval_main
+
+    rng = np.random.default_rng(5)
+    data = tmp_path / "scenes"
+    for s in range(2):
+        d = data / f"scene_{s}"
+        d.mkdir(parents=True)
+        poses = {"raster": [56, 56], "views": []}
+        for v in range(2):
+            Image.fromarray(rng.integers(0, 256, (56, 56, 3), dtype=np.uint8)).save(
+                str(d / f"view_{v}_rgb.png"))
+            np.save(str(d / f"view_{v}_depth.npy"),
+                    rng.uniform(0.5, 4.0, (56, 56)).astype(np.float32))
+            extr = np.eye(3, 4, dtype=np.float32)
+            extr[:, 3] = rng.normal(scale=0.1, size=3)
+            poses["views"].append({
+                "extrinsics_w2c": extr.tolist(),
+                "intrinsics_px": [[56.0, 0, 28.0], [0, 56.0, 28.0], [0, 0, 1.0]],
+            })
+        with open(str(d / "poses.json"), "w") as f:
+            json.dump(poses, f)
+
+    rc = eval_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--batches", "1",
+        "--batch", "2", "--views", "2", "--data", str(data), "--align",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for key in ("abs_rel", "rot_deg", "trans_l2", "center_l2"):
+        assert key in out, out
+
+
 def test_evaluate_cli_smoke(capsys):
     from burn_depth_tpu.cli.evaluate import main as eval_main
 

@@ -502,3 +502,25 @@ def test_multiview_sp_training_matches_single_device():
         checked += 1
         if checked >= 12:
             break
+
+
+def test_pose_metrics_identity_and_known_rotation():
+    from burn_depth_tpu.train import pose_metrics
+
+    e = np.tile(np.eye(3, 4, dtype=np.float32), (3, 1, 1))
+    m = pose_metrics(jnp.asarray(e), jnp.asarray(e))
+    assert float(m["rot_deg"]) < 1e-3
+    assert float(m["trans_l2"]) == 0.0 and float(m["center_l2"]) == 0.0
+
+    # 90-degree yaw, translation [1,0,0]: rot err 90 deg, trans err 1;
+    # center error differs from trans error because rotations disagree.
+    p = e.copy()
+    c, s = 0.0, 1.0
+    p[:, :3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    p[:, :, 3] = np.array([1.0, 0.0, 0.0], np.float32)
+    m = pose_metrics(jnp.asarray(p), jnp.asarray(e))
+    np.testing.assert_allclose(float(m["rot_deg"]), 90.0, atol=1e-4)
+    np.testing.assert_allclose(float(m["trans_l2"]), 1.0, atol=1e-6)
+    # center_p = -R^T t = -[0,-1,0]... compute directly:
+    cp = -(p[0, :3, :3].T @ p[0, :, 3])
+    np.testing.assert_allclose(float(m["center_l2"]), np.linalg.norm(cp), atol=1e-5)
