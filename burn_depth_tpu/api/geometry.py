@@ -141,6 +141,43 @@ def world_to_camera(points: jnp.ndarray, extrinsics: jnp.ndarray) -> jnp.ndarray
     return cam.reshape(b, *shape_tail, 3)
 
 
+def canonicalize_poses(
+    extrinsics: jnp.ndarray, views: int, *, normalize_scale: bool = True, eps: float = 1e-8
+) -> jnp.ndarray:
+    """Gauge-fix w2c poses per scene: re-express every view in the FIRST
+    view's camera frame and (optionally) normalize the scene scale.
+
+    ``extrinsics [N, 3, 4]`` flat (scenes × views contiguous) → same shape
+    with, per scene, ``R_i' = R_i R_0ᵀ`` and ``t_i' = t_i − R_i' t_0`` — so
+    view 0 becomes the identity pose — then translations divided by the mean
+    camera-center norm of the scene (skipped below ``eps``: a static rig
+    must not blow up).
+
+    Why: SfM/COLMAP targets carry an arbitrary per-scene world origin,
+    orientation, and scale that no network can infer from pixels.  Comparing
+    or supervising poses without fixing the gauge measures the dataset's
+    coordinate convention, not the model — canonicalize BOTH sides first
+    (``train/objectives.da3_multiview_objective``, ``train/metrics
+    .pose_metrics(views=...)``).  Pure jnp and differentiable (flows inside
+    the pose loss).
+    """
+    e = jnp.asarray(extrinsics, jnp.float32).reshape(-1, views, 3, 4)
+    r0, t0 = e[:, :1, :, :3], e[:, :1, :, 3]  # [B,1,3,3], [B,1,3]
+    rot = jnp.einsum("bvij,bwkj->bvik", e[:, :, :, :3], r0)  # R_i R_0^T
+    t = e[:, :, :, 3] - jnp.einsum("bvij,bwj->bvi", rot, t0)
+    if normalize_scale:
+        centers = -jnp.einsum("bvij,bvi->bvj", rot, t)  # -R'^T t'
+        # eps-padded sqrt, NOT jnp.linalg.norm: view 0's center is exactly
+        # zero by construction and d‖x‖/dx at 0 is NaN — this function sits
+        # inside the differentiable pose loss.
+        norms = jnp.sqrt(jnp.sum(centers * centers, axis=-1) + eps * eps)
+        s = jnp.mean(norms, axis=1, keepdims=True)
+        scale = jnp.where(s > eps, s, 1.0)  # static rig: leave unscaled
+        t = t / scale[..., None]
+    out = jnp.concatenate([rot, t[..., None]], axis=-1)
+    return out.reshape(-1, 3, 4)
+
+
 def points_from_rays(
     origins: jnp.ndarray, directions: jnp.ndarray, t: jnp.ndarray
 ) -> jnp.ndarray:

@@ -70,17 +70,13 @@ def main(argv=None) -> int:
 
 def _evaluate_multiview(args, model, size: int) -> int:
     """Score scene batches through cross-view inference: depth battery on the
-    flat views (+ camera-pose battery vs poses.json targets when present)."""
+    flat views (+ camera-pose battery vs poses.json targets when present),
+    via ``evaluate_model``'s aux hook — one shared accumulation loop."""
     import jax
     import jax.numpy as jnp
 
     from burn_depth_tpu.cli.train import _scene_dir_batches
-    from burn_depth_tpu.train import (
-        aligned_depth_metrics,
-        depth_metrics,
-        pose_metrics,
-        synthetic_depth_batches,
-    )
+    from burn_depth_tpu.train import evaluate_model, pose_metrics, synthetic_depth_batches
 
     if args.model != "depth-anything-3":
         print("--views>1 is a DA3 (cross-view attention) feature", file=sys.stderr)
@@ -96,30 +92,31 @@ def _evaluate_multiview(args, model, size: int) -> int:
     views = args.views
 
     @jax.jit
-    def predict_mv(params, flat):
-        head_out, camera, _ = model._forward_internal(params, flat, None, None, views=views)
+    def predict_mv(flat):
+        head_out, camera, _ = model._forward_internal(
+            model.params, flat, None, None, views=views
+        )
         inf = model._finalize(head_out, camera)
         extr = None if inf.extrinsics is None else inf.extrinsics.reshape(-1, 3, 4)
         return inf.depth, extr
 
-    metric_fn = jax.jit(aligned_depth_metrics if args.align else depth_metrics)
-    pose_fn = jax.jit(pose_metrics)
-    totals, n = {}, 0
-    for i, batch in enumerate(gen):
-        if i >= args.batches:
-            break
-        depth, extr = predict_mv(model.params, jnp.asarray(batch["image"]))
-        m = dict(metric_fn(depth, jnp.asarray(batch["depth"]), batch.get("mask")))
-        if extr is not None and "extrinsics" in batch:
-            m.update(pose_fn(extr, jnp.asarray(batch["extrinsics"])))
-        w = int(batch["depth"].shape[0])
-        for k, v in m.items():
-            totals[k] = totals.get(k, 0.0) + float(v) * w
-        n += w
-    if n == 0:
-        print("no batches scored", file=sys.stderr)
-        return 1
-    print(" ".join(f"{k}={totals[k] / n:.4f}" for k in sorted(totals)), flush=True)
+    # gauge-canonicalized comparison: SfM targets carry an arbitrary
+    # per-scene world frame/scale — fix both sides to the first view
+    pose_fn = jax.jit(lambda p, t: pose_metrics(p, t, views=views))
+
+    def pose_battery(extr, batch):
+        if extr is None or "extrinsics" not in batch:
+            return {}
+        return pose_fn(extr, jnp.asarray(batch["extrinsics"]))
+
+    scores = evaluate_model(
+        lambda img: predict_mv(jnp.asarray(img)),
+        gen,
+        align=args.align,
+        max_batches=args.batches,
+        extra_metrics=pose_battery,
+    )
+    print(" ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items())), flush=True)
     return 0
 
 

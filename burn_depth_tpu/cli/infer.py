@@ -37,6 +37,17 @@ def resize_depth_field(values: np.ndarray, dst_h: int, dst_w: int) -> np.ndarray
     return top * (1 - fy[:, None]) + bot * fy[:, None]
 
 
+def restore_depth_to_source(depth: np.ndarray, crop, orig_h: int, orig_w: int) -> np.ndarray:
+    """Undo the model prep on a ``[H,W]`` field: crop the recorded region
+    back out (when the prep set one), then half-pixel bilinear resize to the
+    source dimensions.  Shared by the infer and multiview CLIs."""
+    if crop is not None:
+        depth = depth[crop.y : crop.y + crop.height, crop.x : crop.x + crop.width]
+    if depth.shape != (orig_h, orig_w):
+        depth = resize_depth_field(depth, orig_h, orig_w)
+    return depth
+
+
 def normalize_to_u8(depth: np.ndarray) -> np.ndarray:
     """Min/max normalize with non-finite handling (``inference.rs:145-167``)."""
     finite = depth[np.isfinite(depth)]
@@ -103,11 +114,7 @@ def main(argv=None) -> int:
     result = infer_from_rgb(model, prep.rgb.tobytes(), prep.width, prep.height)
     depth = np.asarray(result.depth[0], dtype=np.float32)
 
-    if prep.crop is not None:
-        c = prep.crop
-        depth = depth[c.y : c.y + c.height, c.x : c.x + c.width]
-    if depth.shape != (orig_h, orig_w):
-        depth = resize_depth_field(depth, orig_h, orig_w)
+    depth = restore_depth_to_source(depth, prep.crop, orig_h, orig_w)
 
     out_path = args.output or os.path.join(os.path.dirname(args.image) or ".", "depth.png")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)

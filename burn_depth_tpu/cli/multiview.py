@@ -69,6 +69,10 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 1
+    if args.min_conf_quantile > 0.0 and not getattr(model.config.head, "dual_head", False):
+        # fail BEFORE the forward and before any file is written
+        print("--min-conf-quantile: this model emits no confidence map", file=sys.stderr)
+        return 1
 
     import jax.numpy as jnp
 
@@ -132,9 +136,6 @@ def main(argv=None) -> int:
         if args.pc_max_depth is not None:
             keep &= d <= args.pc_max_depth
         if args.min_conf_quantile > 0.0:
-            if conf is None:
-                print("--min-conf-quantile: this model emits no confidence map", file=sys.stderr)
-                return 1
             c = conf[:, ::st, ::st].ravel()
             keep &= c >= np.quantile(c[np.isfinite(c)], args.min_conf_quantile)
         ply_path = os.path.join(args.outdir, "scene.ply")
@@ -154,15 +155,10 @@ def model_prepare(model, image: np.ndarray):
 
 
 def _restore(depth: np.ndarray, prep, orig_hw) -> np.ndarray:
-    """Undo the square-raster prep: crop region back out, resize to source dims."""
-    from burn_depth_tpu.cli.infer import resize_depth_field
+    """Undo the square-raster prep (shared restore helper from the infer CLI)."""
+    from burn_depth_tpu.cli.infer import restore_depth_to_source
 
-    if prep.crop is not None:
-        c = prep.crop
-        depth = depth[c.y : c.y + c.height, c.x : c.x + c.width]
-    if depth.shape != tuple(orig_hw):
-        depth = resize_depth_field(depth, orig_hw[0], orig_hw[1])
-    return depth
+    return restore_depth_to_source(depth, prep.crop, orig_hw[0], orig_hw[1])
 
 
 if __name__ == "__main__":

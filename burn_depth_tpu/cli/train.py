@@ -68,7 +68,7 @@ def _build_model(args):
         return model, da3_objective(model), cfg.image_size
 
 
-def build_predict_fn(model, model_name: str):
+def build_predict_fn(model, model_name: str, views: int = 1):
     """Jitted ``(params, image) -> depth [B,H,W]`` with full serving semantics.
 
     For Depth Pro this is ``_infer_fn`` — canonical inverse depth scaled by
@@ -81,8 +81,11 @@ def build_predict_fn(model, model_name: str):
 
     if model_name == "depth-pro":
         return jax.jit(lambda p, x: model._infer_fn(p, x).depth)
+    # views > 1: cross-view DA3 forward over the flat scenes·views batch
     return jax.jit(
-        lambda p, x: model._finalize(model._forward_internal(p, x, None, None)[0], None).depth
+        lambda p, x: model._finalize(
+            model._forward_internal(p, x, None, None, views=views)[0], None
+        ).depth
     )
 
 
@@ -154,7 +157,10 @@ def _image_dir_batches(path: str, batch: int, size: int):
         }
 
 
-def _scene_dir_batches(path: str, scenes_per_batch: int, views: int, size: int):
+def _scene_dir_batches(
+    path: str, scenes_per_batch: int, views: int, size: int,
+    require_poses: bool = False,
+):
     """Multi-view scene loader, cycled: ``scene_*/view_*_rgb.png`` +
     ``view_*_depth.npy`` (+ optional ``poses.json``) → flat batches in the
     ``[scenes·views, ...]`` layout the multi-view objective expects.
@@ -191,6 +197,22 @@ def _scene_dir_batches(path: str, scenes_per_batch: int, views: int, size: int):
         if os.path.exists(pj):
             with open(pj) as f:
                 meta = json.load(f)
+            if len(meta["views"]) < views:
+                raise ValueError(
+                    f"{pj}: {len(meta['views'])} pose entries < {views} views"
+                )
+            # entries pair with the SORTED rgb list positionally; when the
+            # schema records image names, mismatched ordering (e.g. view_10
+            # sorting before view_2) must fail loudly, not silently
+            # supervise the wrong images.
+            for entry, rgb in zip(meta["views"][:views], rgbs):
+                name = entry.get("image")
+                if name is not None and name != os.path.basename(rgb):
+                    raise ValueError(
+                        f"{pj}: pose entry for {name!r} paired with "
+                        f"{os.path.basename(rgb)!r} — order poses.json views "
+                        "to match the sorted *_rgb.png names"
+                    )
             k_scale = size / float(meta["raster"][0])
             ex, ks = [], []
             for v in meta["views"][:views]:
@@ -205,6 +227,13 @@ def _scene_dir_batches(path: str, scenes_per_batch: int, views: int, size: int):
             f"no scene dirs with {views}x (*_rgb.png + *_depth.npy) under {path}"
         )
     with_poses = all(s[2] is not None for s in scenes)
+    if require_poses and not with_poses:
+        missing = [
+            os.path.basename(os.path.dirname(s[0][0])) for s in scenes if s[2] is None
+        ]
+        raise FileNotFoundError(
+            f"pose supervision requested but scenes lack poses.json: {missing[:5]}"
+        )
 
     flat_rgbs = [r for rgbs, _, _ in scenes for r in rgbs]
     loader = ImageLoader(
@@ -439,8 +468,16 @@ def main(argv=None) -> int:
         print(f"resumed at step {int(step.state['step'])}", flush=True)
 
     eff_batch = args.batch * args.accum
+    if args.views > 1 and args.pose_weight > 0 and not args.data:
+        raise SystemExit(
+            "--pose-weight needs --data scene dirs with poses.json (synthetic "
+            "batches carry no camera targets, so the pose loss would be a no-op)"
+        )
     if args.data and args.views > 1:
-        gen = _scene_dir_batches(args.data, eff_batch // args.views, args.views, size)
+        gen = _scene_dir_batches(
+            args.data, eff_batch // args.views, args.views, size,
+            require_poses=args.pose_weight > 0,
+        )
     elif args.data:
         gen = _image_dir_batches(args.data, eff_batch, size)
     else:
@@ -500,11 +537,17 @@ def main(argv=None) -> int:
 
         # score exactly what --out ships: the EMA copy when enabled
         trained = step.state.get("ema", step.state["params"])
-        predict = build_predict_fn(model, args.model)
+        predict = build_predict_fn(model, args.model, views=args.views)
         eval_data = args.eval_data or args.data
         label = "eval"
         if eval_data:
-            eval_gen = _image_dir_batches(eval_data, args.batch, size)
+            # --views data is scene dirs, not flat pairs — score through the
+            # same cross-view layout the run trained on
+            eval_gen = (
+                _scene_dir_batches(eval_data, args.batch // args.views, args.views, size)
+                if args.views > 1
+                else _image_dir_batches(eval_data, args.batch, size)
+            )
             if eval_data == args.data:
                 label = "eval(train-set)"  # no held-out dir was given
         else:

@@ -96,7 +96,8 @@ def compile_multiview_step(
     contiguous), sharded over the ``data`` axis so each device encodes its own
     views; outputs (``DepthAnything3Inference``) keep the flat leading dim.
 
-    ``sp=True`` (default) routes the cross-view global blocks through the
+    ``sp="gather"`` (the default; ``True`` is an alias) routes the cross-view
+    global blocks through the
     gather-KV sequence-parallel island (``parallel/sp.py``): queries stay
     view-sharded, only K/V move — exactly 2 all-gathers per global block,
     by construction.  ``sp="ring"`` rotates K/V around each scene's device
@@ -110,12 +111,16 @@ def compile_multiview_step(
     """
     from burn_depth_tpu.parallel.sp import ViewSP
 
-    if sp == "ring":
+    if sp in ("ring",):
         sp_plan = ViewSP(mesh, mode="ring")
-    elif sp:
+    elif sp in (True, "gather"):
         sp_plan = ViewSP(mesh)
-    else:
+    elif sp in (False, None):
         sp_plan = None
+    else:
+        # strict: a typo'd mode string must not silently pick a schedule with
+        # a different peak-memory profile
+        raise ValueError(f"sp must be True/'gather', 'ring', or False/None; got {sp!r}")
 
     def fwd(params, flat):
         head_out, camera_pred, _ = model._forward_internal(

@@ -22,7 +22,9 @@ from burn_depth_tpu.train.losses import affine_alignment, masked_mean
 __all__ = ["depth_metrics", "aligned_depth_metrics", "evaluate_model", "pose_metrics"]
 
 
-def pose_metrics(pred_extr: jnp.ndarray, tgt_extr: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def pose_metrics(
+    pred_extr: jnp.ndarray, tgt_extr: jnp.ndarray, views: Optional[int] = None
+) -> Dict[str, jnp.ndarray]:
     """Camera-pose error battery over w2c ``[N, 3, 4]`` pairs.
 
     * ``rot_deg`` — mean geodesic rotation error,
@@ -32,10 +34,21 @@ def pose_metrics(pred_extr: jnp.ndarray, tgt_extr: jnp.ndarray) -> Dict[str, jnp
       physically meaningful position error; differs from ``trans_l2`` when
       rotations disagree).
 
+    ``views``: when given, BOTH sides are gauge-canonicalized per scene
+    first (``api/geometry.canonicalize_poses``: first view → identity,
+    scene scale normalized) — required whenever the target poses come from
+    SfM/COLMAP, whose world frame and scale are arbitrary per scene; a raw
+    comparison there scores the coordinate convention, not the model.
+
     Pure jnp (jit-friendly), f32 accumulation.
     """
     p = jnp.asarray(pred_extr, jnp.float32).reshape(-1, 3, 4)
     t = jnp.asarray(tgt_extr, jnp.float32).reshape(-1, 3, 4)
+    if views is not None:
+        from burn_depth_tpu.api.geometry import canonicalize_poses
+
+        p = canonicalize_poses(p, views)
+        t = canonicalize_poses(t, views)
     rp, rt = p[:, :, :3], t[:, :, :3]
     rel_trace = jnp.einsum("nij,nij->n", rp, rt)  # trace(R_p R_t^T)
     cos = jnp.clip((rel_trace - 1.0) / 2.0, -1.0, 1.0)
@@ -117,17 +130,23 @@ def aligned_depth_metrics(
 
 
 def evaluate_model(
-    predict_fn: Callable[[Any], jnp.ndarray],
+    predict_fn: Callable[[Any], Any],
     batches: Iterable[dict],
     *,
     align: bool = False,
     max_batches: Optional[int] = None,
+    extra_metrics: Optional[Callable[[Any, dict], Dict[str, Any]]] = None,
 ) -> Dict[str, float]:
     """Run ``predict_fn(image) -> depth [B,H,W]`` over batches and average.
 
     Batches are ``{"image", "depth", optional "mask"}`` dicts (the
     ``train/data.py`` contract).  Metrics are batch-weighted means; the
     metric math is jitted once and reused.
+
+    ``predict_fn`` may return ``(depth, aux)`` instead — ``aux`` (e.g.
+    predicted camera extrinsics) is handed to ``extra_metrics(aux, batch)``,
+    whose dict merges into the same weighted averaging.  This is THE hook
+    for extra batteries (pose metrics); keep the accumulation loop single.
     """
     metric_fn = jax.jit(aligned_depth_metrics if align else depth_metrics)
     totals: Dict[str, float] = {}
@@ -135,8 +154,11 @@ def evaluate_model(
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break
-        pred = predict_fn(batch["image"])
-        m = metric_fn(pred, jnp.asarray(batch["depth"]), batch.get("mask"))
+        out = predict_fn(batch["image"])
+        pred, aux = out if isinstance(out, tuple) else (out, None)
+        m = dict(metric_fn(pred, jnp.asarray(batch["depth"]), batch.get("mask")))
+        if extra_metrics is not None:
+            m.update(extra_metrics(aux, batch))
         w = int(batch["depth"].shape[0])
         for k, v in m.items():
             totals[k] = totals.get(k, 0.0) + float(v) * w

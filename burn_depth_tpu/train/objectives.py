@@ -144,10 +144,13 @@ def da3_multiview_objective(
 
     ``pose_weight > 0`` adds camera supervision when the batch carries
     ``"extrinsics" [B0·S, 3, 4]`` (w2c) and ``"intrinsics" [B0·S, 3, 3]``
-    (pixels of the training raster): targets are encoded into the model's
-    native 9-D pose space (translation + quaternion + fovs,
-    ``camera.rs:235-279``) and compared with L1 — quaternion term sign-
-    invariant, since ``q`` and ``−q`` are the same rotation.
+    (pixels of the training raster).  Both sides are gauge-canonicalized per
+    scene first (``api/geometry.canonicalize_poses``: first view → identity,
+    scene scale normalized — SfM targets carry an arbitrary world frame the
+    network cannot infer), then compared in MATRIX space: L1 on the
+    canonical rotations (no quaternion → no sign ambiguity, and no
+    degenerate ``sqrt(0)`` gradient at the identity first view), L1 on the
+    canonical translations, L1 on the FOVs derived from the intrinsics.
 
     ``sp`` (a ``parallel.ViewSP``): run the cross-view blocks sequence-
     parallel while TRAINING — the shard_map island is differentiable (the
@@ -166,29 +169,40 @@ def da3_multiview_objective(
         loss, metrics = _da3_depth_terms(inf, batch, grad_weight, conf_weight)
 
         if pose_weight and "extrinsics" in batch:
-            if inf.pose_encoding is None:
+            if inf.extrinsics is None or inf.intrinsics is None:
                 raise ValueError(
                     "pose supervision needs a camera-decoder head (DA3-small variants)"
                 )
-            from burn_depth_tpu.models.da3.camera import extri_intri_to_pose_encoding
+            from burn_depth_tpu.api.geometry import canonicalize_poses
 
-            tgt_enc = extri_intri_to_pose_encoding(
-                batch["extrinsics"].astype(jnp.float32)[:, None],
-                batch["intrinsics"].astype(jnp.float32)[:, None],
-                height,
-                width,
-            ).reshape(-1, 9)
-            pred_enc = inf.pose_encoding.astype(jnp.float32).reshape(-1, 9)
-            trans_l1 = jnp.mean(jnp.abs(pred_enc[:, :3] - tgt_enc[:, :3]))
-            q_dist = jnp.minimum(
-                jnp.mean(jnp.abs(pred_enc[:, 3:7] - tgt_enc[:, 3:7]), axis=-1),
-                jnp.mean(jnp.abs(pred_enc[:, 3:7] + tgt_enc[:, 3:7]), axis=-1),
+            # Gauge-fix BOTH sides per scene (first view → identity, scene
+            # scale normalized): SfM targets carry an arbitrary world frame
+            # and scale the network cannot infer from pixels — without this
+            # the loss supervises the dataset's coordinate convention.
+            pred_extr = canonicalize_poses(inf.extrinsics.reshape(-1, 3, 4), views)
+            tgt_extr = canonicalize_poses(
+                batch["extrinsics"].astype(jnp.float32).reshape(-1, 3, 4), views
             )
-            quat_l1 = jnp.mean(q_dist)
-            fov_l1 = jnp.mean(jnp.abs(pred_enc[:, 7:] - tgt_enc[:, 7:]))
-            pose_l = trans_l1 + quat_l1 + fov_l1
+            rot_l1 = jnp.mean(jnp.abs(pred_extr[:, :, :3] - tgt_extr[:, :, :3]))
+            trans_l1 = jnp.mean(jnp.abs(pred_extr[:, :, 3] - tgt_extr[:, :, 3]))
+
+            # FOV straight from the model's 9-D encoding (slots 7:9 =
+            # fov_h, fov_w) — NOT re-derived from decoded intrinsics: at a
+            # near-zero predicted FOV the decode's fx=(W/2)/tan(fov/2)
+            # overflows to inf and any arctan round-trip NaNs the backward.
+            pred_fov = inf.pose_encoding.astype(jnp.float32).reshape(-1, 9)[:, 7:9]
+            k_tgt = batch["intrinsics"].astype(jnp.float32).reshape(-1, 3, 3)
+            tgt_fov = jnp.stack(
+                [
+                    2.0 * jnp.arctan((height / 2.0) / k_tgt[:, 1, 1]),
+                    2.0 * jnp.arctan((width / 2.0) / k_tgt[:, 0, 0]),
+                ],
+                axis=-1,
+            )
+            fov_l1 = jnp.mean(jnp.abs(pred_fov - tgt_fov))
+            pose_l = rot_l1 + trans_l1 + fov_l1
             loss = loss + pose_weight * pose_l
-            metrics.update({"pose_trans_l1": trans_l1, "pose_quat_l1": quat_l1, "pose_fov_l1": fov_l1})
+            metrics.update({"pose_rot_l1": rot_l1, "pose_trans_l1": trans_l1, "pose_fov_l1": fov_l1})
         return loss, metrics
 
     return loss_fn

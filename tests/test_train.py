@@ -441,7 +441,7 @@ def test_da3_multiview_objective_grads_finite():
     loss_fn = da3_multiview_objective(model, views=2, pose_weight=1.0)
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(model.params, batch)
     assert np.isfinite(float(loss))
-    for k in ("ssi_mae", "pose_trans_l1", "pose_quat_l1", "pose_fov_l1"):
+    for k in ("ssi_mae", "pose_trans_l1", "pose_rot_l1", "pose_fov_l1"):
         assert k in metrics and np.isfinite(float(metrics[k]))
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
 
@@ -524,3 +524,58 @@ def test_pose_metrics_identity_and_known_rotation():
     # center_p = -R^T t = -[0,-1,0]... compute directly:
     cp = -(p[0, :3, :3].T @ p[0, :, 3])
     np.testing.assert_allclose(float(m["center_l2"]), np.linalg.norm(cp), atol=1e-5)
+
+
+def test_canonicalize_poses_gauge_and_scale_invariant():
+    """A per-scene rigid+scale gauge change of the world (the SfM ambiguity:
+    X -> s·QX + c, so R -> RQ^T, t -> s·t - RQ^T c) must not change the
+    canonical form — and pose_metrics(views=) must score it as zero error."""
+    from burn_depth_tpu.api.geometry import canonicalize_poses
+    from burn_depth_tpu.models.da3.camera import quaternion_to_matrix
+    from burn_depth_tpu.train import pose_metrics
+
+    rng = np.random.default_rng(11)
+    views, scenes = 3, 2
+
+    def rand_rot(n):
+        q = rng.normal(size=(n, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        return np.asarray(quaternion_to_matrix(jnp.asarray(q)))
+
+    r = rand_rot(scenes * views)
+    t = rng.normal(scale=1.5, size=(scenes * views, 3)).astype(np.float32)
+    e = np.concatenate([r, t[..., None]], axis=-1)  # [N, 3, 4] w2c
+
+    # one gauge per scene, applied to all its views
+    qs = rand_rot(scenes)
+    cs = rng.normal(scale=3.0, size=(scenes, 3)).astype(np.float32)
+    ss = rng.uniform(0.3, 4.0, size=scenes).astype(np.float32)
+    e_new = e.copy().reshape(scenes, views, 3, 4)
+    for b in range(scenes):
+        for v in range(views):
+            rq = e_new[b, v, :, :3] @ qs[b].T
+            e_new[b, v, :, 3] = ss[b] * e_new[b, v, :, 3] - rq @ cs[b]
+            e_new[b, v, :, :3] = rq
+    e_new = e_new.reshape(-1, 3, 4)
+
+    canon_a = np.asarray(canonicalize_poses(jnp.asarray(e), views))
+    canon_b = np.asarray(canonicalize_poses(jnp.asarray(e_new), views))
+    np.testing.assert_allclose(canon_a, canon_b, rtol=1e-4, atol=1e-5)
+    # first view is the identity pose after canonicalization
+    np.testing.assert_allclose(
+        canon_a.reshape(scenes, views, 3, 4)[:, 0, :, :3],
+        np.tile(np.eye(3, dtype=np.float32), (scenes, 1, 1)), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        canon_a.reshape(scenes, views, 3, 4)[:, 0, :, 3], 0.0, atol=1e-5
+    )
+
+    m = pose_metrics(jnp.asarray(e_new), jnp.asarray(e), views=views)
+    # arccos amplifies f32 rounding near zero angle: ~0.02 deg residual
+    assert float(m["rot_deg"]) < 0.05
+    assert float(m["trans_l2"]) < 1e-4 and float(m["center_l2"]) < 1e-4
+
+    # WITHOUT gauge fixing the same pair scores huge errors — the raw
+    # comparison measures the coordinate convention, not the model
+    raw = pose_metrics(jnp.asarray(e_new), jnp.asarray(e))
+    assert float(raw["rot_deg"]) > 1.0
