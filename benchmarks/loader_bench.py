@@ -31,14 +31,15 @@ def make_corpus(tmp, n, hw, fmt):
     return paths
 
 
-def run(paths, target, mode, threads, force_fallback):
+def run(paths, target, mode, threads, force_fallback, fast_jpeg=False):
     from burn_depth_tpu.api import native
 
     if force_fallback:
         orig = native._load
         native._load = lambda: None
     try:
-        with native.ImageLoader(paths, target, mode=mode, threads=threads, window=16) as loader:
+        with native.ImageLoader(paths, target, mode=mode, threads=threads, window=16,
+                                fast_jpeg=fast_jpeg) as loader:
             t0 = time.perf_counter()
             n = sum(1 for _ in loader)
             dt = time.perf_counter() - t0
@@ -70,6 +71,17 @@ def main():
                 f"{fmt:4s} {args.hw[0]}x{args.hw[1]} -> {args.target}² {args.mode}: "
                 f"native {nat:7.1f} img/s | PIL fallback {fb:7.1f} img/s | {nat / fb:4.2f}x"
             )
+
+        # >4K JPEG ingest: DCT-scaled decode (fast_jpeg) vs exact decode.
+        hw4k = (2160, 3840)
+        paths = make_corpus(tmp, max(args.n // 8, 4), hw4k, "JPEG")
+        run(paths[:2], args.target, args.mode, args.threads, False)  # warmup
+        exact = run(paths, args.target, args.mode, args.threads, False)
+        fast = run(paths, args.target, args.mode, args.threads, False, fast_jpeg=True)
+        print(
+            f"JPEG {hw4k[0]}x{hw4k[1]} -> {args.target}² {args.mode}: "
+            f"exact {exact:7.1f} img/s | fast_jpeg {fast:7.1f} img/s | {fast / exact:4.2f}x"
+        )
 
 
 if __name__ == "__main__":

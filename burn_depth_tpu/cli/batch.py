@@ -32,6 +32,11 @@ def main(argv=None) -> int:
     p.add_argument("--save-npy", action="store_true", help="also write raw f32 depth .npy")
     p.add_argument("--threads", type=int, default=4, help="native decode workers")
     p.add_argument(
+        "--fast-jpeg", action="store_true",
+        help="DCT-scaled JPEG decode for oversized inputs (draft-mode "
+             "semantics; not bit-identical, ~4-16x fewer decoded pixels)",
+    )
+    p.add_argument(
         "--dp",
         type=int,
         default=1,
@@ -95,7 +100,7 @@ def main(argv=None) -> int:
     # DA3 prep = shortest-side + crop; Depth Pro = squash (full frame).
     loader = ImageLoader(
         files, size, mode="u8", threads=args.threads,
-        window=max(2 * args.batch, 4), crop=kind_da3,
+        window=max(2 * args.batch, 4), crop=kind_da3, fast_jpeg=args.fast_jpeg,
     )
 
     def save(idx: int, depth: np.ndarray, u8: np.ndarray) -> None:

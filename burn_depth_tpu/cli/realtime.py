@@ -26,6 +26,11 @@ def main(argv=None) -> int:
         help="directory sources: decode+resize in native worker threads an "
              "ordered window ahead (api/native.ImageLoader)",
     )
+    parser.add_argument(
+        "--fast-jpeg", action="store_true",
+        help="with --prefetch: DCT-scaled JPEG decode for oversized inputs "
+             "(PIL draft-mode semantics; not bit-identical, much faster >=2x)",
+    )
     args = parser.parse_args(argv)
 
     from burn_depth_tpu.api import AnyDepthModel, DepthModelKind, load_model
@@ -53,7 +58,8 @@ def main(argv=None) -> int:
     elif args.prefetch:
         kind_da3 = model.preferred_input_resolution() is not None
         target = model.preferred_input_resolution() or model.model.config.img_size
-        source = PrefetchedDirSource(args.source, target, crop=kind_da3)
+        source = PrefetchedDirSource(args.source, target, crop=kind_da3,
+                                     fast_jpeg=args.fast_jpeg)
     else:
         source = ImageDirSource(args.source)
 

@@ -162,14 +162,14 @@ class PrefetchedDirSource(FrameSource):
     """
 
     def __init__(self, path: str, target: int, *, threads: int = 4, window: int = 8,
-                 crop: bool = True):
+                 crop: bool = True, fast_jpeg: bool = False):
         from burn_depth_tpu.api.native import ImageLoader, list_image_files
 
         files = list_image_files(path)
         # crop=True = DA3 prep (shortest-side + center crop); crop=False =
         # squash resize (Depth Pro — full frame, no FOV discarded)
         self._loader = ImageLoader(files, target, mode="u8", threads=threads,
-                                   window=window, crop=crop)
+                                   window=window, crop=crop, fast_jpeg=fast_jpeg)
 
     def read(self) -> Optional[np.ndarray]:
         try:

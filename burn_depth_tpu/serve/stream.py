@@ -68,6 +68,7 @@ def stream_image_dir(
     threads: int = 4,
     crop: bool = True,
     on_error: str = "skip",
+    fast_jpeg: bool = False,
 ):
     """Offline directory → sharded depth stream, fully pipelined.
 
@@ -83,6 +84,9 @@ def stream_image_dir(
     ``start_index`` indexes the *successfully decoded* frame sequence.  The
     final partial batch is padded by repeating its last frame (static XLA
     shapes); padded lanes are excluded from ``valid_count``.
+
+    ``fast_jpeg=True`` decodes oversized JPEGs at DCT scale (draft-mode
+    semantics — not bit-identical; see ``api/native.ImageLoader``).
 
     ``on_error="skip"`` (default) warns and continues past undecodable files
     (one truncated JPEG must not abort a 10k-image job) — note file indices
@@ -112,7 +116,8 @@ def stream_image_dir(
         # Each ImageLoader.__next__ consumes exactly one path in order, so
         # a decode failure maps to files[pos] even when we keep going.
         with ImageLoader(
-            files, size, mode="u8", threads=threads, window=max(2 * batch, 4), crop=crop
+            files, size, mode="u8", threads=threads, window=max(2 * batch, 4), crop=crop,
+            fast_jpeg=fast_jpeg,
         ) as loader:
             for pos in range(len(files)):
                 try:

@@ -32,6 +32,11 @@
 #include <thread>
 #include <vector>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <jpeglib.h>
 #include <png.h>
 
@@ -51,7 +56,47 @@ struct Image {
   std::vector<uint8_t> rgb;  // HWC u8
 };
 
-bool read_file(const std::string& path, std::vector<uint8_t>& out, std::string& err) {
+// Read-only view of a file: mmap'd when possible (zero-copy into the page
+// cache — matters for >4K inputs where the compressed stream alone is tens
+// of MB), vector fallback otherwise.  Decoders only need (data, size).
+struct FileData {
+  const uint8_t* data = nullptr;
+  size_t size = 0;
+  void* map = nullptr;
+  std::vector<uint8_t> buf;
+
+  ~FileData() {
+    if (map != nullptr) munmap(map, size);
+  }
+  FileData() = default;
+  FileData(const FileData&) = delete;
+  FileData& operator=(const FileData&) = delete;
+};
+
+bool read_file(const std::string& path, FileData& out, std::string& err) {
+  int fd = ::open(path.c_str(), O_RDONLY);
+  if (fd >= 0) {
+    struct stat st;
+    if (fstat(fd, &st) == 0 && st.st_size > 0) {
+      void* m = mmap(nullptr, static_cast<size_t>(st.st_size), PROT_READ, MAP_PRIVATE, fd, 0);
+      ::close(fd);
+      if (m != MAP_FAILED) {
+        out.map = m;
+        out.size = static_cast<size_t>(st.st_size);
+        out.data = static_cast<const uint8_t*>(m);
+        // the decoders stream through the file once, front to back
+        madvise(m, out.size, MADV_SEQUENTIAL);
+        return true;
+      }
+    } else {
+      ::close(fd);
+      if (st.st_size == 0) {
+        err = "empty file " + path;
+        return false;
+      }
+    }
+  }
+  // fallback: plain buffered read (e.g. mmap-hostile filesystems)
   FILE* f = std::fopen(path.c_str(), "rb");
   if (!f) {
     err = "cannot open " + path;
@@ -65,13 +110,15 @@ bool read_file(const std::string& path, std::vector<uint8_t>& out, std::string& 
     err = "empty file " + path;
     return false;
   }
-  out.resize(static_cast<size_t>(n));
-  size_t got = std::fread(out.data(), 1, out.size(), f);
+  out.buf.resize(static_cast<size_t>(n));
+  size_t got = std::fread(out.buf.data(), 1, out.buf.size(), f);
   std::fclose(f);
-  if (got != out.size()) {
+  if (got != out.buf.size()) {
     err = "short read " + path;
     return false;
   }
+  out.data = out.buf.data();
+  out.size = out.buf.size();
   return true;
 }
 
@@ -89,7 +136,14 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   std::longjmp(e->jb, 1);
 }
 
-bool decode_jpeg(const std::vector<uint8_t>& mem, Image& img, std::string& err) {
+// min_dim > 0 enables DCT-domain downscaled decode (libjpeg scale_denom in
+// {2,4,8}): the largest denominator is picked such that the decoded shortest
+// side stays >= min_dim, so the subsequent CatmullRom resize only ever
+// downscales.  For a 4K JPEG feeding a 518 target this decodes 1/16 of the
+// pixels (denom 4) — the PIL ``draft()`` trick, done in the worker.  Output
+// is NOT bit-identical to a full decode + resize (opt-in fast path).
+bool decode_jpeg(const uint8_t* data, size_t size, Image& img, std::string& err,
+                 int min_dim = 0) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -100,9 +154,21 @@ bool decode_jpeg(const std::vector<uint8_t>& mem, Image& img, std::string& err) 
     return false;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(mem.data()), static_cast<unsigned long>(mem.size()));
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), static_cast<unsigned long>(size));
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (min_dim > 0) {
+    const int shortest = static_cast<int>(std::min(cinfo.image_width, cinfo.image_height));
+    int denom = 1;
+    for (int d = 8; d >= 2; d /= 2) {
+      if (shortest >= min_dim * d) {
+        denom = d;
+        break;
+      }
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = static_cast<unsigned int>(denom);
+  }
   jpeg_start_decompress(&cinfo);
   img.w = static_cast<int>(cinfo.output_width);
   img.h = static_cast<int>(cinfo.output_height);
@@ -118,11 +184,11 @@ bool decode_jpeg(const std::vector<uint8_t>& mem, Image& img, std::string& err) 
 
 // ---- PNG (libpng simplified API) ------------------------------------------
 
-bool decode_png(const std::vector<uint8_t>& mem, Image& img, std::string& err) {
+bool decode_png(const uint8_t* data, size_t size, Image& img, std::string& err) {
   png_image image;
   std::memset(&image, 0, sizeof(image));
   image.version = PNG_IMAGE_VERSION;
-  if (!png_image_begin_read_from_memory(&image, mem.data(), mem.size())) {
+  if (!png_image_begin_read_from_memory(&image, data, size)) {
     err = std::string("png: ") + image.message;
     return false;
   }
@@ -140,20 +206,20 @@ bool decode_png(const std::vector<uint8_t>& mem, Image& img, std::string& err) {
 
 // ---- PPM P6 (maxval 255) ---------------------------------------------------
 
-bool decode_ppm(const std::vector<uint8_t>& mem, Image& img, std::string& err) {
+bool decode_ppm(const uint8_t* data, size_t size, Image& img, std::string& err) {
   // header: "P6" ws width ws height ws maxval single-ws raster
   size_t pos = 2;
   auto next_int = [&](int& v) -> bool {
-    while (pos < mem.size() && (std::isspace(mem[pos]) || mem[pos] == '#')) {
-      if (mem[pos] == '#')
-        while (pos < mem.size() && mem[pos] != '\n') ++pos;
+    while (pos < size && (std::isspace(data[pos]) || data[pos] == '#')) {
+      if (data[pos] == '#')
+        while (pos < size && data[pos] != '\n') ++pos;
       else
         ++pos;
     }
     v = 0;
     bool any = false;
-    while (pos < mem.size() && mem[pos] >= '0' && mem[pos] <= '9') {
-      v = v * 10 + (mem[pos++] - '0');
+    while (pos < size && data[pos] >= '0' && data[pos] <= '9') {
+      v = v * 10 + (data[pos++] - '0');
       any = true;
     }
     return any;
@@ -165,21 +231,23 @@ bool decode_ppm(const std::vector<uint8_t>& mem, Image& img, std::string& err) {
   }
   ++pos;  // single whitespace before raster
   size_t need = static_cast<size_t>(w) * h * 3;
-  if (mem.size() - pos < need) {
+  if (size - pos < need) {
     err = "ppm: truncated";
     return false;
   }
   img.w = w;
   img.h = h;
-  img.rgb.assign(mem.begin() + pos, mem.begin() + pos + need);
+  img.rgb.assign(data + pos, data + pos + need);
   return true;
 }
 
-bool decode_any(const std::vector<uint8_t>& mem, Image& img, std::string& err) {
-  if (mem.size() >= 2 && mem[0] == 0xFF && mem[1] == 0xD8) return decode_jpeg(mem, img, err);
-  if (mem.size() >= 4 && mem[0] == 0x89 && mem[1] == 'P' && mem[2] == 'N' && mem[3] == 'G')
-    return decode_png(mem, img, err);
-  if (mem.size() >= 2 && mem[0] == 'P' && mem[1] == '6') return decode_ppm(mem, img, err);
+bool decode_any(const uint8_t* data, size_t size, Image& img, std::string& err,
+                int jpeg_min_dim = 0) {
+  if (size >= 2 && data[0] == 0xFF && data[1] == 0xD8)
+    return decode_jpeg(data, size, img, err, jpeg_min_dim);
+  if (size >= 4 && data[0] == 0x89 && data[1] == 'P' && data[2] == 'N' && data[3] == 'G')
+    return decode_png(data, size, img, err);
+  if (size >= 2 && data[0] == 'P' && data[1] == '6') return decode_ppm(data, size, img, err);
   err = "unknown image format";
   return false;
 }
@@ -219,6 +287,9 @@ struct Loader {
   float mean[3] = {0, 0, 0}, stddev[3] = {1, 1, 1};
   int window = 8;
   bool loop = false;
+  // DCT-scaled JPEG decode: decode at the largest 1/{2,4,8} scale whose
+  // shortest side still covers `target` (opt-in — not bit-identical).
+  bool fast_jpeg = false;
 
   std::mutex mu;
   std::condition_variable cv_worker, cv_consumer;
@@ -257,9 +328,11 @@ struct Loader {
   Item process(long idx) {
     Item item;
     const std::string& path = paths[static_cast<size_t>(idx % static_cast<long>(paths.size()))];
-    std::vector<uint8_t> mem;
+    FileData mem;
     Image img;
-    if (!read_file(path, mem, item.err) || !decode_any(mem, img, item.err)) return item;
+    if (!read_file(path, mem, item.err) ||
+        !decode_any(mem.data, mem.size, img, item.err, fast_jpeg ? target : 0))
+      return item;
     if (!crop && (img.h != target || img.w != target)) {
       // squash resize (no FOV loss) — the Depth Pro ingest semantics: the
       // canonical path squash-resizes the FULL frame to the net size.
@@ -286,13 +359,15 @@ extern "C" {
 
 void* bd_loader_create(const char* const* paths, int n, int target, int mode,
                        double a, const float* mean, const float* stddev,
-                       int threads, int window, int loop, int crop) {
+                       int threads, int window, int loop, int crop,
+                       int fast_jpeg) {
   if (n <= 0 || target <= 0 || window <= 0) return nullptr;
   auto* ld = new Loader();
   ld->paths.assign(paths, paths + n);
   ld->target = target;
   ld->mode = mode;
   ld->crop = crop;
+  ld->fast_jpeg = fast_jpeg != 0;
   ld->a = a;
   if (mean) std::memcpy(ld->mean, mean, 3 * sizeof(float));
   if (stddev) std::memcpy(ld->stddev, stddev, 3 * sizeof(float));

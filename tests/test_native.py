@@ -203,6 +203,78 @@ def test_image_loader_python_fallback_matches_native(tmp_path, monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+def _smooth_image(h, w):
+    """Low-frequency test content: DCT-scaled JPEG decode keeps only the
+    low-frequency coefficients, so a smooth gradient survives it nearly
+    unchanged (random noise would not — that's the information draft mode
+    deliberately drops)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = 255 * yy / max(h - 1, 1)
+    g = 255 * xx / max(w - 1, 1)
+    b = 255 * (yy + xx) / max(h + w - 2, 1)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_image_loader_fast_jpeg_oversized(tmp_path):
+    """fast_jpeg on a >=4x-oversized JPEG: correct shape/order, and close to
+    the exact lane on smooth content (DCT-scale decode + CatmullRom vs full
+    decode + CatmullRom).  The PIL fallback (draft mode) honors the same
+    contract."""
+    from PIL import Image
+
+    from burn_depth_tpu.api import native as native_mod
+
+    arr = _smooth_image(300, 400)
+    p = tmp_path / "big.jpg"
+    Image.fromarray(arr).save(p, format="JPEG", quality=95)
+
+    with native_mod.ImageLoader([str(p)], target=64, threads=1) as loader:
+        exact = next(loader)
+    with native_mod.ImageLoader([str(p)], target=64, threads=1, fast_jpeg=True) as loader:
+        fast = next(loader)
+    assert fast.shape == exact.shape == (64, 64, 3)
+    mad = np.abs(fast.astype(np.int32) - exact.astype(np.int32)).mean()
+    assert mad < 4.0, f"fast_jpeg drifted {mad:.2f} u8 levels from the exact lane"
+
+
+def test_image_loader_fast_jpeg_noop_when_not_oversized(tmp_path):
+    """A JPEG smaller than 2x the target must take the exact decode path
+    bit-for-bit even with fast_jpeg=True (no DCT scale applies)."""
+    from PIL import Image
+
+    from burn_depth_tpu.api import native as native_mod
+
+    arr = np.random.default_rng(8).integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    p = tmp_path / "small.jpg"
+    Image.fromarray(arr).save(p, format="JPEG", quality=90)
+    with native_mod.ImageLoader([str(p)], target=32, threads=1) as loader:
+        exact = next(loader)
+    with native_mod.ImageLoader([str(p)], target=32, threads=1, fast_jpeg=True) as loader:
+        fast = next(loader)
+    np.testing.assert_array_equal(fast, exact)
+
+
+def test_image_loader_fast_jpeg_fallback_contract(tmp_path, monkeypatch):
+    """PIL-fallback fast_jpeg (Image.draft) matches the native lane's
+    behavior class: same shape, close to its own exact lane."""
+    from PIL import Image
+
+    from burn_depth_tpu.api import native as native_mod
+
+    arr = _smooth_image(300, 400)
+    p = tmp_path / "big.jpg"
+    Image.fromarray(arr).save(p, format="JPEG", quality=95)
+
+    monkeypatch.setattr(native_mod, "_load", lambda: None)
+    with native_mod.ImageLoader([str(p)], target=64, threads=1) as loader:
+        exact = next(loader)
+    with native_mod.ImageLoader([str(p)], target=64, threads=1, fast_jpeg=True) as loader:
+        fast = next(loader)
+    assert fast.shape == exact.shape == (64, 64, 3)
+    mad = np.abs(fast.astype(np.int32) - exact.astype(np.int32)).mean()
+    assert mad < 4.0, f"fallback fast_jpeg drifted {mad:.2f} u8 levels"
+
+
 def test_image_loader_squash_mode_preserves_full_frame(tmp_path):
     """crop=False (Depth Pro ingest): squash resize, no FOV discarded —
     matches resize_bicubic_u8 to the square target exactly; fallback agrees."""
