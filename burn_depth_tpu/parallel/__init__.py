@@ -24,6 +24,7 @@ from burn_depth_tpu.parallel.mesh import (  # noqa: F401
     MODEL_AXIS,
     batch_sharding,
     make_mesh,
+    make_multihost_mesh,
     replicated,
     shard_params,
 )

@@ -47,6 +47,59 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_multihost_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    *,
+    model: int = 1,
+    group_fn=None,
+) -> Mesh:
+    """``(data, model)`` mesh for multi-host / multi-slice topologies.
+
+    Single-host parity: with one device group this is exactly
+    :func:`make_mesh`.  With several groups (hosts on a pod, or Megascale
+    slices connected over DCN), devices are ordered **group-major** so that
+
+    * the ``model`` axis always lies inside one group — its per-block psums
+      (the latency-critical collectives) never leave ICI;
+    * the ``data`` axis factors as ``(groups, per_group_data)`` with the
+      group factor outermost — consecutive data shards stay on one slice,
+      and the only traffic that crosses DCN is the data-axis reduction
+      (gradient psum in training; none at all in DP serving, which makes
+      multi-slice serving embarrassingly parallel).
+
+    This is the hand-rolled equivalent of
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` for the 2-D
+    ``(data, model)`` case, kept explicit so it also works on devices
+    without slice metadata (CPU test meshes) via ``group_fn``.
+
+    ``group_fn(device) -> key`` overrides the grouping (default:
+    ``slice_index`` when the platform exposes it, else ``process_index``).
+    Every group must contribute the same number of devices, and ``model``
+    must divide the per-group count.
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if group_fn is None:
+        def group_fn(d):
+            s = getattr(d, "slice_index", None)
+            return s if s is not None else getattr(d, "process_index", 0)
+
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(group_fn(d), []).append(d)
+    if len(groups) <= 1:
+        return make_mesh(devices, model=model)
+    sizes = {k: len(v) for k, v in groups.items()}
+    per = len(devices) // len(groups)
+    if any(s != per for s in sizes.values()):
+        raise ValueError(f"uneven device groups: {sizes}")
+    if per % model:
+        raise ValueError(f"{per} devices per group not divisible by model={model}")
+    ordered = [d for k in sorted(groups) for d in groups[k]]
+    # group-major data axis: reshape (G, per//model, model) → (G*per//model, model)
+    dev_array = np.asarray(ordered).reshape(len(groups) * (per // model), model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
 def batch_sharding(mesh: Mesh, ndim: int, batch_dim: int = 0) -> NamedSharding:
     """Shard dimension ``batch_dim`` of an ``ndim``-D array over ``data``."""
     spec = [None] * ndim

@@ -33,6 +33,45 @@ def test_mesh_shapes():
         make_mesh(model=3)
 
 
+def test_multihost_mesh_groups_model_axis_within_slice():
+    """make_multihost_mesh on 2 fake DCN groups of 4: the model axis must
+    never straddle a group (its psums are latency-critical and must stay on
+    ICI), the data axis must be group-major (DCN traffic only across outer
+    blocks), and a DP+TP serving step over the mesh must still match the
+    single-device result."""
+    from burn_depth_tpu.parallel import make_multihost_mesh
+
+    devices = jax.devices()[:8]
+    fake_group = {d: i // 4 for i, d in enumerate(devices)}  # 2 "slices" of 4
+    mesh = make_multihost_mesh(devices, model=2, group_fn=fake_group.get)
+    assert mesh.shape == {"data": 4, "model": 2}
+    arr = mesh.devices
+    # every model-pair lies within one group
+    for row in arr:
+        assert len({fake_group[d] for d in row}) == 1
+    # data axis is group-major: first two rows group 0, last two group 1
+    row_groups = [fake_group[row[0]] for row in arr]
+    assert row_groups == sorted(row_groups) == [0, 0, 1, 1]
+
+    # single-group fallback == make_mesh
+    mesh1 = make_multihost_mesh(devices, model=2, group_fn=lambda d: 0)
+    assert [list(r) for r in mesh1.devices] == [list(r) for r in make_mesh(devices, model=2).devices]
+
+    # uneven groups rejected
+    with pytest.raises(ValueError, match="uneven"):
+        make_multihost_mesh(devices[:6], model=1, group_fn=fake_group.get)
+
+    # a sharded forward over the hybrid mesh still matches single-device
+    cfg = DinoViTConfig(img_size=28, patch_size=14, embed_dim=32, depth=2, num_heads=2)
+    params = init_dinov2(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 28, 28), jnp.float32)
+    want = dinov2_forward(params, x, cfg).x_norm_patchtokens
+    step = compile_serving_step(
+        lambda p, v: dinov2_forward(p, v, cfg).x_norm_patchtokens, params, mesh, tp_rules=vit_tp_rules()
+    )
+    np.testing.assert_allclose(np.asarray(step(x)), np.asarray(want), atol=2e-5)
+
+
 def test_tp_rules_place_block_weights():
     mesh = make_mesh(model=2)
     cfg = DinoViTConfig(img_size=28, patch_size=14, embed_dim=32, depth=2, num_heads=2)
