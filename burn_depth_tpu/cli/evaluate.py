@@ -22,6 +22,16 @@ def main(argv=None) -> int:
     parser.add_argument("--preset", default="tiny", choices=["tiny", "full"])
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--data", default=None, help="dir of *_rgb.png/*_depth.npy pairs; default synthetic")
+    parser.add_argument(
+        "--dataset", default="pairs", choices=["pairs", "kitti", "nyu"],
+        help="with --data: 'pairs' = *_rgb.png/*_depth.npy dumps; 'kitti'/'nyu' "
+        "= standard benchmark layout (image/+depth/ subdirs, 16-bit depth "
+        "PNGs) scored with the published protocol — depth decode scale, "
+        "validity caps, Eigen eval crop, prediction upsampled to native GT "
+        "resolution (train/datasets.py)",
+    )
+    parser.add_argument("--depth-scale", type=float, default=None,
+                        help="override the dataset's PNG-to-meters divisor")
     parser.add_argument("--batches", type=int, default=8)
     parser.add_argument("--batch", type=int, default=2)
     parser.add_argument("--align", action="store_true", help="affine-align predictions per image before scoring")
@@ -53,11 +63,22 @@ def main(argv=None) -> int:
     if args.views > 1:
         return _evaluate_multiview(args, model, size)
 
-    gen = (
-        _image_dir_batches(args.data, args.batch, size)
-        if args.data
-        else synthetic_depth_batches(args.seed, args.batch, size, steps=args.batches)
-    )
+    if args.dataset != "pairs":
+        if not args.data:
+            print(f"--dataset {args.dataset} requires --data ROOT", file=sys.stderr)
+            return 1
+        from burn_depth_tpu.train.datasets import benchmark_eval_batches
+
+        gen = benchmark_eval_batches(
+            args.data, size, dataset=args.dataset, batch=args.batch,
+            # DA3 ingests a center-square crop; Depth Pro squash-resizes
+            crop=args.model == "depth-anything-3",
+            depth_scale=args.depth_scale,
+        )
+    elif args.data:
+        gen = _image_dir_batches(args.data, args.batch, size)
+    else:
+        gen = synthetic_depth_batches(args.seed, args.batch, size, steps=args.batches)
     scores = evaluate_model(
         lambda img: predict(params, jnp.asarray(img)),
         gen,

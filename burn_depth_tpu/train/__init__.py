@@ -6,6 +6,7 @@ depth losses, and a self-contained synthetic data pipeline.
 """
 
 from burn_depth_tpu.train.data import prefetch_to_device, synthetic_depth_batches
+from burn_depth_tpu.train.datasets import benchmark_eval_batches
 from burn_depth_tpu.train.losses import (
     affine_alignment,
     fov_loss,
@@ -38,6 +39,7 @@ __all__ = [
     "TrainStep",
     "adamw",
     "affine_alignment",
+    "benchmark_eval_batches",
     "aligned_depth_metrics",
     "compile_train_step",
     "da3_multiview_objective",

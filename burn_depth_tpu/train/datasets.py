@@ -1,0 +1,177 @@
+"""Standard-benchmark dataset adapters for evaluation (KITTI / NYUv2).
+
+The reference stops at parity thresholds against PyTorch; the model repos it
+wraps (apple/ml-depth-pro, Depth Anything 3) are *evaluated* on the standard
+monocular-depth benchmarks.  This module gives the framework that capability:
+read the common on-disk layouts, apply each benchmark's published protocol
+(depth decode scale, validity caps, evaluation crop), and yield batches in
+the ``train/data.py`` contract (``{"image", "depth", "mask"}``) for
+:func:`burn_depth_tpu.train.metrics.evaluate_model`.
+
+Protocol per dataset (the Eigen conventions used across the literature):
+
+* **kitti** — 16-bit depth PNGs, meters = value/256, 0 = no LiDAR return;
+  valid range (1e-3, 80] m; Garg/Eigen evaluation crop expressed as frame
+  fractions ``rows [0.40810811, 0.99189189], cols [0.03594771, 0.96405229]``
+  so it applies at any resolution.
+* **nyu** — 16-bit depth PNGs, meters = value/1000 (millimeter dumps);
+  valid range (1e-3, 10] m; the standard border crop ``rows [45, 471],
+  cols [41, 601]`` of the 480x640 frames, applied fractionally.
+
+Layout: ``root/image/*.png|jpg`` (alias ``rgb/``) paired with
+``root/depth/*.png`` by filename stem.  Scoring follows the benchmark
+protocol end to end: the model predicts at its own square resolution, the
+prediction is upsampled to native GT resolution inside ``evaluate_model``,
+and the caps + crop enter as the mask — never by resizing ground truth
+(resampling sparse LiDAR interpolates across depth discontinuities).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+__all__ = ["DATASETS", "DatasetSpec", "benchmark_eval_batches"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetSpec:
+    name: str
+    depth_scale: float  # meters = png_value / depth_scale
+    min_depth: float
+    max_depth: float
+    # evaluation crop as frame fractions (row0, row1, col0, col1)
+    crop_frac: tuple
+
+    def valid_mask(self, depth_m: np.ndarray) -> np.ndarray:
+        """Protocol mask at the depth map's own resolution: caps ∧ crop."""
+        h, w = depth_m.shape
+        r0, r1, c0, c1 = self.crop_frac
+        mask = np.zeros((h, w), np.float32)
+        mask[int(r0 * h) : int(r1 * h), int(c0 * w) : int(c1 * w)] = 1.0
+        mask *= (depth_m > self.min_depth) & (depth_m <= self.max_depth)
+        return mask
+
+
+DATASETS = {
+    "kitti": DatasetSpec(
+        "kitti", depth_scale=256.0, min_depth=1e-3, max_depth=80.0,
+        crop_frac=(0.40810811, 0.99189189, 0.03594771, 0.96405229),
+    ),
+    "nyu": DatasetSpec(
+        "nyu", depth_scale=1000.0, min_depth=1e-3, max_depth=10.0,
+        crop_frac=(45 / 480, 471 / 480, 41 / 640, 601 / 640),
+    ),
+}
+
+_IMG_DIRS = ("image", "rgb", "images")
+_DEPTH_DIRS = ("depth", "groundtruth", "gt")
+
+
+def _find_dir(root: str, names) -> str:
+    for n in names:
+        p = os.path.join(root, n)
+        if os.path.isdir(p):
+            return p
+    raise FileNotFoundError(f"none of {names} under {root}")
+
+
+def _pair_files(root: str) -> list:
+    from burn_depth_tpu.api.native import IMAGE_EXTS
+
+    img_dir = _find_dir(root, _IMG_DIRS)
+    depth_dir = _find_dir(root, _DEPTH_DIRS)
+    stem = lambda f: os.path.splitext(f)[0]  # noqa: E731
+    imgs = {
+        stem(f): os.path.join(img_dir, f)
+        for f in os.listdir(img_dir)
+        if f.lower().endswith(IMAGE_EXTS)
+    }
+    depths = {
+        stem(f): os.path.join(depth_dir, f)
+        for f in os.listdir(depth_dir)
+        if f.lower().endswith(".png")
+    }
+    common = sorted(set(imgs) & set(depths))
+    if not common:
+        raise FileNotFoundError(
+            f"no image/depth stem pairs under {root} "
+            f"({len(imgs)} images, {len(depths)} depth maps)"
+        )
+    return [(imgs[s], depths[s]) for s in common]
+
+
+def _center_square(a: np.ndarray) -> np.ndarray:
+    h, w = a.shape[:2]
+    s = min(h, w)
+    y, x = (h - s) // 2, (w - s) // 2
+    return a[y : y + s, x : x + s]
+
+
+def benchmark_eval_batches(
+    root: str,
+    size: int,
+    *,
+    dataset: str = "kitti",
+    crop: bool = True,
+    batch: int = 1,
+    depth_scale: Optional[float] = None,
+    limit: Optional[int] = None,
+    threads: int = 4,
+) -> Iterator[dict]:
+    """Yield eval batches for a benchmark directory.
+
+    ``size`` is the model's square input resolution; ``crop`` selects the
+    model's ingest geometry — ``True`` = shortest-side resize + center crop
+    (DA3), in which case GT and mask are center-square-cropped at native
+    resolution so prediction and target cover the same pixels; ``False`` =
+    squash resize (Depth Pro), GT stays full-frame.
+
+    Frames whose native shape differs (KITTI sequences vary by a few rows)
+    are batched only with same-shape neighbors — a smaller batch is flushed
+    at every shape change, so stacking never pads or resamples ground truth.
+    """
+    from PIL import Image
+
+    from burn_depth_tpu.api.native import ImageLoader
+
+    spec = DATASETS[dataset]
+    if depth_scale is not None:
+        spec = dataclasses.replace(spec, depth_scale=float(depth_scale))
+    pairs = _pair_files(root)
+    if limit is not None:
+        pairs = pairs[: int(limit)]
+
+    def flush(buf):
+        return {
+            "image": np.stack([b[0] for b in buf]),
+            "depth": np.stack([b[1] for b in buf]),
+            "mask": np.stack([b[2] for b in buf]),
+        }
+
+    with ImageLoader(
+        [p for p, _ in pairs], size, mode="nchw", threads=threads,
+        window=max(2 * batch, 4), crop=crop,
+    ) as loader:
+        buf: list = []
+        for _, depth_path in pairs:
+            img = next(loader)
+            raw = np.asarray(Image.open(depth_path))
+            if raw.ndim != 2:
+                raise ValueError(f"{depth_path}: expected single-channel depth PNG, got {raw.shape}")
+            gt = raw.astype(np.float32) / spec.depth_scale
+            mask = spec.valid_mask(gt)
+            if crop:
+                gt, mask = _center_square(gt), _center_square(mask)
+            if buf and buf[-1][1].shape != gt.shape:
+                yield flush(buf)
+                buf = []
+            buf.append((img, gt, mask))
+            if len(buf) == batch:
+                yield flush(buf)
+                buf = []
+        if buf:
+            yield flush(buf)

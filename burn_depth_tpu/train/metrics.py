@@ -147,8 +147,17 @@ def evaluate_model(
     predicted camera extrinsics) is handed to ``extra_metrics(aux, batch)``,
     whose dict merges into the same weighted averaging.  This is THE hook
     for extra batteries (pose metrics); keep the accumulation loop single.
+
+    When the prediction's spatial shape differs from the ground truth's
+    (the benchmark protocol: predict at model resolution, score at native
+    GT resolution — ``train/datasets.py``), the prediction is bilinearly
+    upsampled to the GT shape before scoring (align_corners=False, the
+    convention every published eval harness uses).
     """
+    from burn_depth_tpu.ops.interpolate import resize_bilinear
+
     metric_fn = jax.jit(aligned_depth_metrics if align else depth_metrics)
+    resize_fn = jax.jit(resize_bilinear, static_argnums=(1,))
     totals: Dict[str, float] = {}
     n = 0
     for i, batch in enumerate(batches):
@@ -156,6 +165,9 @@ def evaluate_model(
             break
         out = predict_fn(batch["image"])
         pred, aux = out if isinstance(out, tuple) else (out, None)
+        tgt_hw = tuple(batch["depth"].shape[-2:])
+        if tuple(pred.shape[-2:]) != tgt_hw:
+            pred = resize_fn(pred, tgt_hw)
         m = dict(metric_fn(pred, jnp.asarray(batch["depth"]), batch.get("mask")))
         if extra_metrics is not None:
             m.update(extra_metrics(aux, batch))

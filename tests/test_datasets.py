@@ -1,0 +1,123 @@
+"""Benchmark dataset adapters (train/datasets.py): KITTI/NYU protocol —
+depth decode scale, validity caps, Eigen crop, native-resolution scoring
+with prediction upsampling."""
+
+import numpy as np
+import pytest
+
+from burn_depth_tpu.train.datasets import DATASETS, benchmark_eval_batches
+
+
+def _write_kitti(tmp_path, frames, img_hw=(48, 64)):
+    """frames: list of uint16 depth arrays (native PNG values, meters*256)."""
+    from PIL import Image
+
+    (tmp_path / "image").mkdir()
+    (tmp_path / "depth").mkdir()
+    rng = np.random.default_rng(0)
+    for i, d in enumerate(frames):
+        rgb = rng.integers(0, 256, (*d.shape, 3), dtype=np.uint8)
+        Image.fromarray(rgb).save(tmp_path / "image" / f"{i:04d}.png")
+        Image.fromarray(d.astype(np.uint16)).save(tmp_path / "depth" / f"{i:04d}.png")
+    return str(tmp_path)
+
+
+def test_protocol_constants():
+    k, n = DATASETS["kitti"], DATASETS["nyu"]
+    assert k.depth_scale == 256.0 and k.max_depth == 80.0
+    assert n.depth_scale == 1000.0 and n.max_depth == 10.0
+    # Eigen/Garg crop fractions (literature constants)
+    np.testing.assert_allclose(k.crop_frac, (0.40810811, 0.99189189, 0.03594771, 0.96405229))
+    # NYU border crop [45:471, 41:601] on 480x640
+    np.testing.assert_allclose(n.crop_frac, (45 / 480, 471 / 480, 41 / 640, 601 / 640))
+
+
+def test_kitti_decode_caps_and_crop(tmp_path):
+    h, w = 48, 64
+    d = np.zeros((h, w), np.uint16)
+    d[30, 10] = 256 * 5          # 5 m — valid, inside crop
+    d[30, 11] = 256 * 81         # 81 m — beyond cap
+    d[0, 10] = 256 * 5           # valid depth but above the Eigen crop
+    root = _write_kitti(tmp_path, [d])
+    batches = list(benchmark_eval_batches(root, size=32, dataset="kitti", crop=False))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["image"].shape == (1, 3, 32, 32) and b["image"].dtype == np.float32
+    assert b["depth"].shape == (1, h, w)
+    np.testing.assert_allclose(b["depth"][0, 30, 10], 5.0)
+    np.testing.assert_allclose(b["depth"][0, 30, 11], 81.0)
+    m = b["mask"][0]
+    assert m[30, 10] == 1.0          # valid
+    assert m[30, 11] == 0.0          # over the 80 m cap
+    assert m[0, 10] == 0.0           # outside the Eigen crop (top of frame)
+    assert m[30, 12] == 0.0          # no LiDAR return (depth 0)
+    # crop row bounds: rows [int(.408*48), int(.992*48)) = [19, 47)
+    assert m[18].sum() == 0 and m[47].sum() == 0
+
+
+def test_crop_mode_center_square(tmp_path):
+    h, w = 40, 60
+    d = np.full((h, w), 256 * 4, np.uint16)
+    root = _write_kitti(tmp_path, [d])
+    b = next(iter(benchmark_eval_batches(root, size=28, dataset="kitti", crop=True)))
+    # GT center-square-cropped at native resolution (40x40 of the 40x60)
+    assert b["depth"].shape == (1, 40, 40)
+    assert b["image"].shape == (1, 3, 28, 28)
+
+
+def test_shape_change_flushes_batch(tmp_path):
+    d1 = np.full((40, 60), 256 * 4, np.uint16)
+    d2 = np.full((42, 60), 256 * 4, np.uint16)
+    root = _write_kitti(tmp_path, [d1, d1, d2])
+    shapes = [b["depth"].shape for b in
+              benchmark_eval_batches(root, size=28, dataset="kitti", crop=False, batch=4)]
+    assert shapes == [(2, 40, 60), (1, 42, 60)]
+
+
+def test_depth_scale_override(tmp_path):
+    d = np.full((48, 64), 1000, np.uint16)
+    root = _write_kitti(tmp_path, [d])
+    b = next(iter(benchmark_eval_batches(root, size=28, dataset="kitti",
+                                         crop=False, depth_scale=1000.0)))
+    np.testing.assert_allclose(b["depth"][0, 30, 10], 1.0)
+
+
+def test_missing_layout_raises(tmp_path):
+    with pytest.raises(FileNotFoundError, match="none of"):
+        list(benchmark_eval_batches(str(tmp_path), size=28, dataset="kitti"))
+
+
+def test_evaluate_model_upsamples_prediction_to_gt(tmp_path):
+    """Benchmark protocol end to end: model predicts at its square input
+    resolution, evaluate_model upsamples to native GT resolution; a constant
+    ground truth scored against a constant prediction is exact."""
+    from burn_depth_tpu.train import evaluate_model
+
+    h, w = 48, 64
+    d = np.full((h, w), 256 * 4, np.uint16)  # 4 m everywhere
+    root = _write_kitti(tmp_path, [d])
+    gen = benchmark_eval_batches(root, size=32, dataset="kitti", crop=False)
+
+    scores = evaluate_model(lambda img: np.full((img.shape[0], 32, 32), 4.0, np.float32), gen)
+    assert scores["abs_rel"] < 1e-6
+    assert scores["delta1"] == 1.0
+
+
+def test_evaluate_cli_kitti_end_to_end(tmp_path):
+    """CLI drive: tiny random-weight DA3 on a 2-frame kitti-layout dir must
+    print the metric battery and exit 0."""
+    import contextlib
+    import io
+
+    from burn_depth_tpu.cli.evaluate import main
+
+    d = np.full((40, 60), 256 * 4, np.uint16)
+    root = _write_kitti(tmp_path, [d, d])
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main([
+            "--model", "depth-anything-3", "--preset", "tiny", "--data", root,
+            "--dataset", "kitti", "--platform", "cpu",
+        ])
+    assert rc == 0
+    assert "abs_rel=" in out.getvalue()
