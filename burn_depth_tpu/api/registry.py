@@ -113,6 +113,17 @@ class AnyDepthModel:
             return self.model.img_size
         return None
 
+    def quantize_vit(self, calibration_input=None) -> "AnyDepthModel":
+        """int8 ViT serving tier (BENCH.md round 2: +8% with static
+        calibration on Depth Pro; the default `POST /infer` bench tier on
+        DA3).  Returns a NEW wrapper; without ``calibration_input`` the
+        dynamic-scale variant is used.  Pre-calibrated int8 checkpoints
+        (``cli/quantize``) load straight through ``AnyDepthModel.load`` and
+        don't need this."""
+        return AnyDepthModel(
+            self._kind, self.model.quantize_vit(calibration_input=calibration_input)
+        )
+
     def prepare_input_image(self, image: np.ndarray) -> PreparedModelImage:
         """``[H,W,3] u8`` → model-ready image (``model/mod.rs:136-142``)."""
         if self._kind == DepthModelKind.DEPTH_PRO:

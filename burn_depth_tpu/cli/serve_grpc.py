@@ -29,6 +29,12 @@ def main(argv=None) -> int:
         "--stream-window", type=int, default=8,
         help="max in-flight frames per InferStream connection",
     )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="quantize the ViT linears to the int8 serving tier at startup "
+        "(dynamic scales; for the static-calibrated tier pre-quantize the "
+        "checkpoint with cli/quantize — AnyDepthModel.load auto-detects it)",
+    )
     args = parser.parse_args(argv)
 
     from burn_depth_tpu.api import AnyDepthModel, DepthModelKind, load_model
@@ -40,6 +46,9 @@ def main(argv=None) -> int:
     else:
         print("no --checkpoint: random-init weights (smoke mode)", file=sys.stderr)
         model = load_model(kind)
+    if args.int8:
+        model = model.quantize_vit()
+        print("int8 ViT serving tier (dynamic scales)", file=sys.stderr)
 
     buckets = tuple(int(b) for b in args.infer_batch_sizes.split(","))
     server = DepthGrpcServer(

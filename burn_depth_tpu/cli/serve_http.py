@@ -31,6 +31,12 @@ def main(argv=None) -> int:
         help="linger for stragglers only when the recent arrival rate can "
         "fill the bucket (greedy under sparse traffic, coalescing under load)",
     )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="quantize the ViT linears to the int8 serving tier at startup "
+        "(dynamic scales; for the static-calibrated tier pre-quantize the "
+        "checkpoint with cli/quantize — AnyDepthModel.load auto-detects it)",
+    )
     args = parser.parse_args(argv)
 
     from burn_depth_tpu.api import AnyDepthModel, DepthModelKind, load_model
@@ -43,6 +49,9 @@ def main(argv=None) -> int:
     else:
         print("no --checkpoint: random-init weights (smoke mode)", file=sys.stderr)
         model = load_model(kind)
+    if args.int8:
+        model = model.quantize_vit()
+        print("int8 ViT serving tier (dynamic scales)", file=sys.stderr)
 
     if args.source == "synthetic":
         source = SyntheticSource(args.size, args.size * 3 // 4, 1 << 30)

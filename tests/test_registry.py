@@ -173,3 +173,17 @@ def test_registry_autoloads_quantized_checkpoint(tmp_path, monkeypatch):
     assert "weight_i8" in blk["attn"]["qkv"] and "x_scale" in blk["attn"]["qkv"]
     pred = loaded.infer_depth(jnp.zeros((1, 3, 28, 28)))
     assert pred.depth.shape == (1, 28, 28)
+
+
+def test_any_model_quantize_vit_wrapper():
+    """AnyDepthModel.quantize_vit (the serving CLIs' --int8 path) returns a
+    new wrapper whose inference still runs and keeps the prediction contract."""
+    model = AnyDepthModel(
+        DepthModelKind.DEPTH_ANYTHING3,
+        DepthAnything3.init(jax.random.PRNGKey(0), _tiny_da3()),
+    )
+    q = model.quantize_vit()
+    assert q is not model and q.kind == model.kind
+    pred = q.infer_depth(jnp.zeros((1, 3, 28, 28)))
+    assert pred.depth.shape == (1, 28, 28)
+    assert np.isfinite(np.asarray(pred.depth)).all()
