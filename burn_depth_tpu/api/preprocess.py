@@ -107,3 +107,33 @@ def prepare_depth_anything3_image(image: np.ndarray, target: int) -> PreparedMod
     crop_y = (scaled_h - target) // 2
     cropped = resized[crop_y : crop_y + target, crop_x : crop_x + target]
     return PreparedModelImage(width=target, height=target, rgb=np.ascontiguousarray(cropped))
+
+
+def prepare_depth_anything3_image_aspect(
+    image: np.ndarray, target: int, patch: int = 14, max_dim: Optional[int] = None
+) -> PreparedModelImage:
+    """Aspect-preserving DA3 prep (beyond-parity: the reference always
+    center-crops to a square, discarding FOV on non-square frames —
+    ``model/mod.rs:162-210``).  The shortest side resizes to ``target`` and
+    BOTH dims round to the nearest patch multiple, which is all the backbone
+    requires (H, W % patch == 0; pos-embeds are built per traced shape).
+
+    ``max_dim`` caps the long side (extreme panoramas explode the token
+    count quadratically in resolution); when the cap binds, the image is
+    scaled down uniformly so aspect is still preserved.
+    """
+    if target % patch:
+        raise ValueError(f"target {target} not a multiple of patch {patch}")
+    orig_h, orig_w = image.shape[:2]
+    shortest = max(min(orig_w, orig_h), 1)
+    scale = target / shortest
+    if max_dim is not None and max(orig_h, orig_w) * scale > max_dim:
+        scale = max_dim / max(orig_h, orig_w)
+    to_mult = lambda v: max(patch, round_half_away(v / patch) * patch)  # noqa: E731
+    w = to_mult(orig_w * scale)
+    h = to_mult(orig_h * scale)
+    if (h, w) == (orig_h, orig_w):
+        return PreparedModelImage(width=w, height=h, rgb=image.copy())
+    return PreparedModelImage(
+        width=w, height=h, rgb=np.ascontiguousarray(resize_bicubic(image, h, w, a=CATMULL_ROM))
+    )

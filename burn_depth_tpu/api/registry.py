@@ -124,10 +124,21 @@ class AnyDepthModel:
             self._kind, self.model.quantize_vit(calibration_input=calibration_input)
         )
 
-    def prepare_input_image(self, image: np.ndarray) -> PreparedModelImage:
-        """``[H,W,3] u8`` → model-ready image (``model/mod.rs:136-142``)."""
+    def prepare_input_image(self, image: np.ndarray, keep_aspect: bool = False) -> PreparedModelImage:
+        """``[H,W,3] u8`` → model-ready image (``model/mod.rs:136-142``).
+
+        ``keep_aspect`` (DA3 only, beyond-parity): aspect-preserving prep —
+        shortest side to the model resolution, both dims rounded to patch
+        multiples, NO center crop (no FOV discarded).  Each distinct shape
+        is one extra XLA compile (jit's shape key)."""
         if self._kind == DepthModelKind.DEPTH_PRO:
             return PreparedModelImage(width=image.shape[1], height=image.shape[0], rgb=image)
+        if keep_aspect:
+            from burn_depth_tpu.api.preprocess import prepare_depth_anything3_image_aspect
+
+            return prepare_depth_anything3_image_aspect(
+                image, self.model.img_size, patch=self.model.patch_size
+            )
         return prepare_depth_anything3_image(image, self.model.img_size)
 
     # ---- unified inference (the DepthModel trait, inference.rs:22-71) -------
@@ -172,7 +183,9 @@ class AnyDepthModel:
                 # FOV — this makes downstream unprojection work checkpoint-free.
                 k = intr.reshape(-1, 3, 3)
                 focal = k[:, 0, 0]
-                fovy = 2.0 * jnp.arctan((m.img_size / 2.0) / k[:, 1, 1])
+                # input height, not the config's square size: keep_aspect
+                # serves non-square rasters and fy is in raster pixels
+                fovy = 2.0 * jnp.arctan((x.shape[-2] / 2.0) / k[:, 1, 1])
             return DepthPrediction(
                 depth=depth, focallength_px=focal, fovy_rad=fovy, confidence=conf
             )

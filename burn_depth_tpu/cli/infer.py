@@ -85,6 +85,12 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--save-npy", default=None, metavar="OUT.npy", help="also write raw f32 metric depth")
     parser.add_argument(
+        "--keep-aspect", action="store_true",
+        help="DA3: aspect-preserving inference — shortest side to the model "
+        "resolution, dims rounded to patch multiples, no center crop (no "
+        "FOV discarded; each distinct shape compiles once)",
+    )
+    parser.add_argument(
         "--normals",
         default=None,
         metavar="OUT.png",
@@ -109,7 +115,7 @@ def main(argv=None) -> int:
 
     image = np.asarray(Image.open(args.image).convert("RGB"))
     orig_h, orig_w = image.shape[:2]
-    prep = model.prepare_input_image(image)
+    prep = model.prepare_input_image(image, keep_aspect=args.keep_aspect)
 
     result = infer_from_rgb(model, prep.rgb.tobytes(), prep.width, prep.height)
     depth = np.asarray(result.depth[0], dtype=np.float32)

@@ -76,6 +76,15 @@ def test_infer_cli_end_to_end(tmp_path, monkeypatch):
     depth_img = np.asarray(Image.open(out_path))
     assert depth_img.shape == (40, 64)  # restored to original dims
 
+    # aspect-preserving mode: non-square model raster, same restored dims
+    out2 = str(tmp_path / "depth_aspect.png")
+    rc = infer_main(
+        ["--model", "depth-anything-3", "--checkpoint", ckpt, "--image", img_path,
+         "--output", out2, "--keep-aspect"]
+    )
+    assert rc == 0
+    assert np.asarray(Image.open(out2)).shape == (40, 64)
+
 
 def test_multiview_cli_end_to_end(tmp_path, monkeypatch):
     """3 views of a scene → per-view depth PNGs (restored to source dims),

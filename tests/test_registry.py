@@ -187,3 +187,46 @@ def test_any_model_quantize_vit_wrapper():
     pred = q.infer_depth(jnp.zeros((1, 3, 28, 28)))
     assert pred.depth.shape == (1, 28, 28)
     assert np.isfinite(np.asarray(pred.depth)).all()
+
+
+def test_prepare_aspect_dims_and_cap():
+    """Aspect prep: shortest side -> target, both dims patch multiples,
+    aspect preserved; max_dim caps uniformly; exact-size input passes
+    through untouched."""
+    from burn_depth_tpu.api.preprocess import prepare_depth_anything3_image_aspect
+
+    img = np.random.default_rng(0).integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    prep = prepare_depth_anything3_image_aspect(img, 28, patch=14)
+    assert (prep.height, prep.width) == (28, 42)  # 60 * 28/40 = 42, both %14==0
+    assert prep.crop is None
+
+    capped = prepare_depth_anything3_image_aspect(img, 28, patch=14, max_dim=56)
+    assert capped.width <= 56 + 7  # rounded to the nearest patch multiple
+    assert capped.width % 14 == 0 and capped.height % 14 == 0
+
+    same = prepare_depth_anything3_image_aspect(
+        np.zeros((28, 42, 3), np.uint8), 28, patch=14
+    )
+    assert (same.height, same.width) == (28, 42)
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        prepare_depth_anything3_image_aspect(img, 30, patch=14)
+
+
+def test_keep_aspect_inference_end_to_end():
+    """--keep-aspect path: non-square prep -> non-square depth with finite
+    values and a correctly-derived vertical FOV (fy against the actual
+    raster height, not the config square)."""
+    from burn_depth_tpu.api import infer_from_rgb
+
+    model = AnyDepthModel(
+        DepthModelKind.DEPTH_ANYTHING3,
+        DepthAnything3.init(jax.random.PRNGKey(0), _tiny_da3("small")),
+    )
+    img = np.random.default_rng(1).integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    prep = model.prepare_input_image(img, keep_aspect=True)
+    assert (prep.height, prep.width) == (28, 42)
+    pred = infer_from_rgb(model, prep.rgb.tobytes(), prep.width, prep.height)
+    assert pred.depth.shape == (1, 28, 42)
+    assert np.isfinite(np.asarray(pred.depth)).all()
+    assert np.isfinite(np.asarray(pred.fovy_rad)).all()
