@@ -79,6 +79,16 @@ def _is_quantized_checkpoint(path: str) -> bool:
     return any(k.endswith(("weight_i8", "weight_hm_i8")) for k in checkpoint_keys(path))
 
 
+def _tree_has_key(tree, key: str) -> bool:
+    """True if any nested dict in a param pytree carries ``key`` (e.g.
+    ``weight_i8`` marks an int8-quantized tree)."""
+    if isinstance(tree, dict):
+        return any(k == key or _tree_has_key(v, key) for k, v in tree.items())
+    if isinstance(tree, (list, tuple)):
+        return any(_tree_has_key(v, key) for v in tree)
+    return False
+
+
 class AnyDepthModel:
     """Reference ``AnyDepthModel`` enum (``model/mod.rs:40-142``) as a wrapper
     that also owns the jitted infer closure."""
@@ -119,7 +129,10 @@ class AnyDepthModel:
         DA3).  Returns a NEW wrapper; without ``calibration_input`` the
         dynamic-scale variant is used.  Pre-calibrated int8 checkpoints
         (``cli/quantize``) load straight through ``AnyDepthModel.load`` and
-        don't need this."""
+        don't need this — calling it on one is a no-op (idempotent), so
+        ``--int8`` composes safely with a quantized checkpoint."""
+        if _tree_has_key(self.model.params, "weight_i8"):
+            return self  # already int8 (pre-calibrated checkpoint)
         return AnyDepthModel(
             self._kind, self.model.quantize_vit(calibration_input=calibration_input)
         )
@@ -129,15 +142,24 @@ class AnyDepthModel:
 
         ``keep_aspect`` (DA3 only, beyond-parity): aspect-preserving prep —
         shortest side to the model resolution, both dims rounded to patch
-        multiples, NO center crop (no FOV discarded).  Each distinct shape
-        is one extra XLA compile (jit's shape key)."""
+        multiples, NO center crop (no FOV discarded).  The long side is
+        capped at 4x the model resolution (panoramas are scaled down
+        uniformly — unbounded width grows attention quadratically).  Each
+        distinct shape is one extra XLA compile (jit's shape key)."""
         if self._kind == DepthModelKind.DEPTH_PRO:
+            if keep_aspect:
+                raise ValueError(
+                    "keep_aspect applies to depth-anything-3 only: Depth Pro "
+                    "already ingests the full frame (its network squash-resizes "
+                    "internally and never crops FOV)"
+                )
             return PreparedModelImage(width=image.shape[1], height=image.shape[0], rgb=image)
         if keep_aspect:
             from burn_depth_tpu.api.preprocess import prepare_depth_anything3_image_aspect
 
             return prepare_depth_anything3_image_aspect(
-                image, self.model.img_size, patch=self.model.patch_size
+                image, self.model.img_size, patch=self.model.patch_size,
+                max_dim=4 * self.model.img_size,
             )
         return prepare_depth_anything3_image(image, self.model.img_size)
 

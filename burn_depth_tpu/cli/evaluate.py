@@ -32,7 +32,11 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--depth-scale", type=float, default=None,
                         help="override the dataset's PNG-to-meters divisor")
-    parser.add_argument("--batches", type=int, default=8)
+    parser.add_argument(
+        "--batches", type=int, default=None,
+        help="max batches to score (default: 8 for the endless synthetic/"
+        "pairs generators; the FULL split for --dataset kitti|nyu)",
+    )
     parser.add_argument("--batch", type=int, default=2)
     parser.add_argument("--align", action="store_true", help="affine-align predictions per image before scoring")
     parser.add_argument(
@@ -63,7 +67,11 @@ def main(argv=None) -> int:
     if args.views > 1:
         return _evaluate_multiview(args, model, size)
 
-    if args.dataset != "pairs":
+    benchmark = args.dataset != "pairs"
+    # endless generators need a cap; the benchmark split is finite — score
+    # ALL of it unless the user explicitly bounds it
+    max_batches = args.batches if args.batches is not None else (None if benchmark else 8)
+    if benchmark:
         if not args.data:
             print(f"--dataset {args.dataset} requires --data ROOT", file=sys.stderr)
             return 1
@@ -71,19 +79,24 @@ def main(argv=None) -> int:
 
         gen = benchmark_eval_batches(
             args.data, size, dataset=args.dataset, batch=args.batch,
-            # DA3 ingests a center-square crop; Depth Pro squash-resizes
-            crop=args.model == "depth-anything-3",
+            # DA3: aspect-preserving full-frame ingest (a center crop would
+            # score ~30% of a KITTI frame); Depth Pro squash-resizes and
+            # predicts full-frame natively.
+            ingest="aspect" if args.model == "depth-anything-3" else "squash",
+            patch=getattr(model, "patch_size", 14),
             depth_scale=args.depth_scale,
         )
     elif args.data:
         gen = _image_dir_batches(args.data, args.batch, size)
     else:
-        gen = synthetic_depth_batches(args.seed, args.batch, size, steps=args.batches)
+        gen = synthetic_depth_batches(args.seed, args.batch, size, steps=max_batches)
     scores = evaluate_model(
         lambda img: predict(params, jnp.asarray(img)),
         gen,
         align=args.align,
-        max_batches=args.batches,
+        max_batches=max_batches,
+        # published benchmark averaging: per-image metrics, equal weight
+        per_image=benchmark,
     )
     print(" ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items())), flush=True)
     return 0
@@ -108,7 +121,7 @@ def _evaluate_multiview(args, model, size: int) -> int:
     if args.data:
         gen = _scene_dir_batches(args.data, args.batch // args.views, args.views, size)
     else:
-        gen = synthetic_depth_batches(args.seed, args.batch, size, steps=args.batches)
+        gen = synthetic_depth_batches(args.seed, args.batch, size, steps=args.batches or 8)
 
     views = args.views
 
@@ -134,7 +147,7 @@ def _evaluate_multiview(args, model, size: int) -> int:
         lambda img: predict_mv(jnp.asarray(img)),
         gen,
         align=args.align,
-        max_batches=args.batches,
+        max_batches=args.batches or 8,
         extra_metrics=pose_battery,
     )
     print(" ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items())), flush=True)

@@ -116,19 +116,31 @@ def benchmark_eval_batches(
     size: int,
     *,
     dataset: str = "kitti",
-    crop: bool = True,
+    ingest: str = "aspect",
     batch: int = 1,
     depth_scale: Optional[float] = None,
     limit: Optional[int] = None,
     threads: int = 4,
+    patch: int = 14,
 ) -> Iterator[dict]:
     """Yield eval batches for a benchmark directory.
 
-    ``size`` is the model's square input resolution; ``crop`` selects the
-    model's ingest geometry — ``True`` = shortest-side resize + center crop
-    (DA3), in which case GT and mask are center-square-cropped at native
-    resolution so prediction and target cover the same pixels; ``False`` =
-    squash resize (Depth Pro), GT stays full-frame.
+    ``size`` is the model's input resolution; ``ingest`` selects the model's
+    ingest geometry:
+
+    * ``"aspect"`` (default) — shortest side to ``size``, both dims rounded
+      to ``patch`` multiples, no crop (``prepare_depth_anything3_image_aspect``).
+      GT stays full-frame, so scores are comparable to the published
+      full-frame protocol.  The right mode for DA3 on KITTI's wide frames —
+      a center-square crop would score only ~30% of the frame.
+    * ``"squash"`` — squash resize to ``size``² (Depth Pro's canonical
+      ingest; its network resizes internally and predicts full-frame).  GT
+      stays full-frame.
+    * ``"crop"`` — shortest-side resize + center crop to ``size``² (the
+      reference's DA3 prep).  GT and mask are center-square-cropped at
+      native resolution so prediction and target cover the same pixels;
+      NOT comparable to published full-frame numbers — offered for parity
+      with the reference's serving ingest.
 
     Frames whose native shape differs (KITTI sequences vary by a few rows)
     are batched only with same-shape neighbors — a smaller batch is flushed
@@ -136,8 +148,8 @@ def benchmark_eval_batches(
     """
     from PIL import Image
 
-    from burn_depth_tpu.api.native import ImageLoader
-
+    if ingest not in ("aspect", "squash", "crop"):
+        raise ValueError(f"ingest must be aspect|squash|crop, got {ingest!r}")
     spec = DATASETS[dataset]
     if depth_scale is not None:
         spec = dataclasses.replace(spec, depth_scale=float(depth_scale))
@@ -152,20 +164,17 @@ def benchmark_eval_batches(
             "mask": np.stack([b[2] for b in buf]),
         }
 
-    with ImageLoader(
-        [p for p, _ in pairs], size, mode="nchw", threads=threads,
-        window=max(2 * batch, 4), crop=crop,
-    ) as loader:
-        buf: list = []
+    def gts():
         for _, depth_path in pairs:
-            img = next(loader)
             raw = np.asarray(Image.open(depth_path))
             if raw.ndim != 2:
                 raise ValueError(f"{depth_path}: expected single-channel depth PNG, got {raw.shape}")
             gt = raw.astype(np.float32) / spec.depth_scale
-            mask = spec.valid_mask(gt)
-            if crop:
-                gt, mask = _center_square(gt), _center_square(mask)
+            yield gt, spec.valid_mask(gt)
+
+    def batched(items):
+        buf: list = []
+        for img, gt, mask in items:
             if buf and buf[-1][1].shape != gt.shape:
                 yield flush(buf)
                 buf = []
@@ -175,3 +184,35 @@ def benchmark_eval_batches(
                 buf = []
         if buf:
             yield flush(buf)
+
+    if ingest == "aspect":
+        # per-image shapes vary -> PIL decode + aspect prep (the native
+        # loader's lanes are square-target); normalize on host like mode
+        # "nchw" does.
+        from burn_depth_tpu.api.native import rgb_to_nchw_norm
+        from burn_depth_tpu.api.preprocess import prepare_depth_anything3_image_aspect
+
+        def items():
+            for (img_path, _), (gt, mask) in zip(pairs, gts()):
+                rgb = np.asarray(Image.open(img_path).convert("RGB"))
+                prep = prepare_depth_anything3_image_aspect(rgb, size, patch=patch)
+                yield rgb_to_nchw_norm(prep.rgb), gt, mask
+
+        yield from batched(items())
+        return
+
+    from burn_depth_tpu.api.native import ImageLoader
+
+    crop = ingest == "crop"
+    with ImageLoader(
+        [p for p, _ in pairs], size, mode="nchw", threads=threads,
+        window=max(2 * batch, 4), crop=crop,
+    ) as loader:
+        def items():
+            for gt, mask in gts():
+                img = next(loader)
+                if crop:
+                    gt, mask = _center_square(gt), _center_square(mask)
+                yield img, gt, mask
+
+        yield from batched(items())

@@ -136,6 +136,7 @@ def evaluate_model(
     align: bool = False,
     max_batches: Optional[int] = None,
     extra_metrics: Optional[Callable[[Any, dict], Dict[str, Any]]] = None,
+    per_image: bool = False,
 ) -> Dict[str, float]:
     """Run ``predict_fn(image) -> depth [B,H,W]`` over batches and average.
 
@@ -153,28 +154,58 @@ def evaluate_model(
     GT resolution — ``train/datasets.py``), the prediction is bilinearly
     upsampled to the GT shape before scoring (align_corners=False, the
     convention every published eval harness uses).
+
+    ``per_image`` switches to the published benchmark averaging: the metric
+    battery is computed independently per image (vmapped) and every image
+    with at least one valid pixel counts equally — the default pools pixels
+    across a batch first, which weights dense frames over sparse ones (a
+    real skew on KITTI LiDAR) and makes scores depend on the batch size.
+    Images with empty valid masks are skipped, as every published harness
+    does.  Incompatible with ``extra_metrics`` (whose aux outputs are not
+    per-image decomposable here).
     """
     from burn_depth_tpu.ops.interpolate import resize_bilinear
 
-    metric_fn = jax.jit(aligned_depth_metrics if align else depth_metrics)
+    if per_image and extra_metrics is not None:
+        raise ValueError("per_image and extra_metrics are mutually exclusive")
+    base_fn = aligned_depth_metrics if align else depth_metrics
+
+    if per_image:
+        def _one(p, t, m):
+            met = base_fn(p[None], t[None], m[None])  # [1,H,W]: per-image affine + pooling
+            valid = (((t > 1e-6) * m).sum() > 0).astype(jnp.float32)
+            return met, valid
+
+        metric_fn = jax.jit(jax.vmap(_one))
+    else:
+        metric_fn = jax.jit(base_fn)
     resize_fn = jax.jit(resize_bilinear, static_argnums=(1,))
     totals: Dict[str, float] = {}
-    n = 0
+    n = 0.0
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break
         out = predict_fn(batch["image"])
         pred, aux = out if isinstance(out, tuple) else (out, None)
-        tgt_hw = tuple(batch["depth"].shape[-2:])
+        tgt = jnp.asarray(batch["depth"])
+        tgt_hw = tuple(tgt.shape[-2:])
         if tuple(pred.shape[-2:]) != tgt_hw:
             pred = resize_fn(pred, tgt_hw)
-        m = dict(metric_fn(pred, jnp.asarray(batch["depth"]), batch.get("mask")))
-        if extra_metrics is not None:
-            m.update(extra_metrics(aux, batch))
-        w = int(batch["depth"].shape[0])
-        for k, v in m.items():
-            totals[k] = totals.get(k, 0.0) + float(v) * w
+        if per_image:
+            mask = batch.get("mask")
+            mask = jnp.ones_like(tgt) if mask is None else jnp.asarray(mask)
+            mets, valid = metric_fn(jnp.asarray(pred), tgt, mask)
+            w = float(valid.sum())
+            for k, v in dict(mets).items():
+                totals[k] = totals.get(k, 0.0) + float((v * valid).sum())
+        else:
+            m = dict(metric_fn(pred, tgt, batch.get("mask")))
+            if extra_metrics is not None:
+                m.update(extra_metrics(aux, batch))
+            w = int(batch["depth"].shape[0])
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v) * w
         n += w
     if n == 0:
-        raise ValueError("evaluate_model received no batches")
+        raise ValueError("evaluate_model received no batches (or no image had valid ground truth)")
     return {k: v / n for k, v in totals.items()}

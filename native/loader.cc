@@ -76,8 +76,9 @@ struct FileData {
 bool read_file(const std::string& path, FileData& out, std::string& err) {
   int fd = ::open(path.c_str(), O_RDONLY);
   if (fd >= 0) {
-    struct stat st;
-    if (fstat(fd, &st) == 0 && st.st_size > 0) {
+    struct stat st {};
+    const bool stat_ok = fstat(fd, &st) == 0;
+    if (stat_ok && st.st_size > 0) {
       void* m = mmap(nullptr, static_cast<size_t>(st.st_size), PROT_READ, MAP_PRIVATE, fd, 0);
       ::close(fd);
       if (m != MAP_FAILED) {
@@ -90,10 +91,11 @@ bool read_file(const std::string& path, FileData& out, std::string& err) {
       }
     } else {
       ::close(fd);
-      if (st.st_size == 0) {
+      if (stat_ok && st.st_size == 0) {
         err = "empty file " + path;
         return false;
       }
+      // fstat failed: fall through to the stdio path rather than guessing
     }
   }
   // fallback: plain buffered read (e.g. mmap-hostile filesystems)
@@ -231,7 +233,10 @@ bool decode_ppm(const uint8_t* data, size_t size, Image& img, std::string& err) 
   }
   ++pos;  // single whitespace before raster
   size_t need = static_cast<size_t>(w) * h * 3;
-  if (size - pos < need) {
+  // pos may equal/exceed size when the header ends at EOF — guard BEFORE
+  // the subtraction (size - pos would wrap and pass the check, and with the
+  // mmap backing the over-read is a hard SIGBUS, not just garbage).
+  if (pos >= size || size - pos < need) {
     err = "ppm: truncated";
     return false;
   }

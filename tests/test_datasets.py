@@ -39,7 +39,7 @@ def test_kitti_decode_caps_and_crop(tmp_path):
     d[30, 11] = 256 * 81         # 81 m — beyond cap
     d[0, 10] = 256 * 5           # valid depth but above the Eigen crop
     root = _write_kitti(tmp_path, [d])
-    batches = list(benchmark_eval_batches(root, size=32, dataset="kitti", crop=False))
+    batches = list(benchmark_eval_batches(root, size=32, dataset="kitti", ingest="squash"))
     assert len(batches) == 1
     b = batches[0]
     assert b["image"].shape == (1, 3, 32, 32) and b["image"].dtype == np.float32
@@ -59,7 +59,7 @@ def test_crop_mode_center_square(tmp_path):
     h, w = 40, 60
     d = np.full((h, w), 256 * 4, np.uint16)
     root = _write_kitti(tmp_path, [d])
-    b = next(iter(benchmark_eval_batches(root, size=28, dataset="kitti", crop=True)))
+    b = next(iter(benchmark_eval_batches(root, size=28, dataset="kitti", ingest="crop")))
     # GT center-square-cropped at native resolution (40x40 of the 40x60)
     assert b["depth"].shape == (1, 40, 40)
     assert b["image"].shape == (1, 3, 28, 28)
@@ -70,7 +70,7 @@ def test_shape_change_flushes_batch(tmp_path):
     d2 = np.full((42, 60), 256 * 4, np.uint16)
     root = _write_kitti(tmp_path, [d1, d1, d2])
     shapes = [b["depth"].shape for b in
-              benchmark_eval_batches(root, size=28, dataset="kitti", crop=False, batch=4)]
+              benchmark_eval_batches(root, size=28, dataset="kitti", ingest="squash", batch=4)]
     assert shapes == [(2, 40, 60), (1, 42, 60)]
 
 
@@ -78,7 +78,7 @@ def test_depth_scale_override(tmp_path):
     d = np.full((48, 64), 1000, np.uint16)
     root = _write_kitti(tmp_path, [d])
     b = next(iter(benchmark_eval_batches(root, size=28, dataset="kitti",
-                                         crop=False, depth_scale=1000.0)))
+                                         ingest="squash", depth_scale=1000.0)))
     np.testing.assert_allclose(b["depth"][0, 30, 10], 1.0)
 
 
@@ -96,7 +96,7 @@ def test_evaluate_model_upsamples_prediction_to_gt(tmp_path):
     h, w = 48, 64
     d = np.full((h, w), 256 * 4, np.uint16)  # 4 m everywhere
     root = _write_kitti(tmp_path, [d])
-    gen = benchmark_eval_batches(root, size=32, dataset="kitti", crop=False)
+    gen = benchmark_eval_batches(root, size=32, dataset="kitti", ingest="squash")
 
     scores = evaluate_model(lambda img: np.full((img.shape[0], 32, 32), 4.0, np.float32), gen)
     assert scores["abs_rel"] < 1e-6
@@ -121,3 +121,51 @@ def test_evaluate_cli_kitti_end_to_end(tmp_path):
         ])
     assert rc == 0
     assert "abs_rel=" in out.getvalue()
+
+
+def test_aspect_ingest_full_frame(tmp_path):
+    """Default DA3 ingest: aspect-preserving model input (dims rounded to
+    patch multiples), GT at FULL native frame — published-protocol
+    comparable, unlike the center-crop mode."""
+    d = np.full((40, 60), 256 * 4, np.uint16)
+    root = _write_kitti(tmp_path, [d])
+    b = next(iter(benchmark_eval_batches(root, size=28, dataset="kitti",
+                                         ingest="aspect", patch=14)))
+    assert b["image"].shape == (1, 3, 28, 42)   # 60 * 28/40 = 42
+    assert b["depth"].shape == (1, 40, 60)      # full frame, untouched
+    assert b["mask"].shape == (1, 40, 60)
+
+
+def test_per_image_averaging_skips_empty_and_weights_equally(tmp_path):
+    """per_image=True: each image with valid GT counts once (published
+    averaging); an image with an empty valid mask is skipped entirely."""
+    from burn_depth_tpu.train import evaluate_model
+
+    h, w = 48, 64
+    dense = np.full((h, w), 256 * 4, np.uint16)     # 4 m everywhere
+    sparse = np.zeros((h, w), np.uint16)
+    sparse[30, 10] = 256 * 2                        # one valid pixel at 2 m
+    empty = np.zeros((h, w), np.uint16)             # no valid GT at all
+    root = _write_kitti(tmp_path, [dense, sparse, empty])
+
+    def predict(img):
+        return np.full((img.shape[0], 32, 32), 4.0, np.float32)
+
+    gen = benchmark_eval_batches(root, size=32, dataset="kitti", ingest="squash", batch=3)
+    scores = evaluate_model(predict, gen, per_image=True)
+    # dense image: abs_rel 0; sparse image: |4-2|/2 = 1.0; empty: skipped.
+    # equal per-image weighting -> mean 0.5 (pixel pooling would give ~0).
+    np.testing.assert_allclose(scores["abs_rel"], 0.5, atol=1e-6)
+
+    pooled = evaluate_model(
+        predict,
+        benchmark_eval_batches(root, size=32, dataset="kitti", ingest="squash", batch=3),
+    )
+    assert pooled["abs_rel"] < 0.01  # the skew per_image exists to fix
+
+
+def test_per_image_rejects_extra_metrics():
+    from burn_depth_tpu.train import evaluate_model
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        evaluate_model(lambda x: x, [], per_image=True, extra_metrics=lambda a, b: {})

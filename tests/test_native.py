@@ -305,3 +305,21 @@ def test_round_half_away_matches_native_lane():
     # python lane and native lane agree bit-for-bit on the tie shape
     nat = native.resize_and_crop_u8(img, 18)
     np.testing.assert_array_equal(prep.rgb, nat)
+
+
+def test_ppm_header_at_eof_does_not_crash(tmp_path):
+    """Regression: a PPM whose bytes end right after the maxval digits used
+    to underflow `size - pos` and read ~300 MB past the mmap'd page (SIGBUS
+    in a decode worker).  Must surface as a decode error, stream intact."""
+    from burn_depth_tpu.api.native import ImageLoader
+
+    good_arr = np.zeros((4, 4, 3), np.uint8)
+    good = tmp_path / "ok.ppm"
+    good.write_bytes(b"P6\n4 4\n255\n" + good_arr.tobytes())
+    evil = tmp_path / "evil.ppm"
+    evil.write_bytes(b"P6 10000 10000 255")  # header ends exactly at EOF
+    with ImageLoader([str(evil), str(good)], target=8, threads=1) as loader:
+        with pytest.raises(RuntimeError, match="truncated"):
+            next(loader)
+        out = next(loader)  # the worker survived; stream continues in order
+    assert out.shape == (8, 8, 3)

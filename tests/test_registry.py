@@ -230,3 +230,23 @@ def test_keep_aspect_inference_end_to_end():
     assert pred.depth.shape == (1, 28, 42)
     assert np.isfinite(np.asarray(pred.depth)).all()
     assert np.isfinite(np.asarray(pred.fovy_rad)).all()
+
+
+def test_quantize_vit_idempotent_and_keep_aspect_guard():
+    """--int8 on an already-quantized model is a no-op (no double-quantize
+    KeyError); --keep-aspect with Depth Pro raises a clear error instead of
+    silently doing nothing."""
+    model = AnyDepthModel(
+        DepthModelKind.DEPTH_ANYTHING3,
+        DepthAnything3.init(jax.random.PRNGKey(0), _tiny_da3()),
+    )
+    q = model.quantize_vit()
+    assert q.quantize_vit() is q  # idempotent on an int8 tree
+
+    dp = AnyDepthModel(
+        DepthModelKind.DEPTH_PRO,
+        DepthPro.init(jax.random.PRNGKey(0), DepthProConfig.tiny_test()),
+    )
+    img = np.zeros((20, 30, 3), np.uint8)
+    with pytest.raises(ValueError, match="depth-anything-3 only"):
+        dp.prepare_input_image(img, keep_aspect=True)
