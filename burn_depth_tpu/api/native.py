@@ -70,7 +70,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bd_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, _f32p, _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.bd_loader_create.restype = ctypes.c_void_p
     lib.bd_loader_next.argtypes = [
@@ -167,7 +167,7 @@ class ImageLoader:
 
     def __init__(self, paths, target: int, mode: str = "u8", *, threads: int = 4,
                  window: int = 8, a: float = CATMULL_ROM, loop: bool = False,
-                 crop: bool = True, fast_jpeg: bool = False):
+                 crop: bool = True, fast_jpeg: bool = False, exif_rotate: bool = True):
         if mode not in ("u8", "nchw"):
             raise ValueError(f"mode must be 'u8' or 'nchw', got {mode!r}")
         self.paths = [os.fspath(p) for p in paths]
@@ -185,20 +185,26 @@ class ImageLoader:
         # the exact lane for JPEGs that trigger it; opt-in throughput knob
         # for >=2x-oversized ingest (4K -> 518² decodes 1/16 of the pixels).
         self.fast_jpeg = fast_jpeg
+        # exif_rotate (default ON): honor the JPEG EXIF orientation tag —
+        # camera files are stored sensor-native and marked for rotation;
+        # without this the model sees sideways frames.  Both lanes apply it
+        # (native: APP1 parser in loader.cc; fallback: ImageOps.exif_transpose).
+        self.exif_rotate = exif_rotate
         self._handle = None
         self._fallback = None
         lib = _load()
         if lib is not None:
-            if fast_jpeg and lib.bd_version() < 2:
+            if lib.bd_version() < 3:
                 import warnings
 
-                warnings.warn("stale libburn_depth_host.so (< v2): fast_jpeg ignored "
-                              "— rebuild with `make -C native`", stacklevel=2)
+                warnings.warn("stale libburn_depth_host.so (< v3): fast_jpeg/"
+                              "exif_rotate ignored — rebuild with `make -C native`",
+                              stacklevel=2)
             arr = (ctypes.c_char_p * len(self.paths))(*[p.encode() for p in self.paths])
             self._handle = lib.bd_loader_create(
                 arr, len(self.paths), self.target, 0 if mode == "u8" else 1,
                 a, np.ascontiguousarray(IMAGENET_MEAN), np.ascontiguousarray(IMAGENET_STD),
-                threads, window, int(loop), int(crop), int(fast_jpeg),
+                threads, window, int(loop), int(crop), int(fast_jpeg), int(exif_rotate),
             )
             if not self._handle:
                 raise RuntimeError("bd_loader_create failed")
@@ -221,8 +227,13 @@ class ImageLoader:
             # PIL draft: the same DCT-scale trick as the native lane — decode
             # at >= target on the shortest side.  draft() scales both dims by
             # the same 1/{2,4,8} factor, so asking for (target, target)
-            # guarantees min(h, w) >= target.
+            # guarantees min(h, w) >= target.  Must run BEFORE exif_transpose
+            # (draft configures the decoder; transpose triggers the decode).
             img.draft("RGB", (self.target, self.target))
+        if self.exif_rotate and img.format == "JPEG":
+            from PIL import ImageOps
+
+            img = ImageOps.exif_transpose(img)
         rgb = np.asarray(img.convert("RGB"))
         if not self.crop and rgb.shape[:2] != (self.target, self.target):
             rgb = resize_bicubic_u8(rgb, self.target, self.target, a=self._a)

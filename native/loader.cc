@@ -246,6 +246,83 @@ bool decode_ppm(const uint8_t* data, size_t size, Image& img, std::string& err) 
   return true;
 }
 
+// ---- EXIF orientation (JPEG APP1) ------------------------------------------
+
+// Returns the EXIF orientation tag (1..8) or 1 when absent/malformed.
+// Walks the JPEG marker stream for APP1 "Exif\0\0", then the TIFF IFD0 for
+// tag 0x0112.  Every read is bounds-checked; anything unexpected -> 1.
+int exif_orientation(const uint8_t* d, size_t n) {
+  auto u16 = [&](size_t off, bool be) -> unsigned {
+    return be ? (d[off] << 8) | d[off + 1] : (d[off + 1] << 8) | d[off];
+  };
+  auto u32 = [&](size_t off, bool be) -> unsigned long {
+    return be ? ((unsigned long)d[off] << 24) | (d[off + 1] << 16) | (d[off + 2] << 8) | d[off + 3]
+              : ((unsigned long)d[off + 3] << 24) | (d[off + 2] << 16) | (d[off + 1] << 8) | d[off];
+  };
+  size_t pos = 2;  // past SOI
+  while (pos + 4 <= n && d[pos] == 0xFF) {
+    const uint8_t marker = d[pos + 1];
+    if (marker == 0xD8 || marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+      pos += 2;  // standalone markers, no length
+      continue;
+    }
+    if (marker == 0xDA) break;  // start of scan — no EXIF past here
+    const size_t seg_len = u16(pos + 2, true);
+    if (seg_len < 2 || pos + 2 + seg_len > n) break;
+    if (marker == 0xE1 && seg_len >= 2 + 6 + 8 &&
+        std::memcmp(d + pos + 4, "Exif\0\0", 6) == 0) {
+      const size_t tiff = pos + 4 + 6;  // TIFF header base
+      if (tiff + 8 > n) break;
+      bool be;
+      if (d[tiff] == 'M' && d[tiff + 1] == 'M') be = true;
+      else if (d[tiff] == 'I' && d[tiff + 1] == 'I') be = false;
+      else break;
+      if (u16(tiff + 2, be) != 42) break;
+      const unsigned long ifd_off = u32(tiff + 4, be);
+      const size_t seg_end = pos + 2 + seg_len;
+      size_t ifd = tiff + ifd_off;
+      if (ifd + 2 > seg_end || ifd + 2 > n) break;
+      const unsigned count = u16(ifd, be);
+      for (unsigned i = 0; i < count; ++i) {
+        const size_t e = ifd + 2 + 12ul * i;
+        if (e + 12 > seg_end || e + 12 > n) break;
+        if (u16(e, be) == 0x0112 && u16(e + 2, be) == 3) {  // Orientation, SHORT
+          const unsigned v = u16(e + 8, be);  // value inline (count 1)
+          return (v >= 1 && v <= 8) ? (int)v : 1;
+        }
+      }
+      break;  // APP1 parsed, tag absent
+    }
+    pos += 2 + seg_len;
+  }
+  return 1;
+}
+
+// Apply an EXIF orientation (2..8) to an RGB image in place: a transpose
+// and/or y/x flips composed per the EXIF 2.x table.
+void apply_orientation(Image& img, int o) {
+  if (o <= 1 || o > 8) return;
+  const bool swap = o >= 5;                       // 5..8 transpose axes
+  const bool fy = (o == 3 || o == 4 || o == 7 || o == 8);
+  const bool fx = (o == 2 || o == 3 || o == 6 || o == 7);
+  const int sh = img.h, sw = img.w;
+  const int dh = swap ? sw : sh, dw = swap ? sh : sw;
+  std::vector<uint8_t> out(static_cast<size_t>(dh) * dw * 3);
+  for (int y = 0; y < dh; ++y) {
+    for (int x = 0; x < dw; ++x) {
+      int yy = fy ? dh - 1 - y : y;
+      int xx = fx ? dw - 1 - x : x;
+      const int sy = swap ? xx : yy;
+      const int sx = swap ? yy : xx;
+      std::memcpy(&out[(static_cast<size_t>(y) * dw + x) * 3],
+                  &img.rgb[(static_cast<size_t>(sy) * sw + sx) * 3], 3);
+    }
+  }
+  img.h = dh;
+  img.w = dw;
+  img.rgb = std::move(out);
+}
+
 bool decode_any(const uint8_t* data, size_t size, Image& img, std::string& err,
                 int jpeg_min_dim = 0) {
   if (size >= 2 && data[0] == 0xFF && data[1] == 0xD8)
@@ -295,6 +372,9 @@ struct Loader {
   // DCT-scaled JPEG decode: decode at the largest 1/{2,4,8} scale whose
   // shortest side still covers `target` (opt-in — not bit-identical).
   bool fast_jpeg = false;
+  // Honor the EXIF orientation tag (camera JPEGs are stored sensor-native
+  // and marked for rotation; ignoring it feeds the model sideways frames).
+  bool exif_rotate = true;
 
   std::mutex mu;
   std::condition_variable cv_worker, cv_consumer;
@@ -338,6 +418,8 @@ struct Loader {
     if (!read_file(path, mem, item.err) ||
         !decode_any(mem.data, mem.size, img, item.err, fast_jpeg ? target : 0))
       return item;
+    if (exif_rotate && mem.size >= 4 && mem.data[0] == 0xFF && mem.data[1] == 0xD8)
+      apply_orientation(img, exif_orientation(mem.data, mem.size));
     if (!crop && (img.h != target || img.w != target)) {
       // squash resize (no FOV loss) — the Depth Pro ingest semantics: the
       // canonical path squash-resizes the FULL frame to the net size.
@@ -365,7 +447,7 @@ extern "C" {
 void* bd_loader_create(const char* const* paths, int n, int target, int mode,
                        double a, const float* mean, const float* stddev,
                        int threads, int window, int loop, int crop,
-                       int fast_jpeg) {
+                       int fast_jpeg, int exif_rotate) {
   if (n <= 0 || target <= 0 || window <= 0) return nullptr;
   auto* ld = new Loader();
   ld->paths.assign(paths, paths + n);
@@ -373,6 +455,7 @@ void* bd_loader_create(const char* const* paths, int n, int target, int mode,
   ld->mode = mode;
   ld->crop = crop;
   ld->fast_jpeg = fast_jpeg != 0;
+  ld->exif_rotate = exif_rotate != 0;
   ld->a = a;
   if (mean) std::memcpy(ld->mean, mean, 3 * sizeof(float));
   if (stddev) std::memcpy(ld->stddev, stddev, 3 * sizeof(float));

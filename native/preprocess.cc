@@ -164,6 +164,6 @@ void bd_prepare_image_nchw(const uint8_t* rgb, int h, int w, int target,
   bd_rgb_to_nchw_norm(cropped.data(), target, target, out, mean, stddev);
 }
 
-int bd_version() { return 2; }  // 2: bd_loader_create gained fast_jpeg
+int bd_version() { return 3; }  // 2: +fast_jpeg; 3: +exif_rotate
 
 }  // extern "C"

@@ -323,3 +323,66 @@ def test_ppm_header_at_eof_does_not_crash(tmp_path):
             next(loader)
         out = next(loader)  # the worker survived; stream continues in order
     assert out.shape == (8, 8, 3)
+
+
+@pytest.mark.parametrize("orientation", list(range(1, 9)))
+def test_exif_orientation_honored(tmp_path, orientation):
+    """Camera JPEGs carry their rotation as EXIF metadata: both lanes must
+    output the upright image for all 8 orientation codes (native: APP1
+    parser in loader.cc; fallback: ImageOps.exif_transpose)."""
+    from PIL import Image
+
+    from burn_depth_tpu.api import native as native_mod
+
+    upright = _smooth_image(36, 24)
+    # stored = inverse of the upright transform for this orientation code
+    inv = {
+        1: lambda a: a,
+        2: lambda a: a[:, ::-1],
+        3: lambda a: a[::-1, ::-1],
+        4: lambda a: a[::-1],
+        5: lambda a: a.transpose(1, 0, 2),
+        6: lambda a: np.rot90(a, 1),       # upright = rot90 CW(stored)
+        7: lambda a: np.rot90(a, 2).transpose(1, 0, 2),
+        8: lambda a: np.rot90(a, -1),      # upright = rot90 CCW(stored)
+    }[orientation]
+    stored = np.ascontiguousarray(inv(upright))
+    p = tmp_path / f"o{orientation}.jpg"
+    ex = Image.Exif()
+    ex[0x0112] = orientation
+    Image.fromarray(stored).save(p, format="JPEG", quality=98, exif=ex)
+
+    # JPEG is lossy: score against the resized UPRIGHT source with a loose
+    # bound — a wrong/missing rotation is off by ~100 levels on the gradient.
+    with native_mod.ImageLoader([str(p)], target=16, threads=1) as loader:
+        got_native = next(loader)
+    mad = np.abs(got_native.astype(int) - native_mod.resize_and_crop_u8(upright, 16).astype(int)).mean()
+    assert mad < 3.0, f"native lane orientation {orientation}: drift {mad:.1f}"
+
+    from burn_depth_tpu.api import native as nm
+    import unittest.mock as mock
+
+    with mock.patch.object(nm, "_load", lambda: None):
+        with nm.ImageLoader([str(p)], target=16, threads=1) as loader:
+            got_fb = next(loader)
+    mad = np.abs(got_fb.astype(int) - nm.resize_and_crop_u8(upright, 16).astype(int)).mean()
+    assert mad < 3.0, f"fallback lane orientation {orientation}: drift {mad:.1f}"
+
+
+def test_exif_rotate_opt_out(tmp_path):
+    """exif_rotate=False must leave the stored (sideways) pixels untouched."""
+    from PIL import Image
+
+    from burn_depth_tpu.api import native as native_mod
+
+    upright = _smooth_image(36, 24)
+    stored = np.ascontiguousarray(np.rot90(upright, 1))
+    p = tmp_path / "o6.jpg"
+    ex = Image.Exif()
+    ex[0x0112] = 6
+    Image.fromarray(stored).save(p, format="JPEG", quality=98, exif=ex)
+    with native_mod.ImageLoader([str(p)], target=16, threads=1, exif_rotate=False) as loader:
+        got = next(loader)
+    mad_stored = np.abs(got.astype(int) - native_mod.resize_and_crop_u8(stored, 16).astype(int)).mean()
+    mad_upright = np.abs(got.astype(int) - native_mod.resize_and_crop_u8(upright, 16).astype(int)).mean()
+    assert mad_stored < 3.0 and mad_upright > 10.0
