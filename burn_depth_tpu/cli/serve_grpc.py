@@ -30,6 +30,10 @@ def main(argv=None) -> int:
         help="max in-flight frames per InferStream connection",
     )
     parser.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile every Infer batch bucket before accepting traffic",
+    )
+    parser.add_argument(
         "--int8", action="store_true",
         help="quantize the ViT linears to the int8 serving tier at startup "
         "(dynamic scales; for the static-calibrated tier pre-quantize the "
@@ -55,7 +59,11 @@ def main(argv=None) -> int:
         model, host=args.host, port=args.port,
         batch_sizes=buckets, adaptive_batching=args.adaptive_batching,
         stream_window=args.stream_window,
-    ).start()
+    )
+    if args.warmup:
+        dt = server.infer_service.warmup()
+        print(f"warmed {len(buckets)} infer buckets in {dt:.1f}s", file=sys.stderr)
+    server.start()
     print(f"gRPC depth service on {args.host}:{server.port}", flush=True)
     try:
         server.wait()

@@ -32,6 +32,11 @@ def main(argv=None) -> int:
         "fill the bucket (greedy under sparse traffic, coalescing under load)",
     )
     parser.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile every /infer batch bucket before accepting traffic "
+        "(no client pays the first-request XLA compile)",
+    )
+    parser.add_argument(
         "--int8", action="store_true",
         help="quantize the ViT linears to the int8 serving tier at startup "
         "(dynamic scales; for the static-calibrated tier pre-quantize the "
@@ -71,6 +76,9 @@ def main(argv=None) -> int:
     server = DepthHTTPServer(model, source, host=args.host, port=args.port,
                              infer_batch_sizes=buckets,
                              adaptive_batching=args.adaptive_batching)
+    if args.warmup:
+        dt = server.infer_service.warmup()
+        print(f"warmed {len(buckets)} infer buckets in {dt:.1f}s", file=sys.stderr)
     extra = " (camera page: /camera)" if args.source == "browser" else ""
     print(f"serving on http://{args.host}:{server.port}{extra}", flush=True)
     server.serve_forever()

@@ -64,12 +64,32 @@ class BatchedInferService:
             return depth, u8
 
         fn = jax.jit(with_u8_ingest(forward))  # u8 up, normalize fused in-graph
+        self._fn, self._params = fn, inner.params  # kept for warmup()
         self._batcher = DynamicBatcher(
             lambda x: fn(inner.params, jnp.asarray(x)),
             batch_sizes=self._batch_sizes,
             max_delay_s=self._max_delay_s,
             adaptive=self._adaptive,
         ).start()
+
+    def warmup(self) -> float:
+        """Pre-compile every batch bucket (each is one XLA program with its
+        own shape key) before traffic arrives, so no client ever pays a
+        multi-second first-request compile.  Returns the wall seconds spent
+        (repeat runs are near-zero via the persistent compile cache)."""
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        with self._lock:
+            if self._batcher is None:
+                self._build()
+        t0 = time.perf_counter()
+        for b in sorted(set(self._batch_sizes)):
+            x = jnp.zeros((b, 3, self._size, self._size), jnp.uint8)
+            jax.block_until_ready(self._fn(self._params, x))
+        return time.perf_counter() - t0
 
     def submit(self, frame: np.ndarray):
         """RGB HWC u8 frame -> ``Future`` of device ``(depth, u8)`` lanes.

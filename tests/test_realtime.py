@@ -228,3 +228,26 @@ def test_run_realtime_multi_streams_share_one_batch_lane(tmp_path):
     for rf in got["cam0"] + got["cam1"]:
         assert rf.depth_u8.shape == (28, 28) and rf.depth_u8.dtype == np.uint8
     assert counts["_batcher"]["served"] == 7
+
+
+def test_batched_service_warmup_precompiles_buckets():
+    """warmup() compiles every bucket before traffic: it returns the wall
+    time spent and a subsequent infer() is served without error; calling it
+    twice is cheap (programs cached by jit's shape key)."""
+    from burn_depth_tpu.serve.service import BatchedInferService
+
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = AnyDepthModel(
+        DepthModelKind.DEPTH_ANYTHING3, DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    )
+    svc = BatchedInferService(model, batch_sizes=(1, 2))
+    try:
+        dt = svc.warmup()
+        assert dt > 0
+        dt2 = svc.warmup()
+        assert dt2 < max(0.5, dt / 2)  # second pass: cached programs
+        frame = np.zeros((40, 60, 3), np.uint8)
+        depth, u8 = svc.infer(frame)
+        assert depth.shape == (28, 28) and u8.dtype == np.uint8
+    finally:
+        svc.stop()
