@@ -21,6 +21,11 @@ Endpoints:
     /stream    MJPEG depth stream (JPEG frames, drain-latest)
     /snapshot  single PNG of the newest depth frame
     /stats     JSON: frame index + INFERENCE_FPS diagnostic (+ batcher stats)
+    /healthz   liveness: 200 while the process serves HTTP
+    /readyz    readiness: 200 once the first frame is through (model warm),
+               503 during the initial XLA compile — point the load
+               balancer / k8s readinessProbe here
+    /metrics   Prometheus text exposition (serve/metrics.py)
     /infer     POST JPEG/PNG image -> depth map.  Concurrent requests are
                coalesced into static-shape batches on the chip
                (serve/batcher.py).  Returns a normalized depth PNG with
@@ -269,6 +274,19 @@ class DepthHTTPServer:
                         else:
                             self._send(200, "image/png", _encode(frame, "PNG"))
                             self._finish("/snapshot", 200, t0)
+                    elif self.path == "/healthz":
+                        # liveness: the process serves HTTP (k8s livenessProbe)
+                        self._send(200, "text/plain", b"ok")
+                    elif self.path == "/readyz":
+                        # readiness: the inference loop has produced at least
+                        # one frame — compile done, model warm.  503 before
+                        # that so a load balancer holds traffic during the
+                        # first XLA compile (k8s readinessProbe).
+                        _, meta, _ = slot.wait_next(-1, timeout=0)
+                        if meta.get("index", -1) >= 0:
+                            self._send(200, "text/plain", b"ready")
+                        else:
+                            self._send(503, "text/plain", b"warming up")
                     elif self.path == "/stats":
                         _, meta, _ = slot.wait_next(-1, timeout=0)
                         batcher = infer_service.stats()

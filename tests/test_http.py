@@ -208,3 +208,37 @@ def test_oversize_upload_rejected_413(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 413
+
+
+def test_healthz_and_readyz(server):
+    """k8s-style probes: /healthz is always 200; /readyz flips to 200 once
+    the inference loop has produced a frame (the snapshot fixture guarantees
+    warm by the time this runs)."""
+    assert _get(server, "/healthz").read() == b"ok"
+    _get(server, "/snapshot").read()  # ensure at least one frame through
+    assert _get(server, "/readyz").read() == b"ready"
+
+
+def test_readyz_503_before_first_frame():
+    """A server whose inference loop hasn't produced a frame yet must answer
+    503 on /readyz (load balancers hold traffic during the first compile)."""
+    import urllib.error
+
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = AnyDepthModel(
+        DepthModelKind.DEPTH_ANYTHING3, DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    )
+    # empty source: read() returns None immediately, loop never publishes
+    class _Empty:
+        def read(self):
+            return None
+
+    srv = DepthHTTPServer(model, _Empty(), port=0, loop_source=False)
+    srv.start()
+    try:
+        assert _get(srv, "/healthz").read() == b"ok"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/readyz")
+        assert ei.value.code == 503
+    finally:
+        srv.stop()
