@@ -543,3 +543,16 @@ def test_infer_cli_save_conf(tmp_path, monkeypatch):
          "--output", str(tmp_path / "d2.png"), "--save-conf", str(tmp_path / "c2.png")]
     )
     assert rc2 == 1
+
+
+def test_doctor_cli(capsys):
+    """Environment diagnostics: all checks pass on the CI host (CPU), and
+    --no-device skips backend init (safe on hosts with a flaky accelerator)."""
+    from burn_depth_tpu.cli.doctor import main as doctor_main
+
+    assert doctor_main(["--platform", "cpu"]) == 0
+    out = capsys.readouterr().out
+    assert "jit sanity" in out and "all checks passed" in out
+
+    assert doctor_main(["--no-device"]) == 0
+    assert "skipped (--no-device)" in capsys.readouterr().out
