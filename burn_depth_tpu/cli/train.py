@@ -9,7 +9,19 @@ depth set, which makes it a self-contained end-to-end demo/smoke:
 
 Real fine-tuning: start from an imported checkpoint (``--checkpoint``) and
 point ``--data`` at a directory of paired ``*_rgb.png`` / ``*_depth.npy``
-files.  ``--resume`` continues from a saved train state (params + Adam
+files — or at a standard benchmark tree directly::
+
+    python -m burn_depth_tpu.cli.train --model depth-anything-3 --preset full \\
+        --checkpoint da3.safetensors --data kitti:/data/kitti_eigen_train \\
+        --eval-data kitti:/data/kitti_eigen_test --eval-batches 100
+
+``kitti:ROOT`` / ``nyu:ROOT`` read the benchmark layout (``image/`` +
+``depth/`` 16-bit PNGs) with the published decode scale and validity caps
+(``train/datasets.py::benchmark_train_batches``); an ``--eval-data`` with
+the same prefix scores through the full published protocol (full-frame
+ingest, native-GT-resolution metrics, per-image averaging).
+
+``--resume`` continues from a saved train state (params + Adam
 moments + step counter — one safetensors file, ``io/checkpoint.py``).
 State/param paths ending in ``.orbax`` (or existing directories) use the
 Orbax directory format instead (``io/orbax_io.py``) — same strict
@@ -266,12 +278,33 @@ def _scene_dir_batches(
         yield batch
 
 
+def _parse_data_spec(data):
+    """``"kitti:ROOT"``/``"nyu:ROOT"`` -> ``(dataset, root)``; anything else
+    is a plain paired-file directory -> ``("pairs", data)``.  Only the known
+    dataset names are treated as prefixes, so paths containing ``:`` (or
+    odd relative paths) pass through untouched."""
+    for name in ("kitti", "nyu"):
+        if data.startswith(name + ":"):
+            return name, data[len(name) + 1 :]
+    return "pairs", data
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Fine-tune a depth model on TPU")
     parser.add_argument("--model", default="depth-pro", choices=["depth-pro", "depth-anything-3"])
     parser.add_argument("--preset", default="tiny", choices=["tiny", "full"])
     parser.add_argument("--checkpoint", default=None, help="initial weights (safetensors)")
-    parser.add_argument("--data", default=None, help="dir of *_rgb.png/*_depth.npy pairs; default synthetic")
+    parser.add_argument(
+        "--data", default=None,
+        help="dir of *_rgb.png/*_depth.npy pairs, or 'kitti:ROOT'/'nyu:ROOT' "
+        "to fine-tune directly on a benchmark-layout tree (image/+depth/ "
+        "16-bit PNGs, published decode scale + validity caps — "
+        "train/datasets.py); default synthetic",
+    )
+    parser.add_argument(
+        "--depth-scale", type=float, default=None,
+        help="with kitti:/nyu: data: override the dataset's PNG-to-meters divisor",
+    )
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--batch", type=int, default=2)
     parser.add_argument("--lr", type=float, default=1e-4)
@@ -473,10 +506,23 @@ def main(argv=None) -> int:
             "--pose-weight needs --data scene dirs with poses.json (synthetic "
             "batches carry no camera targets, so the pose loss would be a no-op)"
         )
+    data_kind, data_root = _parse_data_spec(args.data) if args.data else (None, None)
+    if data_kind in ("kitti", "nyu") and args.views > 1:
+        raise SystemExit(
+            f"--views>1 needs scene dirs (cli/train schema); the {data_kind} "
+            "benchmark layout is single-view"
+        )
     if args.data and args.views > 1:
         gen = _scene_dir_batches(
             args.data, eff_batch // args.views, args.views, size,
             require_poses=args.pose_weight > 0,
+        )
+    elif data_kind in ("kitti", "nyu"):
+        from burn_depth_tpu.train.datasets import benchmark_train_batches
+
+        gen = benchmark_train_batches(
+            data_root, size, dataset=data_kind, batch=eff_batch,
+            depth_scale=args.depth_scale, seed=args.seed,
         )
     elif args.data:
         gen = _image_dir_batches(args.data, eff_batch, size)
@@ -540,14 +586,29 @@ def main(argv=None) -> int:
         predict = build_predict_fn(model, args.model, views=args.views)
         eval_data = args.eval_data or args.data
         label = "eval"
+        per_image = False
         if eval_data:
-            # --views data is scene dirs, not flat pairs — score through the
-            # same cross-view layout the run trained on
-            eval_gen = (
-                _scene_dir_batches(eval_data, args.batch // args.views, args.views, size)
-                if args.views > 1
-                else _image_dir_batches(eval_data, args.batch, size)
-            )
+            eval_kind, eval_root = _parse_data_spec(eval_data)
+            if args.views > 1:
+                # --views data is scene dirs, not flat pairs — score through
+                # the same cross-view layout the run trained on
+                eval_gen = _scene_dir_batches(
+                    eval_data, args.batch // args.views, args.views, size
+                )
+            elif eval_kind in ("kitti", "nyu"):
+                # published protocol: full-frame ingest, native-GT scoring,
+                # per-image averaging (cli/evaluate's benchmark path)
+                from burn_depth_tpu.train.datasets import benchmark_eval_batches
+
+                eval_gen = benchmark_eval_batches(
+                    eval_root, size, dataset=eval_kind, batch=args.batch,
+                    ingest="aspect" if args.model == "depth-anything-3" else "squash",
+                    patch=getattr(model, "patch_size", 14),
+                    depth_scale=args.depth_scale,
+                )
+                per_image = True
+            else:
+                eval_gen = _image_dir_batches(eval_data, args.batch, size)
             if eval_data == args.data:
                 label = "eval(train-set)"  # no held-out dir was given
         else:
@@ -559,6 +620,7 @@ def main(argv=None) -> int:
             eval_gen,
             align=(args.model != "depth-pro"),
             max_batches=args.eval_batches,
+            per_image=per_image,
         )
         print(f"{label}: " + " ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items())), flush=True)
     return 0

@@ -1,4 +1,4 @@
-"""Standard-benchmark dataset adapters for evaluation (KITTI / NYUv2).
+"""Standard-benchmark dataset adapters (KITTI / NYUv2): evaluation + training.
 
 The reference stops at parity thresholds against PyTorch; the model repos it
 wraps (apple/ml-depth-pro, Depth Anything 3) are *evaluated* on the standard
@@ -34,7 +34,12 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-__all__ = ["DATASETS", "DatasetSpec", "benchmark_eval_batches"]
+__all__ = [
+    "DATASETS",
+    "DatasetSpec",
+    "benchmark_eval_batches",
+    "benchmark_train_batches",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +114,102 @@ def _center_square(a: np.ndarray) -> np.ndarray:
     s = min(h, w)
     y, x = (h - s) // 2, (w - s) // 2
     return a[y : y + s, x : x + s]
+
+
+def _depth_to_square_nearest(dep: np.ndarray, size: int) -> np.ndarray:
+    """Shortest-side scale + center crop to ``size``² with NEAREST sampling,
+    mirroring the native RGB ingest geometry (``api/native.py`` fallback /
+    ``loader.cc``: ``round_half_away`` scaled dims, centered crop) so pixel
+    (i, j) of the depth stays paired with pixel (i, j) of the image.
+
+    Nearest (half-pixel-center index map) rather than bilinear: sparse LiDAR
+    must stay sparse — bilinear interpolates across depth discontinuities and
+    smears no-return zeros into valid pixels, poisoning the masked loss.
+    """
+    h, w = dep.shape
+    if (h, w) == (size, size):
+        return dep
+    from burn_depth_tpu.api.preprocess import round_half_away
+
+    scale = size / min(h, w)
+    sw = max(round_half_away(w * scale), size)
+    sh = max(round_half_away(h * scale), size)
+    ys = np.minimum((np.arange(sh) + 0.5) * (h / sh), h - 1).astype(np.int64)
+    xs = np.minimum((np.arange(sw) + 0.5) * (w / sw), w - 1).astype(np.int64)
+    resized = dep[ys[:, None], xs[None, :]]
+    cy, cx = (sh - size) // 2, (sw - size) // 2
+    return resized[cy : cy + size, cx : cx + size]
+
+
+def benchmark_train_batches(
+    root: str,
+    size: int,
+    *,
+    dataset: str = "kitti",
+    batch: int = 1,
+    depth_scale: Optional[float] = None,
+    seed: int = 0,
+    threads: int = 4,
+    limit: Optional[int] = None,
+) -> Iterator[dict]:
+    """Endless fine-tune batches from a benchmark-layout directory.
+
+    Training counterpart of :func:`benchmark_eval_batches` — fine-tune
+    directly on a KITTI/NYU tree (``root/image/`` + ``root/depth/`` 16-bit
+    PNGs) with no conversion step:
+
+    * RGB rides the native square-crop ingest lane (shortest-side CatmullRom
+      resize + center crop + ImageNet normalize — the exact serving geometry,
+      so the fine-tune never trains on a distribution inference won't see).
+    * Depth is decoded by the dataset's published scale and nearest-resampled
+      through the SAME crop geometry (:func:`_depth_to_square_nearest`).
+    * The mask is the dataset's validity caps only (``min_depth`` <
+      d ≤ ``max_depth``); the Eigen evaluation crop is deliberately NOT
+      applied — it is a scoring convention, and training uses every valid
+      pixel (KITTI's sky region masks itself: no LiDAR return ⇒ depth 0).
+
+    The pair list is shuffled once (``seed``) and cycled; per-step
+    stochasticity comes from ``train/augment.py``.  Square geometry means
+    batches never change shape, so one XLA program serves the whole run.
+    """
+    from PIL import Image
+
+    from burn_depth_tpu.api.native import ImageLoader
+
+    spec = DATASETS[dataset]
+    if depth_scale is not None:
+        spec = dataclasses.replace(spec, depth_scale=float(depth_scale))
+    pairs = _pair_files(root)
+    if limit is not None:
+        pairs = pairs[: int(limit)]
+    order = np.random.default_rng(seed).permutation(len(pairs))
+    pairs = [pairs[i] for i in order]
+
+    with ImageLoader(
+        [p for p, _ in pairs], size, mode="nchw", loop=True,
+        threads=threads, window=max(2 * batch, 4), crop=True,
+    ) as loader:
+        i = 0
+        while True:
+            imgs, deps = [], []
+            for _ in range(batch):
+                imgs.append(next(loader))
+                raw = np.asarray(Image.open(pairs[i % len(pairs)][1]))
+                if raw.ndim != 2:
+                    raise ValueError(
+                        f"{pairs[i % len(pairs)][1]}: expected single-channel "
+                        f"depth PNG, got {raw.shape}"
+                    )
+                dep = raw.astype(np.float32) / spec.depth_scale
+                deps.append(_depth_to_square_nearest(dep, size))
+                i += 1
+            deps_np = np.stack(deps)
+            mask = (deps_np > spec.min_depth) & (deps_np <= spec.max_depth)
+            yield {
+                "image": np.stack(imgs),
+                "depth": deps_np,
+                "mask": mask.astype(np.float32),
+            }
 
 
 def benchmark_eval_batches(

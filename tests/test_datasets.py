@@ -169,3 +169,89 @@ def test_per_image_rejects_extra_metrics():
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         evaluate_model(lambda x: x, [], per_image=True, extra_metrics=lambda a, b: {})
+
+
+# ---- training lane (benchmark_train_batches) --------------------------------
+
+
+def test_train_batches_geometry_and_mask(tmp_path):
+    """Square serving-geometry batches; mask = validity caps WITHOUT the
+    Eigen crop (training uses every valid pixel); nearest depth resampling
+    invents no values (sparse LiDAR stays sparse)."""
+    from burn_depth_tpu.train.datasets import benchmark_train_batches
+
+    h, w = 48, 64
+    d = np.zeros((h, w), np.uint16)
+    d[2, 32] = 256 * 5       # valid pixel ABOVE the Eigen crop rows
+    d[30, 32] = 256 * 81     # beyond the 80 m cap
+    d[40, 40] = 256 * 7
+    root = _write_kitti(tmp_path, [d, d])
+    b = next(iter(benchmark_train_batches(root, 32, dataset="kitti", batch=2)))
+    assert b["image"].shape == (2, 3, 32, 32) and b["image"].dtype == np.float32
+    assert b["depth"].shape == (2, 32, 32) and b["mask"].shape == (2, 32, 32)
+    # nearest resampling: every value in the resized depth existed in the
+    # source (0, 5, 7, 81 m) — bilinear would interpolate new ones
+    got = np.unique(b["depth"])
+    assert set(np.round(got, 5)).issubset({0.0, 5.0, 7.0, 81.0})
+    # caps: any surviving 81 m sample is masked out; 5/7 m samples are valid
+    assert np.all(b["mask"][np.isclose(b["depth"], 81.0)] == 0.0)
+    for v in (5.0, 7.0):
+        hits = np.isclose(b["depth"], v)
+        if hits.any():
+            assert np.all(b["mask"][hits] == 1.0)
+    # no Eigen crop in training: the surviving 5 m pixel near the top of the
+    # frame must be maskable-valid somewhere (row scales 2*32/48 ≈ 1)
+    assert b["mask"].sum() > 0
+
+
+def test_train_batches_cycle_and_shuffle_determinism(tmp_path):
+    """The endless generator cycles past the dataset length, and the same
+    seed yields the same sample order."""
+    from burn_depth_tpu.train.datasets import benchmark_train_batches
+
+    frames = [np.full((40, 60), 256 * (i + 1), np.uint16) for i in range(3)]
+    root = _write_kitti(tmp_path, frames)
+
+    def first_depths(seed, n=5):
+        gen = benchmark_train_batches(root, 32, dataset="kitti", batch=1, seed=seed)
+        return [float(next(gen)["depth"].max()) for _ in range(n)]
+
+    a = first_depths(0)
+    assert len(set(a[:3])) == 3          # one epoch covers all 3 frames
+    assert a[3] == a[0] and a[4] == a[1]  # then cycles in the same order
+    assert first_depths(0) == a           # seed-deterministic
+
+
+def test_train_cli_kitti_end_to_end(tmp_path):
+    """One DA3-tiny fine-tune step directly on a kitti-layout dir, then the
+    published-protocol eval leg, through the CLI."""
+    import contextlib
+    import io
+
+    from burn_depth_tpu.cli.train import main as train_main
+
+    d = np.full((40, 60), 256 * 4, np.uint16)
+    root = _write_kitti(tmp_path, [d, d])
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = train_main([
+            "--model", "depth-anything-3", "--preset", "tiny", "--steps", "1",
+            "--batch", "1", "--log-every", "1", "--remat", "none",
+            "--data", f"kitti:{root}", "--eval-data", f"kitti:{root}",
+            "--eval-batches", "2", "--platform", "cpu",
+        ])
+    assert rc == 0
+    text = out.getvalue()
+    assert "step 1:" in text
+    assert "eval(train-set): " in text and "abs_rel=" in text
+
+
+def test_train_cli_rejects_benchmark_data_with_views(tmp_path):
+    from burn_depth_tpu.cli.train import main as train_main
+
+    with pytest.raises(SystemExit, match="single-view"):
+        train_main([
+            "--model", "depth-anything-3", "--preset", "tiny", "--steps", "1",
+            "--batch", "2", "--views", "2", "--data", "kitti:/nonexistent",
+            "--platform", "cpu",
+        ])
