@@ -283,10 +283,28 @@ def _parse_data_spec(data):
     is a plain paired-file directory -> ``("pairs", data)``.  Only the known
     dataset names are treated as prefixes, so paths containing ``:`` (or
     odd relative paths) pass through untouched."""
-    for name in ("kitti", "nyu"):
+    for name in ("kitti", "nyu", "images"):
         if data.startswith(name + ":"):
             return name, data[len(name) + 1 :]
     return "pairs", data
+
+
+def _image_only_batches(path: str, batch: int, size: int):
+    """Unlabeled ingest for distillation: any directory of images, cycled
+    through the native loader with the serving-geometry square crop.  The
+    batches carry only ``image``; ``pseudo_label_batches`` fills the rest."""
+    import numpy as np
+
+    from burn_depth_tpu.api.native import ImageLoader, list_image_files
+
+    files = list_image_files(path)
+    if not files:
+        raise FileNotFoundError(f"no image files under {path}")
+    loader = ImageLoader(
+        files, size, mode="nchw", loop=True, threads=4, window=max(2 * batch, 4)
+    )
+    while True:
+        yield {"image": np.stack([next(loader) for _ in range(batch)])}
 
 
 def main(argv=None) -> int:
@@ -304,6 +322,25 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--depth-scale", type=float, default=None,
         help="with kitti:/nyu: data: override the dataset's PNG-to-meters divisor",
+    )
+    parser.add_argument(
+        "--distill-from", default=None,
+        help="teacher checkpoint for self-training on 'images:ROOT' data: the "
+        "frozen teacher pseudo-labels each batch on the fly (train/distill.py)",
+    )
+    parser.add_argument(
+        "--distill-model", default="depth-pro",
+        choices=["depth-pro", "depth-anything-3"],
+        help="teacher model family (may differ from the student --model)",
+    )
+    parser.add_argument(
+        "--distill-preset", default="full", choices=["tiny", "full"],
+        help="teacher preset (tiny = smoke/CI)",
+    )
+    parser.add_argument(
+        "--distill-conf", type=float, default=0.0,
+        help="mask pseudo-labels below this teacher confidence (DA3 dual-head "
+        "teachers only; 0 = keep all finite positive depths)",
     )
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--batch", type=int, default=2)
@@ -507,10 +544,22 @@ def main(argv=None) -> int:
             "batches carry no camera targets, so the pose loss would be a no-op)"
         )
     data_kind, data_root = _parse_data_spec(args.data) if args.data else (None, None)
-    if data_kind in ("kitti", "nyu") and args.views > 1:
+    if data_kind in ("kitti", "nyu", "images") and args.views > 1:
         raise SystemExit(
             f"--views>1 needs scene dirs (cli/train schema); the {data_kind} "
-            "benchmark layout is single-view"
+            "layout is single-view"
+        )
+    if data_kind == "images" and not args.distill_from:
+        # a random-init teacher is allowed (smoke/CI) but never silently
+        print(
+            "WARNING: images: data with no --distill-from — pseudo-labeling "
+            "with a RANDOM-INIT teacher (smoke only)",
+            file=sys.stderr,
+        )
+    if args.distill_from and data_kind != "images":
+        raise SystemExit(
+            "--distill-from needs --data images:ROOT (an unlabeled directory; "
+            "labeled lanes already carry ground truth)"
         )
     if args.data and args.views > 1:
         gen = _scene_dir_batches(
@@ -523,6 +572,23 @@ def main(argv=None) -> int:
         gen = benchmark_train_batches(
             data_root, size, dataset=data_kind, batch=eff_batch,
             depth_scale=args.depth_scale, seed=args.seed,
+        )
+    elif data_kind == "images":
+        import types
+
+        from burn_depth_tpu.train.distill import (
+            build_teacher_predict,
+            pseudo_label_batches,
+        )
+
+        teacher, _t_obj, _t_size = _build_model(types.SimpleNamespace(
+            model=args.distill_model, preset=args.distill_preset,
+            checkpoint=args.distill_from, seed=args.seed + 123, tile_chunks=0,
+        ))
+        gen = pseudo_label_batches(
+            _image_only_batches(data_root, eff_batch, size),
+            build_teacher_predict(teacher, args.distill_model),
+            conf_threshold=args.distill_conf,
         )
     elif args.data:
         gen = _image_dir_batches(args.data, eff_batch, size)
@@ -589,6 +655,11 @@ def main(argv=None) -> int:
         per_image = False
         if eval_data:
             eval_kind, eval_root = _parse_data_spec(eval_data)
+            if eval_kind == "images":
+                raise SystemExit(
+                    "images: data is unlabeled — nothing to score against; give "
+                    "--eval-data a labeled dir (pairs, kitti:, nyu:)"
+                )
             if args.views > 1:
                 # --views data is scene dirs, not flat pairs — score through
                 # the same cross-view layout the run trained on

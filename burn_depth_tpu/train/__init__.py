@@ -7,6 +7,7 @@ depth losses, and a self-contained synthetic data pipeline.
 
 from burn_depth_tpu.train.data import prefetch_to_device, synthetic_depth_batches
 from burn_depth_tpu.train.datasets import benchmark_eval_batches, benchmark_train_batches
+from burn_depth_tpu.train.distill import build_teacher_predict, pseudo_label_batches
 from burn_depth_tpu.train.losses import (
     affine_alignment,
     fov_loss,
@@ -41,6 +42,8 @@ __all__ = [
     "affine_alignment",
     "benchmark_eval_batches",
     "benchmark_train_batches",
+    "build_teacher_predict",
+    "pseudo_label_batches",
     "aligned_depth_metrics",
     "compile_train_step",
     "da3_multiview_objective",
