@@ -58,6 +58,25 @@ def _load() -> Optional[ctypes.CDLL]:
     except OSError:
         _load_failed = True
         return None
+    try:
+        _bind_symbols(lib)
+    except AttributeError:
+        # a .so from before the loader ABI existed: degrade to the pure
+        # -Python fallbacks instead of crashing every native entry point
+        import warnings
+
+        warnings.warn(
+            f"{path} predates the loader ABI (missing symbols) — native lane "
+            "disabled; rebuild with `make -C native`",
+            stacklevel=2,
+        )
+        _load_failed = True
+        return None
+    _lib = lib
+    return _lib
+
+
+def _bind_symbols(lib: ctypes.CDLL) -> None:
     lib.bd_resize_bicubic_u8.argtypes = [
         _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
@@ -78,8 +97,6 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.bd_loader_next.restype = ctypes.c_longlong  # 64-bit: loop mode can pass 2^31 items
     lib.bd_loader_destroy.argtypes = [ctypes.c_void_p]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

@@ -20,6 +20,10 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Evaluate a depth checkpoint")
     parser.add_argument("--model", default="depth-pro", choices=["depth-pro", "depth-anything-3"])
     parser.add_argument("--preset", default="tiny", choices=["tiny", "full"])
+    parser.add_argument(
+        "--variant", default="auto", choices=["auto", "small", "metric-large"],
+        help="DA3 config variant; auto = detect from the checkpoint",
+    )
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--data", default=None, help="dir of *_rgb.png/*_depth.npy pairs; default synthetic")
     parser.add_argument(

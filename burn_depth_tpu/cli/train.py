@@ -68,12 +68,29 @@ def _build_model(args):
 
         from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
 
-        cfg = DepthAnything3Config.small()
+        # --variant: "small" (dual head) / "metric-large" (mono) / "auto" =
+        # registry fallback-retry on the checkpoint (filename hints included),
+        # small when training from scratch.
+        variant = getattr(args, "variant", "auto")
+        base = (
+            DepthAnything3Config.metric_large()
+            if variant == "metric-large"
+            else DepthAnything3Config.small()
+        )
         if args.preset == "tiny":
-            cfg = dataclasses.replace(cfg, image_size=112, attn_impl="jnp")
-        if args.checkpoint:
-            model = DepthAnything3.load(args.checkpoint, cfg)
+            cfg = dataclasses.replace(base, image_size=112, attn_impl="jnp")
+            model = (
+                DepthAnything3.load(args.checkpoint, cfg)
+                if args.checkpoint
+                else DepthAnything3.init(jax.random.PRNGKey(args.seed), cfg)
+            )
+        elif args.checkpoint:
+            model = DepthAnything3.load(
+                args.checkpoint, None if variant == "auto" else base
+            )
+            cfg = model.config
         else:
+            cfg = base
             model = DepthAnything3.init(jax.random.PRNGKey(args.seed), cfg)
         from burn_depth_tpu.train import da3_objective
 
@@ -311,6 +328,11 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Fine-tune a depth model on TPU")
     parser.add_argument("--model", default="depth-pro", choices=["depth-pro", "depth-anything-3"])
     parser.add_argument("--preset", default="tiny", choices=["tiny", "full"])
+    parser.add_argument(
+        "--variant", default="auto", choices=["auto", "small", "metric-large"],
+        help="DA3 config variant; auto = detect from the checkpoint "
+        "(registry fallback-retry), small when training from scratch",
+    )
     parser.add_argument("--checkpoint", default=None, help="initial weights (safetensors)")
     parser.add_argument(
         "--data", default=None,

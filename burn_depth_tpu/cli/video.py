@@ -25,14 +25,9 @@ import numpy as np
 def _dir_frames(path: str, size: int, crop: bool, threads: int, batch: int) -> Tuple[Optional[float], Iterator[np.ndarray]]:
     """Ordered directory frames via the native prefetch loader.  Returns
     ``(source_fps=None, frames)`` — directories carry no frame rate."""
-    from burn_depth_tpu.api.native import ImageLoader
+    from burn_depth_tpu.api.native import ImageLoader, list_image_files
 
-    exts = (".png", ".jpg", ".jpeg", ".ppm")
-    files = sorted(
-        os.path.join(path, f) for f in os.listdir(path) if f.lower().endswith(exts)
-    )
-    if not files:
-        raise FileNotFoundError(f"no frames under {path}")
+    files = list_image_files(path)  # the one canonical listing — no ext drift
     loader = ImageLoader(files, size, mode="u8", threads=threads, window=max(2 * batch, 4), crop=crop)
     return None, iter(loader)
 

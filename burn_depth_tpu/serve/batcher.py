@@ -130,7 +130,17 @@ class DynamicBatcher:
         if self._worker is None:
             return
         self._stopping.set()
-        self._queue.put(None)  # wake the blocking get
+        # Wake the blocking get with a sentinel — but NEVER with a blocking
+        # put: if the queue is full (sustained overload) and the worker exits
+        # after its current batch without another get, a blocking put here
+        # would deadlock shutdown.  Retry non-blocking until the worker dies
+        # (it re-checks _stopping between batches, so this terminates).
+        while self._worker.is_alive():
+            try:
+                self._queue.put_nowait(None)
+            except queue.Full:
+                pass
+            self._worker.join(timeout=0.05)
         self._worker.join()
         self._worker = None
         # Fail anything still queued.  Under _submit_lock: a submit() that
@@ -244,7 +254,10 @@ class DynamicBatcher:
             except queue.Empty:
                 break
             if req is None:  # shutdown sentinel — hand back what we have
-                self._queue.put(None)
+                try:  # re-arm for the next _collect; never block (a full
+                    self._queue.put_nowait(None)  # queue would deadlock the
+                except queue.Full:  # worker against stop()'s join — and
+                    pass  # stop() keeps re-inserting sentinels anyway)
                 break
             batch.append(req)
             # Already at a bucket boundary and nothing pending? Don't hold

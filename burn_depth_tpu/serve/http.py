@@ -206,28 +206,39 @@ class DepthHTTPServer:
                     "http_request_seconds", time.perf_counter() - t0, {"endpoint": endpoint}
                 )
 
+            def _decode_body(self, endpoint, t0):
+                """Read + decode the uploaded image.  Decode failures are the
+                CLIENT's fault -> 400 here; everything after (inference,
+                batcher state) is a server fault and maps to 503 in do_POST —
+                a 400 would tell load balancers not to retry a transient
+                server-side failure."""
+                body = self._read_body()
+                if body is None:
+                    self._finish(endpoint, 413, t0)
+                    return None
+                from PIL import Image
+
+                try:
+                    return np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+                except Exception as e:
+                    self._send(400, "text/plain", f"bad frame: {e}".encode())
+                    self._finish(endpoint, 400, t0)
+                    return None
+
             def do_POST(self):
                 t0 = time.perf_counter()
                 try:
                     if self.path == "/ingest" and browser_source is not None:
-                        body = self._read_body()
-                        if body is None:
-                            self._finish("/ingest", 413, t0)
+                        frame = self._decode_body("/ingest", t0)
+                        if frame is None:
                             return
-                        from PIL import Image
-
-                        frame = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
                         browser_source.push(frame)
                         self._send(200, "application/json", b'{"ok": true}')
                         self._finish("/ingest", 200, t0)
                     elif self.path == "/infer":
-                        body = self._read_body()
-                        if body is None:
-                            self._finish("/infer", 413, t0)
+                        frame = self._decode_body("/infer", t0)
+                        if frame is None:
                             return
-                        from PIL import Image
-
-                        frame = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
                         depth, u8 = infer_service.infer(frame)
                         if "application/octet-stream" in self.headers.get("Accept", ""):
                             raw = depth.astype("<f4").tobytes()
@@ -253,9 +264,9 @@ class DepthHTTPServer:
                         self._finish(self.path, 404, t0)
                 except (BrokenPipeError, ConnectionResetError):
                     pass
-                except Exception as e:  # malformed frame: report, don't kill the handler thread
-                    self._send(400, "text/plain", f"bad frame: {e}".encode())
-                    self._finish(self.path, 400, t0)
+                except Exception as e:  # server-side failure: report, don't kill the thread
+                    self._send(503, "text/plain", f"server error: {e}".encode())
+                    self._finish(self.path, 503, t0)
 
             def do_GET(self):
                 t0 = time.perf_counter()

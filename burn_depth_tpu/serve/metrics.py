@@ -28,6 +28,8 @@ class LatencyHistogram:
         self.counts = [0] * (len(self.bounds) + 1)  # last = +Inf
         self.total = 0
         self.sum = 0.0
+        self.max = 0.0  # real tail bound for the +Inf bucket (cold compiles
+        # run minutes; clamping p99 to bounds[-1] would hide a 100x tail)
 
     def observe(self, seconds: float) -> None:
         i = 0
@@ -36,6 +38,8 @@ class LatencyHistogram:
         self.counts[i] += 1
         self.total += 1
         self.sum += seconds
+        if seconds > self.max:
+            self.max = seconds
 
     def quantile(self, q: float) -> Optional[float]:
         """Approximate q-quantile (0 < q <= 1); None with no observations."""
@@ -48,13 +52,15 @@ class LatencyHistogram:
             prev_cum = cum
             cum += c
             if cum >= target:
-                hi = self.bounds[i] if i < len(self.bounds) else self.bounds[-1]
+                # +Inf bucket: interpolate toward the tracked max instead of
+                # clamping to the largest finite bound
+                hi = self.bounds[i] if i < len(self.bounds) else max(self.max, self.bounds[-1])
                 if c == 0:
                     return hi
                 frac = (target - prev_cum) / c
                 return lo + frac * (hi - lo)
             lo = self.bounds[i] if i < len(self.bounds) else self.bounds[-1]
-        return self.bounds[-1]
+        return max(self.max, self.bounds[-1])
 
 
 def _escape(value: str) -> str:

@@ -188,6 +188,10 @@ def benchmark_train_batches(
     with ImageLoader(
         [p for p, _ in pairs], size, mode="nchw", loop=True,
         threads=threads, window=max(2 * batch, 4), crop=True,
+        # GT-paired lane: the depth PNG is stored in the file's raw pixel
+        # orientation, so the RGB must NOT be EXIF-rotated — rotating one
+        # side would silently pair every pixel with the wrong depth.
+        exif_rotate=False,
     ) as loader:
         i = 0
         while True:
@@ -308,6 +312,10 @@ def benchmark_eval_batches(
     with ImageLoader(
         [p for p, _ in pairs], size, mode="nchw", threads=threads,
         window=max(2 * batch, 4), crop=crop,
+        # GT stays in raw pixel orientation (and the aspect lane's PIL decode
+        # never rotates) — keep the RGB un-rotated too so image and depth
+        # cover the same pixels.
+        exif_rotate=False,
     ) as loader:
         def items():
             for gt, mask in gts():

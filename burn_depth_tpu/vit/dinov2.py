@@ -344,14 +344,22 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
     # multiply then drops a full [G, Bq, Tp] f32 VPU pass per block; XLA
     # fuses this small [B,H,T,hd] multiply into the preceding transpose.
     # (Under BDT_ATTN_EXP2 the fold also absorbs log2e — ops/attention.py.)
+    #
+    # The fold MUST be decided per branch, with the impl and sequence length
+    # the actual consumer sees: the SP island always exponentiates base-e
+    # (parallel/sp.py::_attend), and the merged cross-view path attends over
+    # S·T tokens, not T — deciding on the pre-merge q once fed log2e-scaled
+    # logits to a base-e softmax (wrong temperature) whenever the gates
+    # disagreed under BDT_ATTN_EXP2.
     from burn_depth_tpu.ops.attention import fold_softmax_scale
 
-    q, scale = fold_softmax_scale(q, float(hd) ** -0.5, attn_impl)
+    base_scale = float(hd) ** -0.5
     s = view_count
     if s > 1 and _is_global_block(cfg, block_idx):
         if sp is not None:
             from burn_depth_tpu.parallel.sp import cross_view_attention_sp
 
+            q, scale = fold_softmax_scale(q, base_scale, "jnp")  # base-e consumer
             attn_out = cross_view_attention_sp(
                 sp, q, k, v, views=s, scale=scale, quiet_softmax=cfg.quiet_softmax
             )
@@ -361,12 +369,14 @@ def _block_forward(bp: dict, x: jnp.ndarray, cfg: DinoViTConfig, block_idx: int,
             def merge(a):  # [B0·S, H, T, hd] -> [B0, H, S·T, hd]
                 return a.reshape(b0, s, h, t, hd).transpose(0, 2, 1, 3, 4).reshape(b0, h, s * t, hd)
 
+            mq, scale = fold_softmax_scale(merge(q), base_scale, attn_impl)
             attn_out = multi_head_attention(
-                merge(q), merge(k), merge(v), scale=scale, quiet_softmax=cfg.quiet_softmax,
+                mq, merge(k), merge(v), scale=scale, quiet_softmax=cfg.quiet_softmax,
                 impl=attn_impl,
             )
             attn_out = attn_out.reshape(b0, h, s, t, hd).transpose(0, 2, 1, 3, 4).reshape(b, h, t, hd)
     else:
+        q, scale = fold_softmax_scale(q, base_scale, attn_impl)
         attn_out = multi_head_attention(
             q, k, v, scale=scale, quiet_softmax=cfg.quiet_softmax, impl=attn_impl
         )

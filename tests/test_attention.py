@@ -215,3 +215,25 @@ def test_pallas_backward_jnp_fallback_knob(monkeypatch):
         got = vjp(g)
     for a, r in zip(got, ref_vjp(g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-5, atol=1e-5)
+
+
+def test_fold_softmax_scale_matches_consumer_base(monkeypatch):
+    """BDT_ATTN_EXP2 folds log2e ONLY for a Pallas-bound consumer; an
+    explicit jnp consumer (e.g. the SP island's base-e einsum path) must get
+    the plain power-of-two fold — a mismatch runs softmax at the wrong
+    temperature (ln2 / log2e off)."""
+    import math
+
+    from burn_depth_tpu.ops import attention as A
+
+    monkeypatch.setenv("BDT_ATTN_EXP2", "1")
+    monkeypatch.setattr(A, "_on_tpu", lambda: True)
+    q = jnp.ones((1, 2, 256, 64), jnp.float32)
+    qf, scale = A.fold_softmax_scale(q, 64.0 ** -0.5, "jnp")
+    np.testing.assert_allclose(np.asarray(qf), 0.125, rtol=1e-6)
+    assert scale == 1.0
+    qp, scale_p = A.fold_softmax_scale(q, 64.0 ** -0.5, "pallas")
+    np.testing.assert_allclose(
+        np.asarray(qp), 0.125 * math.log2(math.e), rtol=1e-6
+    )
+    assert scale_p == 1.0

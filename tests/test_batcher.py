@@ -247,3 +247,31 @@ def test_cancelled_future_skipped_without_poisoning_batch():
         assert f_cancel.cancelled()
     finally:
         b.stop()
+
+
+def test_stop_with_full_queue_does_not_deadlock():
+    """stop() while the queue is at queue_limit and the worker is mid-batch:
+    the sentinel put must never block (the worker exits without another get),
+    and the queued requests must be failed."""
+    entered, release = threading.Event(), threading.Event()
+
+    def infer(x):
+        entered.set()
+        release.wait(5.0)
+        return x
+
+    b = DynamicBatcher(infer, batch_sizes=(1,), max_delay_s=0.0, queue_limit=2).start()
+    first = b.submit(np.zeros((2,), np.float32))
+    assert entered.wait(2.0)  # worker is now inside _serve
+    queued = [b.submit(np.zeros((2,), np.float32)) for _ in range(2)]  # fills the queue
+
+    stopper = threading.Thread(target=b.stop)
+    stopper.start()
+    time.sleep(0.2)  # let stop() hit the full queue first
+    release.set()
+    stopper.join(timeout=5.0)
+    assert not stopper.is_alive(), "stop() deadlocked on a full queue"
+    assert np.asarray(first.result(1.0)).shape == (2,)
+    for f in queued:
+        with pytest.raises(RuntimeError, match="batcher stopped"):
+            f.result(1.0)

@@ -556,3 +556,16 @@ def test_doctor_cli(capsys):
 
     assert doctor_main(["--no-device"]) == 0
     assert "skipped (--no-device)" in capsys.readouterr().out
+
+
+def test_train_cli_variant_metric_large(tmp_path):
+    """--variant metric-large trains the mono-head DA3 config (previously
+    impossible: the CLI hardcoded the small/dual-head config)."""
+    from burn_depth_tpu.cli.train import main as train_main
+
+    rc = train_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--variant",
+        "metric-large", "--steps", "1", "--batch", "1", "--log-every", "1",
+        "--remat", "none", "--platform", "cpu",
+    ])
+    assert rc == 0

@@ -255,3 +255,27 @@ def test_train_cli_rejects_benchmark_data_with_views(tmp_path):
             "--batch", "2", "--views", "2", "--data", "kitti:/nonexistent",
             "--platform", "cpu",
         ])
+
+
+def test_gt_paired_lanes_disable_exif_rotation(tmp_path, monkeypatch):
+    """The benchmark lanes pair RGB with raw-orientation depth PNGs, so the
+    RGB ingest must NOT EXIF-rotate (a rotated image against an unrotated GT
+    would silently misalign every supervised pixel)."""
+    from burn_depth_tpu.api import native
+    from burn_depth_tpu.train import datasets as ds
+
+    seen = []
+    real = native.ImageLoader
+
+    class Spy(real):
+        def __init__(self, *a, **kw):
+            seen.append(kw.get("exif_rotate", "default-on"))
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(native, "ImageLoader", Spy)
+    root = _write_kitti(tmp_path, [np.full((40, 60), 256 * 4, np.uint16)])
+    gen = ds.benchmark_train_batches(root, 32, dataset="kitti")
+    next(gen)
+    gen.close()
+    list(ds.benchmark_eval_batches(root, 32, dataset="kitti", ingest="squash"))
+    assert seen == [False, False]

@@ -242,3 +242,23 @@ def test_readyz_503_before_first_frame():
         assert ei.value.code == 503
     finally:
         srv.stop()
+
+
+def test_server_side_failure_maps_to_503(server):
+    """Infrastructure failures (batcher stopped, XLA errors) are 5xx — a 400
+    would tell clients/load-balancers the request itself was bad and must
+    not be retried."""
+    svc = server.infer_service
+    orig = svc.infer
+
+    def boom(frame):
+        raise RuntimeError("batcher stopped")
+
+    svc.infer = boom
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_image(server, "/infer")
+    finally:
+        svc.infer = orig
+    assert e.value.code == 503
+    assert b"server error" in e.value.read()

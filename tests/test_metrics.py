@@ -20,8 +20,18 @@ def test_histogram_buckets_and_quantiles():
     # median falls in the (0.1, 0.2] bucket
     q50 = h.quantile(0.5)
     assert 0.1 <= q50 <= 0.2
-    # the 100th percentile saturates at the last finite bound
-    assert h.quantile(1.0) == 0.4
+    # the 100th percentile reaches the tracked max (0.5 sits in the +Inf
+    # bucket), NOT the last finite bound
+    assert h.quantile(1.0) == 0.5
+
+
+def test_quantile_overflow_bucket_uses_observed_max():
+    """A cold-compile outlier (minutes) must not be clamped to bounds[-1]:
+    the +Inf bucket interpolates toward the tracked max."""
+    h = LatencyHistogram(buckets=(0.1, 1.0))
+    h.observe(120.0)
+    assert h.quantile(1.0) == 120.0
+    assert h.quantile(0.99) > 100.0
 
 
 def test_counter_gauge_render_format():

@@ -386,3 +386,29 @@ def test_exif_rotate_opt_out(tmp_path):
     mad_stored = np.abs(got.astype(int) - native_mod.resize_and_crop_u8(stored, 16).astype(int)).mean()
     mad_upright = np.abs(got.astype(int) - native_mod.resize_and_crop_u8(upright, 16).astype(int)).mean()
     assert mad_stored < 3.0 and mad_upright > 10.0
+
+
+def test_stale_pre_loader_library_degrades_to_fallback(monkeypatch):
+    """A .so from before the loader ABI (missing bd_loader_* symbols) must
+    disable the native lane with a warning — not crash every entry point
+    with AttributeError."""
+    import ctypes
+
+    import pytest as _pytest
+
+    from burn_depth_tpu.api import native
+
+    class _Stale:
+        def __getattr__(self, name):  # every symbol lookup fails
+            raise AttributeError(name)
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_failed", False)
+    monkeypatch.setattr(ctypes, "CDLL", lambda path: _Stale())
+    with _pytest.warns(UserWarning, match="predates the loader ABI"):
+        assert native._load() is None
+    assert not native.available()
+    # fallbacks engage instead of raising
+    img = np.random.default_rng(0).integers(0, 256, (8, 9, 3), np.uint8)
+    out = native.resize_bicubic_u8(img, 4, 5)
+    assert out.shape == (4, 5, 3)
