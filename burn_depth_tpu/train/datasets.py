@@ -18,12 +18,20 @@ Protocol per dataset (the Eigen conventions used across the literature):
   valid range (1e-3, 10] m; the standard border crop ``rows [45, 471],
   cols [41, 601]`` of the 480x640 frames, applied fractionally.
 
-Layout: ``root/image/*.png|jpg`` (alias ``rgb/``) paired with
-``root/depth/*.png`` by filename stem.  Scoring follows the benchmark
-protocol end to end: the model predicts at its own square resolution, the
-prediction is upsampled to native GT resolution inside ``evaluate_model``,
-and the caps + crop enter as the mask — never by resizing ground truth
-(resampling sparse LiDAR interpolates across depth discontinuities).
+Layouts:
+
+* directory — ``root/image/*.png|jpg`` (alias ``rgb/``) paired with
+  ``root/depth/*.png`` by filename stem.
+* NYU official archive — ``root`` may be the ``nyu_depth_v2_labeled.mat``
+  FILE (MATLAB v7.3 == HDF5; needs ``h5py``): datasets ``images`` /
+  ``depths`` are read in place, no PNG conversion step.  Depths in the
+  archive are already float meters, so no decode scale applies.
+
+Scoring follows the benchmark protocol end to end: the model predicts at
+its own square resolution, the prediction is upsampled to native GT
+resolution inside ``evaluate_model``, and the caps + crop enter as the
+mask — never by resizing ground truth (resampling sparse LiDAR
+interpolates across depth discontinuities).
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ import numpy as np
 __all__ = [
     "DATASETS",
     "DatasetSpec",
+    "NyuH5Archive",
     "benchmark_eval_batches",
     "benchmark_train_batches",
 ]
@@ -74,6 +83,80 @@ DATASETS = {
 
 _IMG_DIRS = ("image", "rgb", "images")
 _DEPTH_DIRS = ("depth", "groundtruth", "gt")
+_H5_EXTS = (".mat", ".h5", ".hdf5")
+
+
+class NyuH5Archive:
+    """Reader for the official NYU Depth v2 labeled archive
+    (``nyu_depth_v2_labeled.mat``, a MATLAB v7.3 file = HDF5).
+
+    MATLAB stores column-major, so h5py sees every dataset with its axes
+    reversed: ``images`` is ``(N, 3, W, H) u8`` (MATLAB ``[H W 3 N]``) and
+    ``depths``/``rawDepths`` are ``(N, W, H) f32`` (MATLAB ``[H W N]``).
+    Accessors undo the transpose and return conventional ``(H, W, 3)`` RGB
+    and ``(H, W)`` depth.  Depth values are float METERS already — the
+    millimeter ``/1000`` decode of PNG dumps does not apply.
+
+    ``depth_key`` selects ``"depths"`` (the official in-painted maps the
+    published protocol scores against) or ``"rawDepths"`` (Kinect returns
+    with 0 = invalid).  ``indices`` restricts to a subset (e.g. a vendored
+    Eigen test split); default is the full archive in file order.
+    """
+
+    def __init__(self, path: str, depth_key: str = "depths", indices=None):
+        try:
+            import h5py
+        except ImportError as e:  # pragma: no cover - h5py present in CI
+            raise ImportError(
+                "reading the NYU .mat archive needs h5py (pip install h5py)"
+            ) from e
+        self._f = h5py.File(path, "r")
+        missing = [k for k in ("images", depth_key) if k not in self._f]
+        if missing:
+            have = sorted(self._f.keys())
+            self._f.close()
+            raise KeyError(
+                f"{path}: not an NYU labeled archive — missing {missing} "
+                f"(has {have[:8]})"
+            )
+        self._depth_key = depth_key
+        n = self._f["images"].shape[0]
+        self._indices = list(range(n)) if indices is None else [int(i) for i in indices]
+        for i in self._indices:
+            if not 0 <= i < n:
+                raise IndexError(f"index {i} out of range for {n}-image archive")
+
+    def __len__(self) -> int:
+        return len(self._indices)
+
+    def rgb(self, i: int) -> np.ndarray:
+        a = self._f["images"][self._indices[i]]  # (3, W, H) u8
+        return np.ascontiguousarray(np.transpose(a, (2, 1, 0)))
+
+    def depth(self, i: int) -> np.ndarray:
+        a = self._f[self._depth_key][self._indices[i]]  # (W, H) f32 meters
+        return np.ascontiguousarray(a.T.astype(np.float32))
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _is_h5_archive(root: str) -> bool:
+    return os.path.isfile(root) and root.lower().endswith(_H5_EXTS)
+
+
+def _require_nyu_archive(root: str, dataset: str) -> None:
+    if dataset != "nyu":
+        raise ValueError(
+            f"{root}: HDF5 archives are the NYU labeled format — use "
+            f"dataset='nyu' (got {dataset!r}; KITTI ships as PNG trees)"
+        )
 
 
 def _find_dir(root: str, names) -> str:
@@ -141,6 +224,35 @@ def _depth_to_square_nearest(dep: np.ndarray, size: int) -> np.ndarray:
     return resized[cy : cy + size, cx : cx + size]
 
 
+def _h5_train_batches(
+    root: str, size: int, *, spec: DatasetSpec, scale: float, batch: int,
+    seed: int, limit: Optional[int],
+) -> Iterator[dict]:
+    """NYU-archive leg of :func:`benchmark_train_batches`: decode RGB/depth
+    straight from the HDF5 datasets through the same square geometry as the
+    native PNG lane (shortest-side resize + center crop / nearest depth)."""
+    from burn_depth_tpu.api.native import resize_and_crop_u8, rgb_to_nchw_norm
+
+    with NyuH5Archive(root) as ar:
+        n = len(ar) if limit is None else min(len(ar), int(limit))
+        order = np.random.default_rng(seed).permutation(n)
+        i = 0
+        while True:
+            imgs, deps = [], []
+            for _ in range(batch):
+                j = int(order[i % n])
+                imgs.append(rgb_to_nchw_norm(resize_and_crop_u8(ar.rgb(j), size)))
+                deps.append(_depth_to_square_nearest(ar.depth(j) / scale, size))
+                i += 1
+            deps_np = np.stack(deps)
+            mask = (deps_np > spec.min_depth) & (deps_np <= spec.max_depth)
+            yield {
+                "image": np.stack(imgs),
+                "depth": deps_np,
+                "mask": mask.astype(np.float32),
+            }
+
+
 def benchmark_train_batches(
     root: str,
     size: int,
@@ -179,6 +291,16 @@ def benchmark_train_batches(
     spec = DATASETS[dataset]
     if depth_scale is not None:
         spec = dataclasses.replace(spec, depth_scale=float(depth_scale))
+    if _is_h5_archive(root):
+        _require_nyu_archive(root, dataset)
+        # archive depths are float meters — a decode divisor applies only
+        # when the caller explicitly passes one
+        yield from _h5_train_batches(
+            root, size, spec=spec,
+            scale=float(depth_scale) if depth_scale is not None else 1.0,
+            batch=batch, seed=seed, limit=limit,
+        )
+        return
     pairs = _pair_files(root)
     if limit is not None:
         pairs = pairs[: int(limit)]
@@ -214,6 +336,54 @@ def benchmark_train_batches(
                 "depth": deps_np,
                 "mask": mask.astype(np.float32),
             }
+
+
+def _h5_eval_batches(
+    root: str, size: int, *, spec: DatasetSpec, scale: float, ingest: str,
+    batch: int, limit: Optional[int], patch: int,
+) -> Iterator[dict]:
+    """NYU-archive leg of :func:`benchmark_eval_batches` — same three ingest
+    geometries, RGB/GT decoded from the HDF5 datasets instead of PNG pairs.
+    Archive frames share one shape (480x640), so fixed-size batching holds."""
+    from burn_depth_tpu.api.native import (
+        resize_and_crop_u8,
+        resize_bicubic_u8,
+        rgb_to_nchw_norm,
+    )
+
+    def flush(buf):
+        return {
+            "image": np.stack([b[0] for b in buf]),
+            "depth": np.stack([b[1] for b in buf]),
+            "mask": np.stack([b[2] for b in buf]),
+        }
+
+    with NyuH5Archive(root) as ar:
+        n = len(ar) if limit is None else min(len(ar), int(limit))
+        buf: list = []
+        for i in range(n):
+            rgb = ar.rgb(i)
+            gt = ar.depth(i) / scale
+            mask = spec.valid_mask(gt)
+            if ingest == "aspect":
+                from burn_depth_tpu.api.preprocess import (
+                    prepare_depth_anything3_image_aspect,
+                )
+
+                img = rgb_to_nchw_norm(
+                    prepare_depth_anything3_image_aspect(rgb, size, patch=patch).rgb
+                )
+            elif ingest == "squash":
+                img = rgb_to_nchw_norm(resize_bicubic_u8(rgb, size, size))
+            else:  # crop
+                img = rgb_to_nchw_norm(resize_and_crop_u8(rgb, size))
+                gt, mask = _center_square(gt), _center_square(mask)
+            buf.append((img, gt, mask))
+            if len(buf) == batch:
+                yield flush(buf)
+                buf = []
+        if buf:
+            yield flush(buf)
 
 
 def benchmark_eval_batches(
@@ -258,6 +428,14 @@ def benchmark_eval_batches(
     spec = DATASETS[dataset]
     if depth_scale is not None:
         spec = dataclasses.replace(spec, depth_scale=float(depth_scale))
+    if _is_h5_archive(root):
+        _require_nyu_archive(root, dataset)
+        yield from _h5_eval_batches(
+            root, size, spec=spec,
+            scale=float(depth_scale) if depth_scale is not None else 1.0,
+            ingest=ingest, batch=batch, limit=limit, patch=patch,
+        )
+        return
     pairs = _pair_files(root)
     if limit is not None:
         pairs = pairs[: int(limit)]

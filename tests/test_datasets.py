@@ -279,3 +279,86 @@ def test_gt_paired_lanes_disable_exif_rotation(tmp_path, monkeypatch):
     gen.close()
     list(ds.benchmark_eval_batches(root, 32, dataset="kitti", ingest="squash"))
     assert seen == [False, False]
+
+
+# ---- NYU official .mat (HDF5) archive ----
+
+
+def _write_nyu_mat(tmp_path, n=3, h=32, w=48):
+    """Synthetic archive in the official layout h5py sees: MATLAB's
+    column-major [H W 3 N] / [H W N] arrive axis-reversed as
+    images (N,3,W,H) u8 and depths (N,W,H) f32 meters."""
+    import h5py
+
+    rng = np.random.default_rng(0)
+    rgbs = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    deps = rng.uniform(0.5, 9.5, (n, h, w)).astype(np.float32)
+    path = str(tmp_path / "nyu_depth_v2_labeled.mat")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("images", data=rgbs.transpose(0, 3, 2, 1))
+        f.create_dataset("depths", data=deps.transpose(0, 2, 1))
+        f.create_dataset("rawDepths", data=np.zeros((n, w, h), np.float32))
+    return path, rgbs, deps
+
+
+def test_nyu_archive_axis_order(tmp_path):
+    """The MATLAB axis reversal is undone: rgb(i)/depth(i) return the
+    conventional (H,W,3)/(H,W) frames that went in."""
+    from burn_depth_tpu.train.datasets import NyuH5Archive
+
+    path, rgbs, deps = _write_nyu_mat(tmp_path)
+    with NyuH5Archive(path) as ar:
+        assert len(ar) == 3
+        np.testing.assert_array_equal(ar.rgb(1), rgbs[1])
+        np.testing.assert_allclose(ar.depth(1), deps[1])
+    with NyuH5Archive(path, indices=[2, 0]) as ar:
+        assert len(ar) == 2
+        np.testing.assert_array_equal(ar.rgb(0), rgbs[2])
+
+
+def test_nyu_archive_eval_batches(tmp_path):
+    path, rgbs, deps = _write_nyu_mat(tmp_path, n=3, h=32, w=48)
+    batches = list(benchmark_eval_batches(
+        path, size=28, dataset="nyu", ingest="squash", batch=2))
+    assert [b["depth"].shape[0] for b in batches] == [2, 1]
+    b = batches[0]
+    assert b["image"].shape == (2, 3, 28, 28) and b["image"].dtype == np.float32
+    # GT full-frame, already meters (no /1000), protocol mask applied
+    np.testing.assert_allclose(b["depth"][0], deps[0])
+    spec = DATASETS["nyu"]
+    np.testing.assert_array_equal(b["mask"][0], spec.valid_mask(deps[0]))
+    # crop mode: GT center-square at native resolution
+    c = next(iter(benchmark_eval_batches(path, size=28, dataset="nyu", ingest="crop")))
+    assert c["depth"].shape == (1, 32, 32)
+
+
+def test_nyu_archive_train_batches(tmp_path):
+    from burn_depth_tpu.train.datasets import benchmark_train_batches
+
+    path, rgbs, deps = _write_nyu_mat(tmp_path, n=2, h=32, w=48)
+    gen = benchmark_train_batches(path, 24, dataset="nyu", batch=2)
+    b = next(gen)
+    gen.close()
+    assert b["image"].shape == (2, 3, 24, 24)
+    assert b["depth"].shape == (2, 24, 24)
+    assert set(np.unique(b["mask"])) <= {0.0, 1.0}
+    # depths in (0.5, 9.5) m are all inside the NYU caps
+    assert b["mask"].mean() == 1.0
+
+
+def test_h5_archive_requires_nyu(tmp_path):
+    path, _, _ = _write_nyu_mat(tmp_path)
+    with pytest.raises(ValueError, match="dataset='nyu'"):
+        list(benchmark_eval_batches(path, size=28, dataset="kitti"))
+
+
+def test_non_archive_h5_named_file_raises(tmp_path):
+    import h5py
+
+    path = str(tmp_path / "other.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("foo", data=np.zeros(3))
+    from burn_depth_tpu.train.datasets import NyuH5Archive
+
+    with pytest.raises(KeyError, match="missing"):
+        NyuH5Archive(path)

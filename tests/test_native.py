@@ -412,3 +412,27 @@ def test_stale_pre_loader_library_degrades_to_fallback(monkeypatch):
     img = np.random.default_rng(0).integers(0, 256, (8, 9, 3), np.uint8)
     out = native.resize_bicubic_u8(img, 4, 5)
     assert out.shape == (4, 5, 3)
+
+
+def test_progressive_jpeg_decodes_in_both_lanes(tmp_path):
+    """Progressive JPEGs (common in web corpora) decode identically to
+    baseline through the native loader, including the fast_jpeg draft
+    lane — libjpeg buffers progressive scans transparently."""
+    from PIL import Image
+
+    from burn_depth_tpu.api.native import ImageLoader
+
+    img = np.random.default_rng(0).integers(0, 256, (120, 160, 3), np.uint8)
+    base, prog = str(tmp_path / "b.jpg"), str(tmp_path / "p.jpg")
+    Image.fromarray(img).save(base, progressive=False, quality=95)
+    Image.fromarray(img).save(prog, progressive=True, quality=95)
+
+    def decode(path, **kw):
+        with ImageLoader([path], 64, mode="u8", threads=1, window=2, **kw) as ld:
+            return next(iter(ld))
+
+    a, b = decode(base), decode(prog)
+    assert b.shape == (64, 64, 3)
+    # same pixels in, near-identical JPEG round trips out
+    assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
+    assert decode(prog, fast_jpeg=True).shape == (64, 64, 3)
