@@ -37,6 +37,19 @@ def main(argv=None) -> int:
     parser.add_argument("--depth-scale", type=float, default=None,
                         help="override the dataset's PNG-to-meters divisor")
     parser.add_argument(
+        "--split", default=None,
+        help="with --dataset kitti|nyu: restrict to a standard split — a "
+        "BTS/monodepth-style file list ('rgb_rel gt_rel [focal]' per line, "
+        "resolved against --data / --gt-root), or for the NYU .mat archive "
+        "the official splits.mat (testNdxs) / a text file of 0-based indices",
+    )
+    parser.add_argument(
+        "--gt-root", default=None,
+        help="with --split: root the split's GT paths resolve against "
+        "(default --data; train/+val/ of the annotated-depth archive are "
+        "searched automatically)",
+    )
+    parser.add_argument(
         "--batches", type=int, default=None,
         help="max batches to score (default: 8 for the endless synthetic/"
         "pairs generators; the FULL split for --dataset kitti|nyu)",
@@ -89,6 +102,7 @@ def main(argv=None) -> int:
             ingest="aspect" if args.model == "depth-anything-3" else "squash",
             patch=getattr(model, "patch_size", 14),
             depth_scale=args.depth_scale,
+            split=args.split, gt_root=args.gt_root,
         )
     elif args.data:
         gen = _image_dir_batches(args.data, args.batch, size)

@@ -346,6 +346,22 @@ def main(argv=None) -> int:
         help="with kitti:/nyu: data: override the dataset's PNG-to-meters divisor",
     )
     parser.add_argument(
+        "--split", default=None,
+        help="with kitti:/nyu: data: standard split file restricting the "
+        "train set (BTS-style 'rgb_rel gt_rel' lines, or NYU splits.mat / "
+        "index list for the .mat archive)",
+    )
+    parser.add_argument(
+        "--eval-split", default=None,
+        help="same, for --eval-data (e.g. the Eigen test list over the same "
+        "KITTI root)",
+    )
+    parser.add_argument(
+        "--gt-root", default=None,
+        help="with --split/--eval-split: root the GT paths resolve against "
+        "(default the data root)",
+    )
+    parser.add_argument(
         "--distill-from", default=None,
         help="teacher checkpoint for self-training on 'images:ROOT' data: the "
         "frozen teacher pseudo-labels each batch on the fly (train/distill.py)",
@@ -594,6 +610,7 @@ def main(argv=None) -> int:
         gen = benchmark_train_batches(
             data_root, size, dataset=data_kind, batch=eff_batch,
             depth_scale=args.depth_scale, seed=args.seed,
+            split=args.split, gt_root=args.gt_root,
         )
     elif data_kind == "images":
         import types
@@ -698,6 +715,7 @@ def main(argv=None) -> int:
                     ingest="aspect" if args.model == "depth-anything-3" else "squash",
                     patch=getattr(model, "patch_size", 14),
                     depth_scale=args.depth_scale,
+                    split=args.eval_split, gt_root=args.gt_root,
                 )
                 per_image = True
             else:

@@ -22,10 +22,20 @@ Layouts:
 
 * directory — ``root/image/*.png|jpg`` (alias ``rgb/``) paired with
   ``root/depth/*.png`` by filename stem.
+* KITTI official trees — ``root`` holding the raw-sync drives
+  (``<date>/<drive>_sync/image_0N/data/*.png``) together with the
+  annotated depth maps (``[train/|val/]<drive>_sync/proj_depth/
+  groundtruth/image_0N/*.png``) is walked directly — no relayout step.
+* split file — ``split=`` points at a BTS/monodepth-style list
+  (``rgb_rel gt_rel [focal]`` per line, ``None`` = no GT) resolved
+  against ``root`` / ``gt_root``; the standard Eigen split files work
+  as published.
 * NYU official archive — ``root`` may be the ``nyu_depth_v2_labeled.mat``
   FILE (MATLAB v7.3 == HDF5; needs ``h5py``): datasets ``images`` /
   ``depths`` are read in place, no PNG conversion step.  Depths in the
-  archive are already float meters, so no decode scale applies.
+  archive are already float meters, so no decode scale applies.  With
+  ``split=`` = the official ``splits.mat`` (or a text file of 0-based
+  indices), only the test subset is read.
 
 Scoring follows the benchmark protocol end to end: the model predicts at
 its own square resolution, the prediction is upsampled to native GT
@@ -48,6 +58,8 @@ __all__ = [
     "NyuH5Archive",
     "benchmark_eval_batches",
     "benchmark_train_batches",
+    "load_split_pairs",
+    "nyu_split_indices",
 ]
 
 
@@ -167,7 +179,7 @@ def _find_dir(root: str, names) -> str:
     raise FileNotFoundError(f"none of {names} under {root}")
 
 
-def _pair_files(root: str) -> list:
+def _flat_pairs(root: str) -> list:
     from burn_depth_tpu.api.native import IMAGE_EXTS
 
     img_dir = _find_dir(root, _IMG_DIRS)
@@ -190,6 +202,141 @@ def _pair_files(root: str) -> list:
             f"({len(imgs)} images, {len(depths)} depth maps)"
         )
     return [(imgs[s], depths[s]) for s in common]
+
+
+# the official "annotated depth maps" archive keeps drives under train/ and
+# val/; merged checkouts put them at the root — resolve GT under all three
+_KITTI_GT_SUBDIRS = ("", "train", "val")
+
+
+def _kitti_sync_pairs(root: str) -> list:
+    """Walk the official KITTI checkout shape with no relayout step:
+
+    * annotated depth maps (depth-prediction benchmark archive) —
+      ``{root|root/train|root/val}/<drive>_sync/proj_depth/groundtruth/
+      image_0N/<frame>.png`` (16-bit, meters = value/256)
+    * raw-sync RGB — ``root/<date>/<drive>_sync/image_0N/data/<frame>.png``
+      (``<date>`` = first 10 chars of the drive name, e.g. ``2011_09_26``)
+
+    Pairs every GT frame with its RGB; drives whose raw half was not
+    downloaded are skipped (partial checkouts are the norm — the Eigen
+    split needs only 29 of the 151 raw drives).
+    """
+    pairs = []
+    for sub in _KITTI_GT_SUBDIRS:
+        base = os.path.join(root, sub) if sub else root
+        if not os.path.isdir(base):
+            continue
+        for drive in sorted(os.listdir(base)):
+            gt_base = os.path.join(base, drive, "proj_depth", "groundtruth")
+            if not os.path.isdir(gt_base):
+                continue
+            date = drive[:10]
+            for cam in sorted(os.listdir(gt_base)):
+                cam_dir = os.path.join(gt_base, cam)
+                rgb_dir = os.path.join(root, date, drive, cam, "data")
+                if not (os.path.isdir(cam_dir) and os.path.isdir(rgb_dir)):
+                    continue
+                for f in sorted(os.listdir(cam_dir)):
+                    rgb = os.path.join(rgb_dir, f)
+                    if f.endswith(".png") and os.path.isfile(rgb):
+                        pairs.append((rgb, os.path.join(cam_dir, f)))
+    return pairs
+
+
+def _pair_files(root: str) -> list:
+    """Resolve RGB/GT pairs under ``root``: flat ``image/``+``depth/``
+    first, then the official KITTI raw-sync + annotated-depth tree."""
+    try:
+        return _flat_pairs(root)
+    except FileNotFoundError as flat_err:
+        pairs = _kitti_sync_pairs(root)
+        if pairs:
+            return pairs
+        raise FileNotFoundError(
+            f"{root}: neither a flat benchmark layout ({flat_err}) nor a "
+            "KITTI raw-sync tree (<date>/<drive>_sync/image_0N/data + "
+            "[train/|val/]<drive>_sync/proj_depth/groundtruth/image_0N)"
+        ) from None
+
+
+def _resolve_gt(gt_root: str, rel: str) -> Optional[str]:
+    for sub in _KITTI_GT_SUBDIRS:
+        p = os.path.join(gt_root, sub, rel) if sub else os.path.join(gt_root, rel)
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+def load_split_pairs(root: str, split: str, gt_root: Optional[str] = None) -> list:
+    """Resolve a BTS/monodepth-style split file to ``(rgb, gt)`` path pairs.
+
+    Each line is ``rgb_rel gt_rel [focal]`` — RGB relative to ``root``, GT
+    relative to ``gt_root`` (default ``root``; ``train/``/``val/`` of the
+    official annotated-depth archive are searched automatically).  A
+    ``gt_rel`` of ``None`` (frames without ground truth in the standard
+    Eigen lists) is skipped, as are pairs whose files are absent on disk —
+    partial raw checkouts are the norm.  Raises if *nothing* resolves;
+    warns with counts when some lines were dropped so a silent protocol
+    deviation cannot pass as a clean run.
+    """
+    import warnings
+
+    gt_root = gt_root or root
+    pairs, no_gt, missing = [], 0, []
+    with open(split) as f:
+        for line in f:
+            toks = line.split()
+            if not toks or toks[0].startswith("#"):
+                continue
+            if len(toks) < 2 or toks[1] == "None":
+                no_gt += 1
+                continue
+            rgb = os.path.join(root, toks[0])
+            gt = _resolve_gt(gt_root, toks[1])
+            if gt is None or not os.path.isfile(rgb):
+                missing.append(toks[0])
+                continue
+            pairs.append((rgb, gt))
+    if not pairs:
+        raise FileNotFoundError(
+            f"{split}: no line resolved to files on disk under root={root} "
+            f"gt_root={gt_root} (first misses: {missing[:3]})"
+        )
+    if missing:
+        warnings.warn(
+            f"{split}: {len(missing)}/{len(pairs) + len(missing)} entries "
+            f"missing on disk (e.g. {missing[0]}) — scoring the rest",
+            stacklevel=2,
+        )
+    if no_gt:
+        warnings.warn(
+            f"{split}: {no_gt} entries have no ground truth ('None') — skipped",
+            stacklevel=2,
+        )
+    return pairs
+
+
+def nyu_split_indices(split: str) -> list:
+    """0-based archive indices from the official NYU ``splits.mat``
+    (MATLAB v5 ``testNdxs``, 1-based — needs scipy; v7.3 falls back to
+    h5py) or from a plain text file of 0-based indices."""
+    if split.lower().endswith(".mat"):
+        try:
+            from scipy.io import loadmat
+
+            m = loadmat(split)
+            arr = m.get("testNdxs")
+        except NotImplementedError:  # MATLAB v7.3 — HDF5
+            import h5py
+
+            with h5py.File(split, "r") as f:
+                arr = np.asarray(f["testNdxs"]) if "testNdxs" in f else None
+        if arr is None:
+            raise KeyError(f"{split}: no 'testNdxs' dataset (not an NYU splits.mat?)")
+        return [int(i) - 1 for i in np.asarray(arr).ravel()]
+    with open(split) as f:
+        return [int(t) for t in f.read().split()]
 
 
 def _center_square(a: np.ndarray) -> np.ndarray:
@@ -226,14 +373,14 @@ def _depth_to_square_nearest(dep: np.ndarray, size: int) -> np.ndarray:
 
 def _h5_train_batches(
     root: str, size: int, *, spec: DatasetSpec, scale: float, batch: int,
-    seed: int, limit: Optional[int],
+    seed: int, limit: Optional[int], indices=None,
 ) -> Iterator[dict]:
     """NYU-archive leg of :func:`benchmark_train_batches`: decode RGB/depth
     straight from the HDF5 datasets through the same square geometry as the
     native PNG lane (shortest-side resize + center crop / nearest depth)."""
     from burn_depth_tpu.api.native import resize_and_crop_u8, rgb_to_nchw_norm
 
-    with NyuH5Archive(root) as ar:
+    with NyuH5Archive(root, indices=indices) as ar:
         n = len(ar) if limit is None else min(len(ar), int(limit))
         order = np.random.default_rng(seed).permutation(n)
         i = 0
@@ -263,6 +410,8 @@ def benchmark_train_batches(
     seed: int = 0,
     threads: int = 4,
     limit: Optional[int] = None,
+    split: Optional[str] = None,
+    gt_root: Optional[str] = None,
 ) -> Iterator[dict]:
     """Endless fine-tune batches from a benchmark-layout directory.
 
@@ -299,9 +448,10 @@ def benchmark_train_batches(
             root, size, spec=spec,
             scale=float(depth_scale) if depth_scale is not None else 1.0,
             batch=batch, seed=seed, limit=limit,
+            indices=nyu_split_indices(split) if split else None,
         )
         return
-    pairs = _pair_files(root)
+    pairs = load_split_pairs(root, split, gt_root) if split else _pair_files(root)
     if limit is not None:
         pairs = pairs[: int(limit)]
     order = np.random.default_rng(seed).permutation(len(pairs))
@@ -340,7 +490,7 @@ def benchmark_train_batches(
 
 def _h5_eval_batches(
     root: str, size: int, *, spec: DatasetSpec, scale: float, ingest: str,
-    batch: int, limit: Optional[int], patch: int,
+    batch: int, limit: Optional[int], patch: int, indices=None,
 ) -> Iterator[dict]:
     """NYU-archive leg of :func:`benchmark_eval_batches` — same three ingest
     geometries, RGB/GT decoded from the HDF5 datasets instead of PNG pairs.
@@ -358,7 +508,7 @@ def _h5_eval_batches(
             "mask": np.stack([b[2] for b in buf]),
         }
 
-    with NyuH5Archive(root) as ar:
+    with NyuH5Archive(root, indices=indices) as ar:
         n = len(ar) if limit is None else min(len(ar), int(limit))
         buf: list = []
         for i in range(n):
@@ -397,6 +547,8 @@ def benchmark_eval_batches(
     limit: Optional[int] = None,
     threads: int = 4,
     patch: int = 14,
+    split: Optional[str] = None,
+    gt_root: Optional[str] = None,
 ) -> Iterator[dict]:
     """Yield eval batches for a benchmark directory.
 
@@ -434,9 +586,10 @@ def benchmark_eval_batches(
             root, size, spec=spec,
             scale=float(depth_scale) if depth_scale is not None else 1.0,
             ingest=ingest, batch=batch, limit=limit, patch=patch,
+            indices=nyu_split_indices(split) if split else None,
         )
         return
-    pairs = _pair_files(root)
+    pairs = load_split_pairs(root, split, gt_root) if split else _pair_files(root)
     if limit is not None:
         pairs = pairs[: int(limit)]
 

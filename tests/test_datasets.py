@@ -362,3 +362,118 @@ def test_non_archive_h5_named_file_raises(tmp_path):
 
     with pytest.raises(KeyError, match="missing"):
         NyuH5Archive(path)
+
+
+# ---- official KITTI raw-sync trees + split files ----
+
+
+def _write_kitti_sync(tmp_path, drives, hw=(40, 56), gt_sub="train", cams=("image_02",)):
+    """Official checkout shape: raw RGB under <date>/<drive>/<cam>/data/,
+    annotated depth under [gt_sub/]<drive>/proj_depth/groundtruth/<cam>/."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    h, w = hw
+    for drive, frames in drives.items():
+        date = drive[:10]
+        for cam in cams:
+            rgb_dir = tmp_path / date / drive / cam / "data"
+            gt_dir = tmp_path / gt_sub / drive / "proj_depth" / "groundtruth" / cam
+            rgb_dir.mkdir(parents=True, exist_ok=True)
+            gt_dir.mkdir(parents=True, exist_ok=True)
+            for f in frames:
+                rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                Image.fromarray(rgb).save(rgb_dir / f"{f:010d}.png")
+                d = np.full((h, w), 256 * 4, np.uint16)
+                Image.fromarray(d).save(gt_dir / f"{f:010d}.png")
+    return str(tmp_path)
+
+
+def test_kitti_sync_tree_walk(tmp_path):
+    """The official raw-sync + annotated-depth tree is walked with no
+    relayout; GT drives whose raw half is absent are skipped."""
+    from burn_depth_tpu.train.datasets import _kitti_sync_pairs
+
+    root = _write_kitti_sync(
+        tmp_path, {"2011_09_26_drive_0002_sync": [5, 9]}, cams=("image_02", "image_03")
+    )
+    # GT-only drive (raw half not downloaded) must be skipped
+    orphan = tmp_path / "val" / "2011_09_28_drive_0001_sync" / "proj_depth" / "groundtruth" / "image_02"
+    orphan.mkdir(parents=True)
+    from PIL import Image
+
+    Image.fromarray(np.zeros((4, 4), np.uint16)).save(orphan / "0000000001.png")
+
+    pairs = _kitti_sync_pairs(root)
+    assert len(pairs) == 4  # 2 frames x 2 cams
+    assert all("proj_depth" in gt and "/data/" in rgb for rgb, gt in pairs)
+    # end-to-end through the public generator (layout auto-detected)
+    b = next(iter(benchmark_eval_batches(root, size=28, dataset="kitti", ingest="squash")))
+    np.testing.assert_allclose(b["depth"][0][b["mask"][0] > 0], 4.0)
+
+
+def test_split_file_resolution_and_warnings(tmp_path):
+    """BTS-style split lines resolve RGB against root and GT against
+    gt_root (train/+val/ searched); 'None' GT and missing files warn."""
+    from burn_depth_tpu.train.datasets import load_split_pairs
+
+    drive = "2011_09_26_drive_0002_sync"
+    root = _write_kitti_sync(tmp_path, {drive: [5, 9]})
+    split = tmp_path / "eigen_test.txt"
+    split.write_text(
+        f"2011_09_26/{drive}/image_02/data/0000000005.png {drive}/proj_depth/groundtruth/image_02/0000000005.png 721.5377\n"
+        f"2011_09_26/{drive}/image_02/data/0000000009.png {drive}/proj_depth/groundtruth/image_02/0000000009.png 721.5377\n"
+        f"2011_09_26/{drive}/image_02/data/0000000099.png None None\n"
+        f"2011_09_26/{drive}/image_02/data/0000000123.png {drive}/proj_depth/groundtruth/image_02/0000000123.png 721.5377\n"
+    )
+    with pytest.warns(UserWarning):
+        pairs = load_split_pairs(root, str(split))
+    assert len(pairs) == 2
+    # generator honors the split subset
+    batches = list(benchmark_eval_batches(
+        root, size=28, dataset="kitti", ingest="squash", split=str(split)))
+    assert sum(b["depth"].shape[0] for b in batches) == 2
+    # nothing resolvable -> loud failure
+    bad = tmp_path / "bad.txt"
+    bad.write_text("nope/a.png nope/b.png\n")
+    with pytest.raises(FileNotFoundError, match="no line resolved"):
+        load_split_pairs(root, str(bad))
+
+
+def test_nyu_split_indices_mat_and_text(tmp_path):
+    """Official splits.mat (1-based testNdxs, MATLAB v5) and plain index
+    files both restrict the archive lanes."""
+    from scipy.io import savemat
+
+    from burn_depth_tpu.train.datasets import nyu_split_indices
+
+    mat = str(tmp_path / "splits.mat")
+    savemat(mat, {"testNdxs": np.array([[1], [3]], dtype=np.int64)})
+    assert nyu_split_indices(mat) == [0, 2]
+    txt = tmp_path / "idx.txt"
+    txt.write_text("2\n0\n")
+    assert nyu_split_indices(str(txt)) == [2, 0]
+
+    path, rgbs, deps = _write_nyu_mat(tmp_path, n=4)
+    batches = list(benchmark_eval_batches(
+        path, size=28, dataset="nyu", ingest="squash", split=mat))
+    assert sum(b["depth"].shape[0] for b in batches) == 2
+    np.testing.assert_allclose(batches[0]["depth"][0], deps[0])
+    np.testing.assert_allclose(batches[1]["depth"][0], deps[2])
+
+
+def test_train_batches_split_subset(tmp_path):
+    from burn_depth_tpu.train.datasets import benchmark_train_batches
+
+    drive = "2011_09_26_drive_0002_sync"
+    root = _write_kitti_sync(tmp_path, {drive: [5, 9]})
+    split = tmp_path / "train.txt"
+    split.write_text(
+        f"2011_09_26/{drive}/image_02/data/0000000005.png {drive}/proj_depth/groundtruth/image_02/0000000005.png\n"
+    )
+    gen = benchmark_train_batches(root, 24, dataset="kitti", batch=2, split=str(split))
+    b = next(gen)
+    gen.close()
+    assert b["image"].shape == (2, 3, 24, 24)
+    # single-pair split cycled: both batch rows decode the same frame
+    np.testing.assert_allclose(b["depth"][0], b["depth"][1])
