@@ -34,6 +34,11 @@ def main(argv=None) -> int:
         help="pre-compile every Infer batch bucket before accepting traffic",
     )
     parser.add_argument(
+        "--keep-aspect", action="store_true",
+        help="DA3: aspect-preserving ingest (patch-multiple dims, no FOV-"
+        "discarding crop); the batcher coalesces per shape lane",
+    )
+    parser.add_argument(
         "--int8", action="store_true",
         help="quantize the ViT linears to the int8 serving tier at startup "
         "(dynamic scales; for the static-calibrated tier pre-quantize the "
@@ -58,6 +63,7 @@ def main(argv=None) -> int:
     server = DepthGrpcServer(
         model, host=args.host, port=args.port,
         batch_sizes=buckets, adaptive_batching=args.adaptive_batching,
+        keep_aspect=args.keep_aspect,
         stream_window=args.stream_window,
     )
     if args.warmup:

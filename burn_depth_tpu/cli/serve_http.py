@@ -37,6 +37,12 @@ def main(argv=None) -> int:
         "(no client pays the first-request XLA compile)",
     )
     parser.add_argument(
+        "--keep-aspect", action="store_true",
+        help="DA3: aspect-preserving /infer ingest (patch-multiple dims, no "
+        "FOV-discarding crop); the batcher coalesces per shape lane — each "
+        "distinct aspect compiles its own bucket set",
+    )
+    parser.add_argument(
         "--int8", action="store_true",
         help="quantize the ViT linears to the int8 serving tier at startup "
         "(dynamic scales; for the static-calibrated tier pre-quantize the "
@@ -75,7 +81,8 @@ def main(argv=None) -> int:
     buckets = tuple(int(b) for b in args.infer_batch_sizes.split(","))
     server = DepthHTTPServer(model, source, host=args.host, port=args.port,
                              infer_batch_sizes=buckets,
-                             adaptive_batching=args.adaptive_batching)
+                             adaptive_batching=args.adaptive_batching,
+                             keep_aspect=args.keep_aspect)
     if args.warmup:
         dt = server.infer_service.warmup()
         print(f"warmed {len(buckets)} infer buckets in {dt:.1f}s", file=sys.stderr)

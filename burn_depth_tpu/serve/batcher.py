@@ -82,6 +82,16 @@ class DynamicBatcher:
         served greedily (no ``max_delay_s`` latency tax on a lone request);
         bursty traffic still coalesces.  ``max_delay_s`` remains the hard
         ceiling on the linger either way.
+    by_shape:
+        When True, requests are coalesced into *shape lanes*: only frames
+        with identical shape+dtype share a batch, and different-shape
+        arrivals during a linger are held over to seed the next batch
+        (oldest lane first, so no shape starves).  This is the
+        aspect-preserving serving mode — each distinct frame shape is its
+        own set of XLA programs, so keep the shape set small (the aspect
+        prep already quantizes dims to patch multiples).  When False
+        (default), a mixed-shape batch is a client error: ``np.stack``
+        raises and every caller in that batch gets the exception.
     """
 
     def __init__(
@@ -92,6 +102,7 @@ class DynamicBatcher:
         max_delay_s: float = 0.002,
         queue_limit: int = 256,
         adaptive: bool = False,
+        by_shape: bool = False,
     ):
         sizes = sorted(set(int(b) for b in batch_sizes))
         if not sizes or sizes[0] < 1:
@@ -100,6 +111,11 @@ class DynamicBatcher:
         self._batch_sizes = tuple(sizes)
         self._max_delay_s = float(max_delay_s)
         self._adaptive = bool(adaptive)
+        self._by_shape = bool(by_shape)
+        # worker-only state: different-shape requests dequeued during a
+        # linger, FIFO — each _collect seeds from here first so no lane starves
+        self._holdover: list[_Request] = []
+        self._shapes_served: set = set()
         # Arrival-rate EWMA (seconds between submits), maintained under
         # _submit_lock.  None = no history yet → assume sparse (rate 0).
         self._ewma_gap_s: float | None = None
@@ -155,6 +171,12 @@ class DynamicBatcher:
                     break
                 if req is not None and not req.future.cancelled():
                     req.future.set_exception(RuntimeError("batcher stopped"))
+            # shape-lane holdovers live outside the queue; the worker is
+            # dead at this point so the list is safe to drain here
+            for req in self._holdover:
+                if not req.future.cancelled():
+                    req.future.set_exception(RuntimeError("batcher stopped"))
+            self._holdover = []
 
     def __enter__(self) -> "DynamicBatcher":
         return self.start()
@@ -206,6 +228,7 @@ class DynamicBatcher:
                 "mean_batch": self._served / batches,
                 "pad_fraction": self._padded_lanes / (self._served + self._padded_lanes or 1),
                 "mean_queue_wait_ms": 1e3 * self._queue_wait_s / served,
+                "shape_lanes": len(self._shapes_served),
             }
 
     # -- worker ---------------------------------------------------------------
@@ -232,15 +255,34 @@ class DynamicBatcher:
             return True  # back-to-back arrivals — the gap will fill instantly
         return remaining / ewma >= gap
 
+    @staticmethod
+    def _shape_key(frame: np.ndarray):
+        return (np.asarray(frame).shape, np.asarray(frame).dtype.str)
+
     def _collect(self) -> list[_Request]:
         """Block for the first request, then linger ``max_delay_s`` for more
-        (up to the largest bucket)."""
-        first = self._queue.get()
-        if first is None:
-            return []
-        batch = [first]
-        deadline = time.monotonic() + self._max_delay_s
+        (up to the largest bucket).  In ``by_shape`` mode only lane-mates
+        (same shape+dtype as the seed) join the batch; others are held over
+        and seed later rounds oldest-first."""
         max_b = self._batch_sizes[-1]
+        key = None
+        if self._by_shape and self._holdover:
+            first = self._holdover.pop(0)
+        else:
+            first = self._queue.get()
+            if first is None:
+                return []
+        batch = [first]
+        if self._by_shape:
+            key = self._shape_key(first.frame)
+            rest = []
+            for r in self._holdover:  # sweep earlier holdovers into the lane
+                if len(batch) < max_b and self._shape_key(r.frame) == key:
+                    batch.append(r)
+                else:
+                    rest.append(r)
+            self._holdover = rest
+        deadline = time.monotonic() + self._max_delay_s
         while len(batch) < max_b:
             remaining = deadline - time.monotonic()
             block = remaining > 0
@@ -259,6 +301,9 @@ class DynamicBatcher:
                 except queue.Full:  # worker against stop()'s join — and
                     pass  # stop() keeps re-inserting sentinels anyway)
                 break
+            if key is not None and self._shape_key(req.frame) != key:
+                self._holdover.append(req)  # different lane — next rounds
+                continue
             batch.append(req)
             # Already at a bucket boundary and nothing pending? Don't hold
             # the latency budget hostage just to fill a bigger bucket.
@@ -301,3 +346,4 @@ class DynamicBatcher:
             self._batches += 1
             self._padded_lanes += bucket - n
             self._queue_wait_s += sum(now - r.enqueued_at for r in batch)
+            self._shapes_served.add(x.shape[1:] + (x.dtype.str,))

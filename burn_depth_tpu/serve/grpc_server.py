@@ -153,6 +153,7 @@ class DepthGrpcServer:
         *,
         batch_sizes=(1, 2, 4),
         adaptive_batching: bool = False,
+        keep_aspect: bool = False,
         stream_window: int = 8,
         max_workers: int = 8,
     ):
@@ -163,7 +164,8 @@ class DepthGrpcServer:
         self._requested_port = port
         self.port: Optional[int] = None
         self.infer_service = BatchedInferService(
-            model, batch_sizes=batch_sizes, adaptive=adaptive_batching
+            model, batch_sizes=batch_sizes, adaptive=adaptive_batching,
+            keep_aspect=keep_aspect,
         )
         self._servicer = _DepthServicer(self.infer_service, stream_window=stream_window)
         self._max_workers = max_workers

@@ -161,7 +161,7 @@ class DepthHTTPServer:
 
     def __init__(self, model, source, host: str = "127.0.0.1", port: int = 8000,
                  loop_source: bool = True, infer_batch_sizes=(1, 2, 4),
-                 adaptive_batching: bool = False):
+                 adaptive_batching: bool = False, keep_aspect: bool = False):
         self.model = model
         self.source = source
         self.loop_source = loop_source
@@ -173,7 +173,8 @@ class DepthHTTPServer:
         from burn_depth_tpu.serve.service import BatchedInferService
 
         infer_service = BatchedInferService(
-            model, batch_sizes=infer_batch_sizes, adaptive=adaptive_batching
+            model, batch_sizes=infer_batch_sizes, adaptive=adaptive_batching,
+            keep_aspect=keep_aspect,
         )
         self.infer_service = infer_service
         metrics = ServingMetrics()

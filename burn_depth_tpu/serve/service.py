@@ -27,16 +27,26 @@ class BatchedInferService:
     Every request is host-prepped to ONE canonical square resolution (the
     model's preferred input), so concurrent clients share the static-shape
     buckets XLA compiles — the chip sees ``[B, 3, S, S]`` u8 batches with
-    the ImageNet normalize fused in-graph."""
+    the ImageNet normalize fused in-graph.
+
+    ``keep_aspect=True`` (DA3 only) switches to aspect-preserving prep
+    (shortest side to S, dims rounded to patch multiples, no FOV-discarding
+    crop) with the batcher in shape-lane mode: only same-shape frames share
+    a batch, each distinct shape compiling its own bucket set.  Best for
+    traffic with a few recurring aspect ratios; wildly varied shapes pay a
+    compile per new shape (the ``shape_lanes`` stat counts them)."""
 
     def __init__(
         self, model, batch_sizes=(1, 2, 4), max_delay_s: float = 0.003,
-        adaptive: bool = False,
+        adaptive: bool = False, keep_aspect: bool = False,
+        aspect_max_dim: Optional[int] = None,
     ):
         self.model = model
         self._batch_sizes = batch_sizes
         self._max_delay_s = max_delay_s
         self._adaptive = adaptive
+        self._keep_aspect = bool(keep_aspect)
+        self._aspect_max_dim = aspect_max_dim
         self._lock = threading.Lock()
         self._batcher = None
         self._size = None
@@ -63,6 +73,12 @@ class BatchedInferService:
             u8 = jnp.stack([_normalize_u8(depth[i]) for i in range(depth.shape[0])])
             return depth, u8
 
+        if self._keep_aspect and not self._kind_da3:
+            raise ValueError(
+                "keep_aspect is a DA3 feature (patch-multiple dims, per-shape "
+                "pos-embeds); Depth Pro's canonical path squash-resizes the "
+                "full frame to its fixed 1536² input"
+            )
         fn = jax.jit(with_u8_ingest(forward))  # u8 up, normalize fused in-graph
         self._fn, self._params = fn, inner.params  # kept for warmup()
         self._batcher = DynamicBatcher(
@@ -70,6 +86,8 @@ class BatchedInferService:
             batch_sizes=self._batch_sizes,
             max_delay_s=self._max_delay_s,
             adaptive=self._adaptive,
+            # aspect mode: only same-shape frames share a batch (shape lanes)
+            by_shape=self._keep_aspect,
         ).start()
 
     def warmup(self) -> float:
@@ -101,7 +119,16 @@ class BatchedInferService:
         with self._lock:
             if self._batcher is None:
                 self._build()
-        if self._kind_da3:
+        if self._kind_da3 and self._keep_aspect:
+            from burn_depth_tpu.api.preprocess import prepare_depth_anything3_image_aspect
+
+            rgb = prepare_depth_anything3_image_aspect(
+                frame, self._size,
+                patch=getattr(self.model.model, "patch_size", 14),
+                # same panorama cap as the one-shot API (registry.py)
+                max_dim=self._aspect_max_dim or 4 * self._size,
+            ).rgb
+        elif self._kind_da3:
             rgb = native.resize_and_crop_u8(frame, self._size)  # DA3's canonical prep
         elif frame.shape[:2] != (self._size, self._size):
             # Depth Pro never crops FOV away — its canonical path

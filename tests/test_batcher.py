@@ -275,3 +275,76 @@ def test_stop_with_full_queue_does_not_deadlock():
     for f in queued:
         with pytest.raises(RuntimeError, match="batcher stopped"):
             f.result(1.0)
+
+
+def test_shape_lanes_group_by_shape():
+    """by_shape: mixed-shape traffic is coalesced per shape lane — every
+    batch the backend sees is shape-uniform, every caller succeeds, and the
+    stats count the distinct lanes."""
+    seen = []
+
+    def infer(x):
+        seen.append(x.shape)
+        return x + 1
+
+    b = DynamicBatcher(infer, batch_sizes=(1, 2, 4), max_delay_s=0.05, by_shape=True).start()
+    try:
+        futs = []
+        for i in range(6):
+            shape = (2, 2) if i % 2 == 0 else (3, 3)
+            futs.append((shape, b.submit(np.zeros(shape, np.float32))))
+        for shape, f in futs:
+            out = np.asarray(f.result(10.0))
+            np.testing.assert_array_equal(out, np.ones(shape, np.float32))
+        # backend only ever saw shape-uniform batches
+        assert all(s[1:] in ((2, 2), (3, 3)) for s in seen)
+        assert b.stats()["shape_lanes"] == 2
+        assert b.stats()["served"] == 6
+    finally:
+        b.stop()
+
+
+def test_shape_lanes_holdover_not_starved():
+    """A lone odd-shape request held over during another lane's linger must
+    still be served (oldest lane seeds the next round)."""
+    def infer(x):
+        return x
+
+    b = DynamicBatcher(infer, batch_sizes=(4,), max_delay_s=0.02, by_shape=True).start()
+    try:
+        f_a = b.submit(np.zeros((2, 2), np.float32))
+        f_b = b.submit(np.zeros((5, 5), np.float32))  # held over behind lane A
+        assert np.asarray(f_a.result(10.0)).shape == (2, 2)
+        assert np.asarray(f_b.result(10.0)).shape == (5, 5)
+    finally:
+        b.stop()
+
+
+def test_shape_lanes_stop_fails_holdover():
+    """stop() must fail holdover futures too, not just queued ones."""
+    import threading
+
+    started = threading.Event()
+    release = threading.Event()
+
+    def infer(x):
+        started.set()
+        release.wait(10.0)
+        return x
+
+    b = DynamicBatcher(infer, batch_sizes=(1,), max_delay_s=0.2, by_shape=True).start()
+    try:
+        f1 = b.submit(np.zeros((2, 2), np.float32))
+        started.wait(10.0)
+        # while the worker is blocked serving f1, enqueue two different
+        # shapes; the worker's next _collect sweeps one into holdover
+        f2 = b.submit(np.zeros((3, 3), np.float32))
+        f3 = b.submit(np.zeros((4, 4), np.float32))
+    finally:
+        release.set()
+        f1.result(10.0)
+        b.stop()
+    for f in (f2, f3):
+        assert f.done()
+        if f.exception() is not None:
+            assert "stopped" in str(f.exception())

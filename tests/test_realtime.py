@@ -251,3 +251,42 @@ def test_batched_service_warmup_precompiles_buckets():
         assert depth.shape == (28, 28) and u8.dtype == np.uint8
     finally:
         svc.stop()
+
+
+def test_infer_service_keep_aspect_shape_lanes():
+    """keep_aspect: DA3 aspect-preserving prep (patch-multiple dims, no
+    FOV-discarding crop) with per-shape batch lanes — mixed aspect callers
+    each get depth at their own prepped shape."""
+    from burn_depth_tpu.serve.service import BatchedInferService
+
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = AnyDepthModel(
+        DepthModelKind.DEPTH_ANYTHING3, DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    )
+    svc = BatchedInferService(model, batch_sizes=(1, 2), keep_aspect=True)
+    try:
+        # 40x60 -> shortest 40->28 (scale .7), 60*.7=42 -> (28, 42)
+        d_wide, u8 = svc.infer(np.zeros((40, 60, 3), np.uint8))
+        assert d_wide.shape == (28, 42) and u8.shape == (28, 42)
+        # portrait: 60x40 -> (42, 28)
+        d_tall, _ = svc.infer(np.zeros((60, 40, 3), np.uint8))
+        assert d_tall.shape == (42, 28)
+        assert svc.stats()["shape_lanes"] == 2
+    finally:
+        svc.stop()
+
+
+def test_infer_service_keep_aspect_rejects_depth_pro():
+    import pytest
+
+    from burn_depth_tpu.serve.service import BatchedInferService
+
+    model = AnyDepthModel(
+        DepthModelKind.DEPTH_PRO, DepthPro.init(jax.random.PRNGKey(0), DepthProConfig.tiny_test())
+    )
+    svc = BatchedInferService(model, batch_sizes=(1,), keep_aspect=True)
+    try:
+        with pytest.raises(ValueError, match="keep_aspect"):
+            svc.infer(np.zeros((40, 60, 3), np.uint8))
+    finally:
+        svc.stop()
