@@ -57,6 +57,12 @@ def main(argv=None) -> int:
     parser.add_argument("--batch", type=int, default=2)
     parser.add_argument("--align", action="store_true", help="affine-align predictions per image before scoring")
     parser.add_argument(
+        "--boundary", action="store_true",
+        help="add the occlusion-boundary F1 (Depth Pro paper's sharpness "
+        "metric) to the battery — dense GT only (NYU, synthetic); "
+        "meaningless on sparse LiDAR",
+    )
+    parser.add_argument(
         "--views", type=int, default=1,
         help="multi-view DA3: score scene dirs (cli/train schema) through "
         "cross-view inference; adds pose metrics when scenes carry poses.json",
@@ -115,6 +121,7 @@ def main(argv=None) -> int:
         max_batches=max_batches,
         # published benchmark averaging: per-image metrics, equal weight
         per_image=benchmark,
+        boundary=args.boundary,
     )
     print(" ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items())), flush=True)
     return 0

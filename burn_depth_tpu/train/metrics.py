@@ -19,7 +19,110 @@ import jax.numpy as jnp
 
 from burn_depth_tpu.train.losses import affine_alignment, masked_mean
 
-__all__ = ["depth_metrics", "aligned_depth_metrics", "evaluate_model", "pose_metrics"]
+__all__ = [
+    "boundary_f1",
+    "boundary_recall_from_mask",
+    "depth_metrics",
+    "aligned_depth_metrics",
+    "evaluate_model",
+    "pose_metrics",
+]
+
+
+def _fgbg_depth(d: jnp.ndarray, t: float | jnp.ndarray):
+    """Ordinal occlusion maps between 4-neighbors: for every adjacent pixel
+    pair, is one side closer than the other by more than factor ``t``?
+
+    Returns four boolean maps — (left-closer, right-closer) over horizontal
+    pairs ``[..., H, W-1]`` and (top-closer, bottom-closer) over vertical
+    pairs ``[..., H-1, W]``.  The ratio test is scale-invariant, which is
+    what makes the boundary metrics comparable across metric and relative
+    depth (the "SI" in the Depth Pro paper's boundary battery).
+    """
+    d = jnp.maximum(d.astype(jnp.float32), 1e-9)
+    h_l, h_r = d[..., :, :-1], d[..., :, 1:]
+    v_t, v_b = d[..., :-1, :], d[..., 1:, :]
+    return h_r > t * h_l, h_l > t * h_r, v_b > t * v_t, v_t > t * v_b
+
+
+def _pair_valid(valid: jnp.ndarray):
+    """A neighbor pair counts only when BOTH pixels have valid GT."""
+    v = valid.astype(jnp.float32)
+    return v[..., :, :-1] * v[..., :, 1:], v[..., :-1, :] * v[..., 1:, :]
+
+
+def boundary_f1(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    *,
+    t_min: float = 1.05,
+    t_max: float = 1.25,
+    steps: int = 10,
+) -> jnp.ndarray:
+    """Scale-invariant occlusion-boundary F1 (the Depth Pro paper's
+    sharpness metric): precision/recall of the prediction's ordinal
+    depth-discontinuity maps against the target's, averaged over ratio
+    thresholds ``linspace(t_min, t_max, steps)``.
+
+    Needs DENSE ground truth — sparse LiDAR (KITTI) has almost no valid
+    4-neighbor pairs, so the metric is meaningless there; use it on NYU /
+    synthetic / archive GT.  Pooled over the batch; wrap in ``vmap`` for
+    per-image averaging (``evaluate_model(per_image=True)`` does).
+    """
+    valid = (target > 1e-6).astype(jnp.float32)
+    if mask is not None:
+        valid = valid * mask.astype(jnp.float32)
+    vh, vv = _pair_valid(valid)
+
+    def f1_at(t):
+        ph = _fgbg_depth(pred, t)
+        gh = _fgbg_depth(target, t)
+        tp = hit = want = 0.0
+        for p, g, v in zip(ph, gh, (vh, vh, vv, vv)):
+            p = p.astype(jnp.float32) * v
+            g = g.astype(jnp.float32) * v
+            tp += (p * g).sum()
+            hit += p.sum()
+            want += g.sum()
+        prec = tp / jnp.maximum(hit, 1.0)
+        rec = tp / jnp.maximum(want, 1.0)
+        denom = prec + rec
+        return jnp.where(denom > 0, 2.0 * prec * rec / jnp.maximum(denom, 1e-12), 0.0)
+
+    ts = jnp.linspace(t_min, t_max, steps)
+    return jax.vmap(f1_at)(ts).mean()
+
+
+def boundary_recall_from_mask(
+    pred: jnp.ndarray,
+    fg_mask: jnp.ndarray,
+    *,
+    t_min: float = 1.05,
+    t_max: float = 1.25,
+    steps: int = 10,
+) -> jnp.ndarray:
+    """Boundary recall against a binary foreground mask (the Depth Pro
+    paper's battery for matting/segmentation datasets, where only object
+    silhouettes — not dense depth — are annotated): of the mask's
+    foreground→background transitions, how many does the predicted depth
+    mark as an occluding contour with the foreground side closer?"""
+    m = (fg_mask > 0.5).astype(jnp.float32)
+    # GT transitions with orientation: fg on the left/right/top/bottom side
+    g_lr = (m[..., :, 1:] < m[..., :, :-1]).astype(jnp.float32)  # fg left, bg right
+    g_rl = (m[..., :, 1:] > m[..., :, :-1]).astype(jnp.float32)
+    g_tb = (m[..., 1:, :] < m[..., :-1, :]).astype(jnp.float32)  # fg top, bg bottom
+    g_bt = (m[..., 1:, :] > m[..., :-1, :]).astype(jnp.float32)
+
+    def recall_at(t):
+        lc, rc, tc, bc = _fgbg_depth(pred, t)  # closer-side maps
+        tp = (lc.astype(jnp.float32) * g_lr).sum() + (rc.astype(jnp.float32) * g_rl).sum() \
+            + (tc.astype(jnp.float32) * g_tb).sum() + (bc.astype(jnp.float32) * g_bt).sum()
+        want = g_lr.sum() + g_rl.sum() + g_tb.sum() + g_bt.sum()
+        return tp / jnp.maximum(want, 1.0)
+
+    ts = jnp.linspace(t_min, t_max, steps)
+    return jax.vmap(recall_at)(ts).mean()
 
 
 def pose_metrics(
@@ -70,11 +173,13 @@ def depth_metrics(
     mask: jnp.ndarray | None = None,
     *,
     eps: float = 1e-6,
+    boundary: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """The Eigen metric battery over valid pixels; scalars (batch-pooled).
 
     ``mask`` marks valid ground truth; nonpositive targets are always
-    excluded.  All math in f32.
+    excluded.  All math in f32.  ``boundary`` adds the occlusion-boundary
+    F1 (:func:`boundary_f1` — dense GT only).
     """
     pred = jnp.clip(pred_depth.astype(jnp.float32), eps, None)
     tgt = target_depth.astype(jnp.float32)
@@ -99,7 +204,7 @@ def depth_metrics(
     m2 = masked_mean(log_diff * log_diff, valid)
     silog = jnp.sqrt(jnp.maximum(m2 - m1 * m1, 0.0)) * 100.0
 
-    return {
+    out = {
         "abs_rel": abs_rel,
         "sq_rel": sq_rel,
         "rmse": rmse,
@@ -110,23 +215,30 @@ def depth_metrics(
         "delta3": d3,
         "silog": silog,
     }
+    if boundary:
+        out["boundary_f1"] = boundary_f1(pred, target_depth, mask)
+    return out
 
 
 def aligned_depth_metrics(
     pred: jnp.ndarray,
     target_depth: jnp.ndarray,
     mask: jnp.ndarray | None = None,
+    *,
+    boundary: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Metrics after per-image affine alignment of ``pred`` to the target.
 
     The standard protocol for relative-depth models (MiDaS/DA-family): fit
     ``s·pred + t`` to ground truth per image in depth space, clamp to
-    positive, then run the metric battery.
+    positive, then run the metric battery.  (The boundary F1's ratio test
+    is scale- but not shift-invariant, so it too is scored on the aligned
+    prediction — consistent with the rest of the battery.)
     """
     s, t = affine_alignment(pred, target_depth, mask)
     shape = (-1,) + (1,) * (pred.ndim - 1)
     aligned = pred.astype(jnp.float32) * s.reshape(shape) + t.reshape(shape)
-    return depth_metrics(aligned, target_depth, mask)
+    return depth_metrics(aligned, target_depth, mask, boundary=boundary)
 
 
 def evaluate_model(
@@ -137,6 +249,7 @@ def evaluate_model(
     max_batches: Optional[int] = None,
     extra_metrics: Optional[Callable[[Any, dict], Dict[str, Any]]] = None,
     per_image: bool = False,
+    boundary: bool = False,
 ) -> Dict[str, float]:
     """Run ``predict_fn(image) -> depth [B,H,W]`` over batches and average.
 
@@ -163,12 +276,19 @@ def evaluate_model(
     Images with empty valid masks are skipped, as every published harness
     does.  Incompatible with ``extra_metrics`` (whose aux outputs are not
     per-image decomposable here).
+
+    ``boundary`` adds the scale-invariant occlusion-boundary F1 to the
+    battery (:func:`boundary_f1`; dense GT only — see its docstring).
     """
     from burn_depth_tpu.ops.interpolate import resize_bilinear
 
     if per_image and extra_metrics is not None:
         raise ValueError("per_image and extra_metrics are mutually exclusive")
-    base_fn = aligned_depth_metrics if align else depth_metrics
+    import functools
+
+    base_fn = functools.partial(
+        aligned_depth_metrics if align else depth_metrics, boundary=boundary
+    )
 
     if per_image:
         def _one(p, t, m):

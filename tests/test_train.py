@@ -579,3 +579,83 @@ def test_canonicalize_poses_gauge_and_scale_invariant():
     # comparison measures the coordinate convention, not the model
     raw = pose_metrics(jnp.asarray(e_new), jnp.asarray(e))
     assert float(raw["rot_deg"]) > 1.0
+
+
+
+# ---- occlusion-boundary battery (Depth Pro paper's sharpness metrics) ----
+
+
+def _step_depth(h=16, w=16, near=1.0, far=3.0):
+    """Left half near, right half far — one vertical occluding contour."""
+    d = np.full((1, h, w), far, np.float32)
+    d[:, :, : w // 2] = near
+    return d
+
+
+def test_boundary_f1_perfect_and_flat():
+    from burn_depth_tpu.train.metrics import boundary_f1
+
+    gt = _step_depth()
+    assert float(boundary_f1(jnp.asarray(gt), jnp.asarray(gt))) == pytest.approx(1.0)
+    # flat prediction marks no contour at all -> F1 0
+    flat = np.full_like(gt, 2.0)
+    assert float(boundary_f1(jnp.asarray(flat), jnp.asarray(gt))) == pytest.approx(0.0)
+    # flat GT + edgy prediction: no true boundary, zero precision -> 0
+    assert float(boundary_f1(jnp.asarray(gt), jnp.asarray(flat))) == pytest.approx(0.0)
+
+
+def test_boundary_f1_scale_invariant_shift_not():
+    from burn_depth_tpu.train.metrics import boundary_f1
+
+    gt = _step_depth()
+    rng = np.random.default_rng(0)
+    pred = gt * np.exp(rng.normal(0, 0.01, gt.shape)).astype(np.float32)
+    a = float(boundary_f1(jnp.asarray(pred), jnp.asarray(gt)))
+    b = float(boundary_f1(jnp.asarray(7.5 * pred), jnp.asarray(gt)))
+    assert a == pytest.approx(b, abs=1e-6)  # pure scale cancels in the ratio test
+    # a large +shift compresses ratios below threshold -> F1 collapses
+    c = float(boundary_f1(jnp.asarray(pred + 50.0), jnp.asarray(gt)))
+    assert c < a
+
+
+def test_boundary_f1_mask_excludes_pairs():
+    from burn_depth_tpu.train.metrics import boundary_f1
+
+    gt = _step_depth()
+    pred = gt.copy()
+    # corrupt the prediction with a bogus contour inside a masked-out band
+    pred[:, 2, :] = np.linspace(1, 10, gt.shape[2], dtype=np.float32)
+    mask = np.ones_like(gt)
+    mask[:, 1:4, :] = 0.0  # both pixels of every pair touching rows 1-3 invalid
+    with_mask = float(boundary_f1(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)))
+    without = float(boundary_f1(jnp.asarray(pred), jnp.asarray(gt)))
+    assert with_mask == pytest.approx(1.0)
+    assert without < 1.0
+
+
+def test_boundary_recall_from_mask_orientation():
+    from burn_depth_tpu.train.metrics import boundary_recall_from_mask
+
+    h = w = 12
+    fg = np.zeros((1, h, w), np.float32)
+    fg[:, 4:8, 4:8] = 1.0  # foreground square
+    near = np.full((1, h, w), 5.0, np.float32)
+    near[:, 4:8, 4:8] = 1.0  # fg closer — correct occluding contour
+    assert float(boundary_recall_from_mask(jnp.asarray(near), jnp.asarray(fg))) == pytest.approx(1.0)
+    # inverted depth: fg marked FARTHER -> orientation-aware recall is 0
+    assert float(boundary_recall_from_mask(jnp.asarray(6.0 - near), jnp.asarray(fg))) == pytest.approx(0.0)
+
+
+def test_evaluate_model_boundary_flag():
+    from burn_depth_tpu.train.metrics import evaluate_model
+
+    gt = _step_depth()
+    batches = [{"image": gt[:, None], "depth": gt[0][None]}]
+    scores = evaluate_model(lambda img: jnp.asarray(gt), iter(batches), boundary=True)
+    assert scores["boundary_f1"] == pytest.approx(1.0)
+    assert "abs_rel" in scores
+    # per-image benchmark averaging path carries it too
+    scores_pi = evaluate_model(
+        lambda img: jnp.asarray(gt), iter(batches), boundary=True, per_image=True
+    )
+    assert scores_pi["boundary_f1"] == pytest.approx(1.0)
