@@ -417,6 +417,12 @@ def main(argv=None) -> int:
     parser.add_argument("--ckpt-every", type=int, default=50, help="save cadence for --ckpt-dir (steps)")
     parser.add_argument("--ckpt-keep", type=int, default=3, help="retention for --ckpt-dir")
     parser.add_argument("--log-every", type=int, default=10)
+    parser.add_argument(
+        "--log-jsonl", default=None,
+        help="append one JSON line per logged step ({step, loss, ..., "
+        "img_per_s, wall_s}) and a final {event: 'eval', ...} record — the "
+        "machine-readable training history (plots, regression tracking)",
+    )
     parser.add_argument("--eval-batches", type=int, default=0, help="score N batches after training (held-out synthetic seed, or --eval-data)")
     parser.add_argument("--eval-data", default=None, help="held-out dir for --eval-batches (falls back to --data, labeled train-set)")
     parser.add_argument("--seed", type=int, default=0)
@@ -652,6 +658,15 @@ def main(argv=None) -> int:
             }
         return b
 
+    log_f = open(args.log_jsonl, "a") if args.log_jsonl else None
+
+    def log_record(rec: dict) -> None:
+        if log_f is not None:
+            import json
+
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()  # survive a killed run — the history is the point
+
     t0 = time.time()
     done = 0
     for batch in prefetch_to_device(map(shaped, gen), step.input_sharding):
@@ -667,6 +682,11 @@ def main(argv=None) -> int:
                 f"{k}={float(v):.4f}" for k, v in metrics.items() if k != "step"
             )
             print(f"step {int(metrics['step'])}: {parts} ({rate:.2f} img/s)", flush=True)
+            log_record(
+                {"step": int(metrics["step"]), "img_per_s": round(rate, 3),
+                 "wall_s": round(time.time() - t0, 3),
+                 **{k: float(v) for k, v in metrics.items() if k != "step"}}
+            )
         if done >= args.steps:
             break
 
@@ -734,6 +754,10 @@ def main(argv=None) -> int:
             per_image=per_image,
         )
         print(f"{label}: " + " ".join(f"{k}={v:.4f}" for k, v in sorted(scores.items())), flush=True)
+        log_record({"event": "eval", "label": label,
+                    **{k: float(v) for k, v in sorted(scores.items())}})
+    if log_f is not None:
+        log_f.close()
     return 0
 
 

@@ -569,3 +569,32 @@ def test_train_cli_variant_metric_large(tmp_path):
         "--remat", "none", "--platform", "cpu",
     ])
     assert rc == 0
+
+
+def test_train_cli_log_jsonl(tmp_path):
+    """--log-jsonl appends machine-readable step records + a final eval
+    record (the training-history artifact for plots/regression tracking)."""
+    import json
+
+    from burn_depth_tpu.cli.train import main as train_main
+
+    log = str(tmp_path / "history.jsonl")
+    rc = train_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--steps", "2",
+        "--batch", "1", "--log-every", "1", "--remat", "none",
+        "--eval-batches", "1", "--log-jsonl", log,
+    ])
+    assert rc == 0
+    recs = [json.loads(line) for line in open(log)]
+    steps = [r for r in recs if "event" not in r]
+    assert [r["step"] for r in steps] == [1, 2]
+    assert all("loss" in r and "img_per_s" in r and "wall_s" in r for r in steps)
+    assert recs[-1]["event"] == "eval" and "abs_rel" in recs[-1]
+    # append mode: a resumed run extends the same history file
+    rc = train_main([
+        "--model", "depth-anything-3", "--preset", "tiny", "--steps", "1",
+        "--batch", "1", "--log-every", "1", "--remat", "none",
+        "--log-jsonl", log,
+    ])
+    assert rc == 0
+    assert len([json.loads(line) for line in open(log)]) == len(recs) + 1
