@@ -100,10 +100,13 @@ class AnyDepthModel:
 
     # ---- loading -----------------------------------------------------------
     @staticmethod
-    def load(kind: DepthModelKind, checkpoint: str) -> "AnyDepthModel":
+    def load(kind: DepthModelKind, checkpoint: str, config=None) -> "AnyDepthModel":
+        """``config``: optional config-dataclass override (e.g. from
+        ``core.configio``) for non-preset geometries; None = preset defaults
+        with the reference's DA3 fallback-retry."""
         if kind == DepthModelKind.DEPTH_PRO:
-            return AnyDepthModel(kind, _load_depth_pro(checkpoint))
-        return AnyDepthModel(kind, _load_depth_anything3(checkpoint))
+            return AnyDepthModel(kind, _load_depth_pro(checkpoint, config))
+        return AnyDepthModel(kind, _load_depth_anything3(checkpoint, config))
 
     # ---- reference accessors ------------------------------------------------
     @property
@@ -230,33 +233,37 @@ def load_model(kind: Union[DepthModelKind, str], checkpoint: Optional[str] = Non
     return AnyDepthModel.load(kind, checkpoint)
 
 
-def _load_depth_pro(checkpoint: str):
+def _load_depth_pro(checkpoint: str, config=None):
     from burn_depth_tpu.io.checkpoint import load_checkpoint
     from burn_depth_tpu.io.importers import import_depth_pro
     from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
 
     if _is_native_checkpoint(checkpoint):
-        config = DepthProConfig.dinov2_l16_384()
+        config = config or DepthProConfig.dinov2_l16_384()
         if _is_quantized_checkpoint(checkpoint):
             return DepthPro.load_quantized(checkpoint, config)
         template = DepthPro.init(jax.random.PRNGKey(0), config).params
         return DepthPro(config, load_checkpoint(checkpoint, template))
-    model, _ = import_depth_pro(checkpoint)
+    model, _ = import_depth_pro(checkpoint, config=config)
     return model
 
 
-def _load_depth_anything3(checkpoint: str):
+def _load_depth_anything3(checkpoint: str, config=None):
     from burn_depth_tpu.io.checkpoint import load_checkpoint
     from burn_depth_tpu.io.importers import import_da3
     from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
 
     hint = os.path.basename(checkpoint).lower()
-    configs = [
-        ("metric-large", DepthAnything3Config.metric_large()),
-        ("small", DepthAnything3Config.small()),
-    ]
-    if "small" in hint:
-        configs.reverse()
+    if config is not None:
+        variant = "small" if config.head.dual_head else "metric-large"
+        configs = [(variant, config)]
+    else:
+        configs = [
+            ("metric-large", DepthAnything3Config.metric_large()),
+            ("small", DepthAnything3Config.small()),
+        ]
+        if "small" in hint:
+            configs.reverse()
 
     native = _is_native_checkpoint(checkpoint)
     quantized = native and _is_quantized_checkpoint(checkpoint)

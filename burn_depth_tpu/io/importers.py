@@ -23,7 +23,13 @@ import jax
 import numpy as np
 
 from burn_depth_tpu.io.checkpoint import _path_str, load_safetensors, unflatten_into
-from burn_depth_tpu.io.remap import KeyRemapper, da3_remap_rules, depth_pro_remap_rules
+from burn_depth_tpu.io.remap import (
+    KeyRemapper,
+    da3_remap_rules,
+    depth_pro_remap_rules,
+    hf_depth_pro_remap_rules,
+    merge_packed_qkv,
+)
 
 # Keys the upstream checkpoints carry that this framework has no parameter
 # for.  mask_token: reference allowlists the same three (import_depth_pro.rs:439-445);
@@ -67,38 +73,68 @@ def load_state_dict(path: str) -> dict[str, np.ndarray]:
     return out
 
 
-def _apply(template: Any, state: dict[str, np.ndarray], rules) -> tuple[Any, ImportReport]:
+def _apply(
+    template: Any, state: dict[str, np.ndarray], rules, fixup=None
+) -> tuple[Any, ImportReport]:
     remapper = KeyRemapper(rules)
     remap_table = remapper.remap_all(state.keys())
     template_paths = {
         _path_str(p) for p, _ in jax.tree_util.tree_flatten_with_path(template)[0]
     }
 
+    dotted = {new: state[orig] for orig, new in remap_table.items()}
+    if fixup is not None:
+        # structural transform regex renames can't express (e.g. HF's
+        # separate q/k/v → apple's packed qkv concat)
+        dotted = fixup(dotted)
+
     flat: dict[str, np.ndarray] = {}
     ignored: list[str] = []
-    for orig, new in remap_table.items():
+    for new, tensor in dotted.items():
         slash = new.replace(".", "/")
         # A key is droppable only when it is BOTH declared ignorable AND the
         # template has no such parameter.  If the template does have it (e.g.
         # a config with register tokens enabled), the tensor must apply —
         # silently ignoring it would mask a config mismatch.
         if slash not in template_paths and any(re.search(p, slash) for p in IGNORABLE_PATTERNS):
-            ignored.append(orig)
+            ignored.append(new)
             continue
-        flat[slash] = state[orig]
+        flat[slash] = tensor
 
     params = unflatten_into(template, flat)
     return params, ImportReport(applied=len(flat), ignored=ignored, remap_table=remap_table)
 
 
+def is_hf_depth_pro_state(state: dict) -> bool:
+    """``transformers`` DepthPro layout (``apple/DepthPro-hf``): the towers
+    live under a ``depth_pro.`` root; apple's own checkpoint has none."""
+    return any(k.startswith("depth_pro.") for k in state)
+
+
 def import_depth_pro(path: str, config=None) -> tuple[Any, ImportReport]:
-    """``depth_pro.pt`` (apple/ml-depth-pro) → ``DepthPro``."""
+    """Depth Pro checkpoint → ``DepthPro``.  Accepts both upstream layouts:
+    apple/ml-depth-pro ``depth_pro.pt`` and the HuggingFace port's state dict
+    (``apple/DepthPro-hf`` safetensors), auto-detected by key root."""
+    state = load_state_dict(path)
+    if is_hf_depth_pro_state(state):
+        return import_depth_pro_hf_state(state, config)
     from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
 
     config = config or DepthProConfig.dinov2_l16_384()
     template = DepthPro.init(jax.random.PRNGKey(0), config).params
-    state = load_state_dict(path)
     params, report = _apply(template, state, depth_pro_remap_rules())
+    return DepthPro(config, params), report
+
+
+def import_depth_pro_hf_state(state: dict[str, np.ndarray], config=None) -> tuple[Any, ImportReport]:
+    """``transformers.DepthProForDepthEstimation`` state dict → ``DepthPro``
+    through the same strict remap/apply machinery as the apple importer
+    (rules: ``io/remap.py hf_depth_pro_remap_rules``; q/k/v are re-packed)."""
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+    config = config or DepthProConfig.dinov2_l16_384()
+    template = DepthPro.init(jax.random.PRNGKey(0), config).params
+    params, report = _apply(template, state, hf_depth_pro_remap_rules(), fixup=merge_packed_qkv)
     return DepthPro(config, params), report
 
 

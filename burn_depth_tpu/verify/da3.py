@@ -31,6 +31,7 @@ def run_da3_parity(
     thresholds: Optional[dict] = None,
 ) -> ParityReport:
     th = {**DA3_THRESHOLDS, **(thresholds or {})}
+    rel_floor = th.get("rel_floor", 1e-6)
     stages: list[StageStats] = []
     failures: list[str] = []
     skipped: list[str] = []
@@ -43,7 +44,9 @@ def run_da3_parity(
         if ours is None:
             skipped.append(f"{name} (model emits none)")
             return
-        s = compute_stats(name, np.asarray(ours, np.float32), np.asarray(g, np.float32))
+        s = compute_stats(
+            name, np.asarray(ours, np.float32), np.asarray(g, np.float32), rel_floor=rel_floor
+        )
         stages.append(s)
         if gate and not s.within(th["mean_abs"], th["max_abs"], th["max_rel"]):
             failures.append(

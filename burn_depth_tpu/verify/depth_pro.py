@@ -79,6 +79,7 @@ def run_depth_pro_parity(
     thresholds: Optional[dict] = None,
 ) -> ParityReport:
     th = {**DEPTH_PRO_THRESHOLDS, **(thresholds or {})}
+    rel_floor = th.get("rel_floor", 1e-6)
     stages: list[StageStats] = []
     failures: list[str] = []
     skipped: list[str] = []
@@ -87,7 +88,7 @@ def run_depth_pro_parity(
         if name not in golden:
             skipped.append(name)
             return
-        s = compute_stats(name, np.asarray(ours, np.float32), golden[name])
+        s = compute_stats(name, np.asarray(ours, np.float32), golden[name], rel_floor=rel_floor)
         stages.append(s)
         if fov:
             if s.max_abs > th["fov_deg"]:

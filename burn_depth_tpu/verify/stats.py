@@ -33,16 +33,22 @@ class StageStats:
         return ok
 
 
-def compute_stats(name: str, ours: np.ndarray, golden: np.ndarray) -> StageStats:
+def compute_stats(
+    name: str, ours: np.ndarray, golden: np.ndarray, rel_floor: float = 1e-6
+) -> StageStats:
     """mean-abs / max-abs / max-rel with the reference's rel-denominator guard
-    (|golden| must exceed 1e-6, ``correctness.rs:499-504``)."""
+    (|golden| must exceed ``rel_floor``, default 1e-6 —
+    ``correctness.rs:499-504``).  The guard presumes the real checkpoints'
+    O(1)–O(10) feature scales; random thin-model fixtures (features O(0.1))
+    pass a larger floor so float-cancellation noise near zero doesn't read as
+    relative error while mean/max-abs stay at full reference strictness."""
     ours = np.asarray(ours, np.float32)
     golden = np.asarray(golden, np.float32)
     if ours.shape != golden.shape:
         raise ValueError(f"{name}: shape mismatch ours={ours.shape} golden={golden.shape}")
     diff = np.abs(ours - golden)
     denom = np.abs(golden)
-    rel = np.where(denom > 1e-6, diff / np.maximum(denom, 1e-30), 0.0)
+    rel = np.where(denom > rel_floor, diff / np.maximum(denom, 1e-30), 0.0)
     worst = np.unravel_index(int(np.argmax(diff)), diff.shape) if diff.size else ()
     return StageStats(
         name=name,

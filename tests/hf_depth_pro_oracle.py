@@ -120,8 +120,23 @@ def _fusion_from_hf(sd, key: str, has_deconv: bool) -> dict:
     }
 
 
-def hf_to_params(hf_model, vit_depth: int) -> dict:
-    """Convert an HF DepthProForDepthEstimation state dict to our param tree."""
+def hf_to_params(hf_model, vit_depth: int, config=None) -> dict:
+    """Convert an HF DepthProForDepthEstimation state dict to our param tree.
+
+    With ``config`` given, routes through the production importer
+    (``io.importers.import_depth_pro_hf_state`` — regex remap table + packed
+    qkv merge + strict template apply), so the oracle tests pin the real HF
+    import path.  Without it, falls back to the hand-rolled structural
+    conversion below (kept as independent documentation of the mapping)."""
+    if config is not None:
+        from burn_depth_tpu.io.importers import import_depth_pro_hf_state
+
+        state = {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
+        model, report = import_depth_pro_hf_state(state, config)
+        # every source tensor must either apply or be explicitly ignorable;
+        # qkv triplets merge 3 → 1 so count via the remap table instead
+        assert len(report.remap_table) == len(state)
+        return model.params
     sd = hf_model.state_dict()
 
     encoder = {

@@ -28,7 +28,9 @@ from hf_depth_pro_oracle import build_hf_oracle, hf_to_params, ours_config  # no
 def oracle_pair():
     hf, _dims = build_hf_oracle(embed_dim=32, depth=12, heads=2, fusion=32)
     cfg = ours_config(embed_dim=32, depth=12, heads=2, fusion=32)
-    params = hf_to_params(hf, vit_depth=12)
+    # route through io.importers' HF remap path so these oracle tests also
+    # pin the production import table (hf_depth_pro_remap_rules + qkv merge)
+    params = hf_to_params(hf, vit_depth=12, config=cfg)
     return hf, cfg, params
 
 
