@@ -2,14 +2,25 @@
 """Golden-tensor dump for Depth Anything 3 (counterpart of the reference's
 ``tool/correctness_da3.py``; same output schema so dumps interchange).
 
-Runs the upstream ByteDance DA3 PyTorch repo on an image and dumps outputs +
-per-stage backbone tokens + aux-neck taps to safetensors for
-``burn_depth_tpu.verify`` to replay.
+Two PyTorch backends produce the dump:
 
-Requires the DA3 repo importable (the reference checks it out under
-``target/depth-anything-3/src``) and its checkpoint.  Keys dumped:
+* ``--backend upstream`` (default) — the upstream ByteDance DA3 repo + its
+  checkpoint (the reference's own golden source; needs network/weights).
+* ``--backend oracle`` — ``tools/torch_da3_oracle.py``, an independent
+  torch-only DA3 (DINOv2 backbone + mono DPT head) written from the reference
+  spec with upstream ByteDance parameter naming.  Runs fully offline with
+  seeded random weights at real ViT-S geometry (518², patch 14, embed 384,
+  12 blocks, thin head).  ``--save-state`` additionally writes its state dict
+  as safetensors — importable by ``burn_depth_tpu.io.importers.import_da3``
+  (upstream key layout) — and ``--save-config`` writes the matching model
+  config JSON for ``cli.correctness --config``.  Together these let the DA3
+  golden-dump → import → verify-gate pipeline (incl. the head-only-from-
+  tokens bisection, ``example/da3_small_correctness.rs:279-326``) execute
+  end-to-end on a dump this framework did not synthesize.
 
-    depth, metric_input, depth_confidence, [ray, ray_confidence],
+Keys dumped:
+
+    depth, metric_input, [depth_confidence, ray, ray_confidence],
     [pose_encoding, extrinsics, intrinsics],
     backbone_tokens.stage{i}, [aux_stage_necks.stage{i}, aux_logits,
     aux_head_input]
@@ -28,15 +39,86 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main() -> int:
+def run_oracle(args) -> int:
+    import torch
+    from safetensors.torch import save_file
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from torch_da3_oracle import TorchDA3Oracle
+
+    oracle = TorchDA3Oracle(img_size=args.size).randomize(seed=args.seed).eval()
+
+    import numpy as np
+    from PIL import Image
+
+    from burn_depth_tpu.api.preprocess import TORCH_BICUBIC, resize_bicubic
+
+    image = np.asarray(Image.open(args.image).convert("RGB"))
+    resized = resize_bicubic(image, args.size, args.size, a=TORCH_BICUBIC)
+    arr = torch.from_numpy(resized).permute(2, 0, 1).float() / 255.0
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
+    tensor = ((arr - mean) / std)[None]  # [1, 3, H, W]
+
+    with torch.inference_mode():
+        depth, patch_hooks = oracle(tensor)
+
+    tensors = {"metric_input": tensor.contiguous(), "depth": depth.contiguous()}
+    for i, tok in enumerate(patch_hooks):
+        tensors[f"backbone_tokens.stage{i}"] = tok.contiguous()
+
+    args.out.parent.mkdir(parents=True, exist_ok=True)
+    save_file({k: v.cpu() for k, v in tensors.items()}, str(args.out))
+    print(f"wrote {len(tensors)} tensors to {args.out}")
+
+    if args.save_state is not None:
+        sd = {k: v.detach().cpu().contiguous() for k, v in oracle.state_dict().items()}
+        args.save_state.parent.mkdir(parents=True, exist_ok=True)
+        save_file(sd, str(args.save_state))
+        print(f"wrote oracle state dict ({len(sd)} tensors) to {args.save_state}")
+
+    if args.save_config is not None:
+        from burn_depth_tpu.core.configio import save_config
+        from burn_depth_tpu.models.da3.dpt import DepthAnything3HeadConfig
+        from burn_depth_tpu.models.da3.model import DepthAnything3Config
+
+        cfg = DepthAnything3Config(
+            image_size=args.size,
+            patch_size=oracle.patch,
+            hook_block_ids=oracle.hook_ids,
+            head=DepthAnything3HeadConfig(
+                dim_in=384, features=16, out_channels=(8, 12, 16, 16),
+                output_dim=1, activation="exp", conf_activation="exp",
+            ),
+            attn_impl="jnp",
+        )
+        save_config(str(args.save_config), cfg)
+        print(f"wrote model config to {args.save_config}")
+    return 0
+
+
+def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
+    parser.add_argument("--backend", choices=["upstream", "oracle"], default="upstream")
     parser.add_argument("--image", type=Path, required=True)
-    parser.add_argument("--checkpoint", type=Path, required=True)
+    parser.add_argument("--checkpoint", type=Path, default=None,
+                        help="DA3 checkpoint (upstream backend)")
     parser.add_argument("--config", type=Path, default=None, help="DA3 YAML model config")
     parser.add_argument("--size", type=int, default=518)
+    parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=Path, default=Path("test_da3_reference.safetensors"))
+    parser.add_argument("--save-state", type=Path, default=None,
+                        help="oracle backend: also write the state dict (importable checkpoint)")
+    parser.add_argument("--save-config", type=Path, default=None,
+                        help="oracle backend: also write the model config JSON for cli.correctness")
     parser.add_argument("--skip-intermediates", action="store_true")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
+
+    if args.backend == "oracle":
+        return run_oracle(args)
+    if args.checkpoint is None:
+        print("--backend upstream needs --checkpoint", file=sys.stderr)
+        return 2
 
     try:
         import numpy as np
