@@ -53,6 +53,10 @@ class DepthAnything3Config:
     camera_encoder: Optional[CameraEncoderConfig] = None
     camera_decoder: Optional[CameraDecoderConfig] = None
     attn_impl: str = "auto"
+    # DA3-small reconstruction-sweep knobs, passed through to the backbone
+    # (``DinoViTConfig.rope_coords`` / ``.cat_order`` — PARITY.md sweep).
+    rope_coords: str = "index"
+    cat_order: str = "prev_first"
 
     @staticmethod
     def metric_large() -> "DepthAnything3Config":
@@ -76,7 +80,7 @@ class DepthAnything3Config:
             cfg = DinoViTConfig.vits(self.image_size, self.patch_size)
         if self.head.dual_head:
             cfg = cfg.da3_small_variant()
-        return dataclasses.replace(cfg, **{})
+        return dataclasses.replace(cfg, rope_coords=self.rope_coords, cat_order=self.cat_order)
 
 
 @jax.tree_util.register_dataclass

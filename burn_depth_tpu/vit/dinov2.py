@@ -73,6 +73,19 @@ class DinoViTConfig:
     cat_token: bool = False
     use_camera_token: bool = False
     rope_base: float = 100.0
+    # --- reconstruction-sweep knobs (PARITY.md "DA3-small ViT variant
+    # numerics").  The RoPE *rotation convention* and frequency schedule are
+    # oracle-pinned, but upstream DA3's coordinate parameterization and the
+    # cat_token pair order are reconstructions; both conventions are
+    # implemented so a mismatch on real-weights day is a config flip, not a
+    # code bisect (VERDICT r2 #4).
+    # rope_coords: "index" = raw 0..grid-1 patch indices (default);
+    #              "norm_pm1" = DINOv3-style per-axis [-1, 1] centered coords
+    #              ((idx + 0.5)/grid * 2 - 1).
+    rope_coords: str = "index"
+    # cat_order: "prev_first" = concat(block_out[h-1], block_out[h]) (default);
+    #            "cur_first"  = concat(block_out[h], block_out[h-1]).
+    cat_order: str = "prev_first"
 
     @property
     def grid_size(self) -> int:
@@ -204,12 +217,24 @@ def _rope_angles(cfg: DinoViTConfig, grid_h: int, grid_w: int) -> np.ndarray:
     First half of the rotation pairs encodes the row coordinate, second half
     the column coordinate; per-axis frequencies follow the standard
     ``base^(-2j/d_axis)`` schedule with ``base = cfg.rope_base``.
+
+    Coordinate parameterization per ``cfg.rope_coords`` (a reconstruction
+    knob — see the config docstring): ``index`` = raw patch indices,
+    ``norm_pm1`` = DINOv3-style per-axis centered [-1, 1].
     """
     d_half = cfg.head_dim // 2  # rotation pairs
     d_axis = d_half // 2
     j = np.arange(d_axis, dtype=np.float64)
     freqs = cfg.rope_base ** (-2.0 * j / d_half)
-    ys, xs = np.meshgrid(np.arange(grid_h), np.arange(grid_w), indexing="ij")
+    if cfg.rope_coords == "index":
+        coords_y = np.arange(grid_h, dtype=np.float64)
+        coords_x = np.arange(grid_w, dtype=np.float64)
+    elif cfg.rope_coords == "norm_pm1":
+        coords_y = (np.arange(grid_h, dtype=np.float64) + 0.5) / grid_h * 2.0 - 1.0
+        coords_x = (np.arange(grid_w, dtype=np.float64) + 0.5) / grid_w * 2.0 - 1.0
+    else:
+        raise ValueError(f"unknown rope_coords {cfg.rope_coords!r}")
+    ys, xs = np.meshgrid(coords_y, coords_x, indexing="ij")
     ang_y = ys.reshape(-1, 1) * freqs[None, :]  # [N, d_axis]
     ang_x = xs.reshape(-1, 1) * freqs[None, :]
     return np.concatenate([ang_y, ang_x], axis=1).astype(np.float32)  # [N, d_half]
@@ -588,7 +613,12 @@ def dinov2_forward(
         if i in hook_ids:
             if cfg.cat_token:
                 pair_prev = prev_out if prev_out is not None else x_seq
-                hooks_raw[i] = jnp.concatenate([pair_prev, x_new], axis=-1)
+                if cfg.cat_order == "prev_first":
+                    hooks_raw[i] = jnp.concatenate([pair_prev, x_new], axis=-1)
+                elif cfg.cat_order == "cur_first":
+                    hooks_raw[i] = jnp.concatenate([x_new, pair_prev], axis=-1)
+                else:
+                    raise ValueError(f"unknown cat_order {cfg.cat_order!r}")
             else:
                 hooks_raw[i] = x_new
         prev_out = x_new

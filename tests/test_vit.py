@@ -222,3 +222,64 @@ def test_rope_convention_matches_dinov3_oracle():
         q_t, k_t = apply_rotary_pos_emb(torch.from_numpy(q), torch.from_numpy(k), cos_t, sin_t)
     np.testing.assert_allclose(ours_q, q_t.numpy(), atol=1e-6)
     np.testing.assert_allclose(ours_k, k_t.numpy(), atol=1e-6)
+
+
+def test_rope_coords_both_parameterizations():
+    """VERDICT r2 #4: the RoPE coordinate parameterization is a config knob
+    with both conventions implemented — ``index`` (raw patch indices) and
+    ``norm_pm1`` (DINOv3-style per-axis centered [-1, 1]).  Pin each against
+    an independently-written formula so a real-weights-day mismatch is a
+    config flip, not a code bisect (PARITY.md sweep)."""
+    import dataclasses as dc
+
+    from burn_depth_tpu.vit.dinov2 import _rope_angles
+
+    base_cfg = DinoViTConfig.vits(img_size=56, patch_size=14, depth=1).da3_small_variant()
+    gh, gw = 4, 3
+    hd = base_cfg.head_dim
+    inv_freq = base_cfg.rope_base ** -np.arange(0, 1, 4 / hd)
+
+    idx = _rope_angles(dc.replace(base_cfg, rope_coords="index"), gh, gw)
+    norm = _rope_angles(dc.replace(base_cfg, rope_coords="norm_pm1"), gh, gw)
+    assert idx.shape == norm.shape == (gh * gw, hd // 2)
+
+    for n in (0, 1, gw, gh * gw - 1):
+        y, x = divmod(n, gw)
+        np.testing.assert_allclose(idx[n, : hd // 4], y * inv_freq, rtol=1e-6)
+        np.testing.assert_allclose(idx[n, hd // 4 :], x * inv_freq, rtol=1e-6)
+        yn = (y + 0.5) / gh * 2.0 - 1.0
+        xn = (x + 0.5) / gw * 2.0 - 1.0
+        np.testing.assert_allclose(norm[n, : hd // 4], yn * inv_freq, rtol=1e-6)
+        np.testing.assert_allclose(norm[n, hd // 4 :], xn * inv_freq, rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        _rope_angles(dc.replace(base_cfg, rope_coords="bogus"), gh, gw)
+
+
+def test_cat_order_flip_swaps_hook_halves():
+    """VERDICT r2 #4: the cat_token pair order is a config knob.  With
+    identical params/input, ``cur_first`` hooks must be exactly the
+    half-swap of ``prev_first`` hooks (and the final tokens identical)."""
+    import dataclasses as dc
+
+    from burn_depth_tpu.vit.dinov2 import dinov2_forward, init_dinov2
+
+    cfg = DinoViTConfig.vits(img_size=28, patch_size=14, depth=6).da3_small_variant()
+    params = init_dinov2(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 28, 28)) * 0.3
+    hook_ids = (3, 5)
+
+    out_a = dinov2_forward(params, x, cfg, hook_ids=hook_ids, attn_impl="jnp")
+    out_b = dinov2_forward(
+        params, x, dc.replace(cfg, cat_order="cur_first"), hook_ids=hook_ids, attn_impl="jnp"
+    )
+    d = cfg.embed_dim
+    for ha, hb in zip(out_a.hooks, out_b.hooks):
+        pa = np.asarray(ha.patches)
+        pb = np.asarray(hb.patches)
+        assert pa.shape[-1] == 2 * d
+        np.testing.assert_array_equal(pb[..., :d], pa[..., d:])
+        np.testing.assert_array_equal(pb[..., d:], pa[..., :d])
+    np.testing.assert_array_equal(
+        np.asarray(out_a.x_norm_patchtokens), np.asarray(out_b.x_norm_patchtokens)
+    )
