@@ -30,6 +30,22 @@ def _tiny_vit():
     return cfg, params, x
 
 
+def _grow_layerscale(vit_params: dict, key) -> dict:
+    """Give a random-init ViT realistic O(1) layerscale gammas.
+
+    At the 1e-5 init, residual branches contribute ~1e-5 relative, so int8
+    drift inside the branch is invisible at the output (measured 2e-8 — a
+    vacuous gate).  Trained DINOv2 checkpoints have grown gammas; with
+    U(0.2, 1.0) gammas the drift is measurable and the gates below are
+    calibrated against it (VERDICT r2 #7)."""
+    ks = jax.random.split(key, len(vit_params["blocks"]) * 2)
+    for i, bp in enumerate(vit_params["blocks"]):
+        for j, name in enumerate(("ls1", "ls2")):
+            shape = bp[name]["gamma"].shape
+            bp[name]["gamma"] = jax.random.uniform(ks[2 * i + j], shape, minval=0.2, maxval=1.0)
+    return vit_params
+
+
 def test_weight_quant_roundtrip():
     w = jax.random.normal(jax.random.PRNGKey(0), (16, 8)) * 0.1
     p = quantize_linear_params({"weight": w, "bias": jnp.zeros((16,))})
@@ -75,6 +91,7 @@ def test_calibrate_amax_matches_eager_capture():
 
 def test_quantized_vit_close_to_float():
     cfg, params, x = _tiny_vit()
+    params = _grow_layerscale(params, jax.random.PRNGKey(7))
 
     def fwd(p, xb):
         return dinov2_forward(p, xb, cfg, attn_impl="jnp").x_norm_patchtokens
@@ -86,10 +103,32 @@ def test_quantized_vit_close_to_float():
         quantize_vit_blocks(params, iter(scales)),  # static calibrated
     ):
         got = np.asarray(fwd(q, x))
-        # relaxed serving tier: int8 drift well under the bf16 tier's own noise
+        # calibrated bound: healthy per-channel int8 measures 6.4e-4 (dynamic)
+        # / 8.4e-4 (static) on this fixture; 3e-3 is ~4x headroom while the
+        # collapsed-scale regression below measures 9.8e-3 — a real break
+        # cannot hide under this gate
         mae = np.abs(got - ref).mean()
         scale = np.abs(ref).mean()
-        assert mae / scale < 0.05, (mae, scale)
+        assert mae / scale < 3e-3, (mae, scale)
+
+
+def test_quantized_vit_gate_catches_scale_regression():
+    """Non-vacuousness canary for the gate above: a per-channel-scaling
+    regression (scales collapsed to their per-tensor mean — what a silently
+    broken channel axis looks like) must EXCEED the 3e-3 bound."""
+    cfg, params, x = _tiny_vit()
+    params = _grow_layerscale(params, jax.random.PRNGKey(7))
+
+    def fwd(p, xb):
+        return dinov2_forward(p, xb, cfg, attn_impl="jnp").x_norm_patchtokens
+
+    ref = np.asarray(fwd(params, x))
+    q = quantize_vit_blocks(params)
+    for bp in q["blocks"]:
+        for sub in (bp["attn"]["qkv"], bp["attn"]["proj"], bp["mlp"]["fc1"], bp["mlp"]["fc2"]):
+            sub["scale"] = jnp.full_like(sub["scale"], sub["scale"].mean())
+    got = np.asarray(fwd(q, x))
+    assert np.abs(got - ref).mean() / np.abs(ref).mean() > 3e-3
 
 
 def test_quantize_vit_model_api():
@@ -132,6 +171,7 @@ def test_quantize_vit_da3_api():
     for cfg_fn in (DepthAnything3Config.metric_large, DepthAnything3Config.small):
         cfg = dataclasses.replace(cfg_fn(), image_size=28, attn_impl="jnp")
         model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+        _grow_layerscale(model.params["backbone"]["pretrained"], jax.random.PRNGKey(8))
         x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 28, 28)) * 0.3
         ref = np.asarray(model.infer(x).depth)
         qm = model.quantize_vit(calibration_input=x)
@@ -139,8 +179,10 @@ def test_quantize_vit_da3_api():
         assert "weight_i8" in blk["attn"]["qkv"] and "x_scale" in blk["attn"]["qkv"]
         got = np.asarray(qm.infer(x).depth)
         assert np.isfinite(got).all()
-        # int8 drift stays small relative to the depth scale
-        assert np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-6) < 0.2
+        # calibrated bound: healthy int8 depth drift measures ~1e-4 on both
+        # variants with grown layerscale; 1e-3 is 10x headroom and also the
+        # north star's end-to-end parity clause
+        assert np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-6) < 1e-3
 
 
 def test_int8_composes_with_nhwc_tail():
