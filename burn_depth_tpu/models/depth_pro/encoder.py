@@ -51,8 +51,17 @@ def feature_padding(patch_size: int, stride: int, feature_patch_size: int) -> in
 
 
 def split(x: jnp.ndarray, patch_size: int, overlap: float) -> tuple[jnp.ndarray, int, int]:
-    """Tile ``[B,C,S,S]`` into ``[(steps²)·B, C, p, p]``, patch-major
-    (row-outer, col-inner — ``encoder.rs:208-231``)."""
+    """Tile ``[B,C,S,S]`` into ``[B·(steps²), C, p, p]``, image-major
+    (image-outer; tiles row-outer, col-inner per image — the tile walk of
+    ``encoder.rs:208-231``).
+
+    Image-major (NOT the reference's tile-major cat) keeps each image's
+    tiles contiguous along dim 0, so a batch-sharded input stays local
+    through the tile stack under data parallelism — tile-major stacking
+    interleaves images and forces an all-to-all per scale (measured: 36
+    all-to-alls + 544 collective-permutes in the DP-8 serving HLO).  At
+    B=1 the two orders coincide, so single-chip numerics/goldens are
+    unchanged."""
     size = x.shape[-1]
     steps, stride = split_geometry(size, patch_size, overlap)
     if steps == 1:
@@ -63,22 +72,25 @@ def split(x: jnp.ndarray, patch_size: int, overlap: float) -> tuple[jnp.ndarray,
         for i in range(steps):
             i0 = i * stride
             tiles.append(x[:, :, j0 : j0 + patch_size, i0 : i0 + patch_size])
-    return jnp.concatenate(tiles, axis=0), steps, stride
+    stacked = jnp.stack(tiles, axis=1)  # [B, steps², C, p, p]
+    return stacked.reshape(x.shape[0] * steps * steps, *stacked.shape[2:]), steps, stride
 
 
 def merge(x: jnp.ndarray, batch_size: int, padding: int) -> jnp.ndarray:
-    """Reassemble ``[(steps²)·B, C, h, w]`` trimming ``padding`` px at interior
-    seams (``encoder.rs:234-282``)."""
+    """Reassemble an image-major tile stack ``[B·(steps²), C, h, w]`` trimming
+    ``padding`` px at interior seams (``encoder.rs:234-282`` geometry; dim-0
+    order is image-major to match :func:`split`)."""
     total, _, height, width = x.shape
     steps = int(round(math.sqrt(total / batch_size)))
     if steps <= 1:
         return x
+    grid = x.reshape(batch_size, steps * steps, *x.shape[1:])
     rows = []
     for j in range(steps):
         row_patches = []
         for i in range(steps):
             idx = j * steps + i
-            patch = x[batch_size * idx : batch_size * (idx + 1)]
+            patch = grid[:, idx]
             top = 0 if j == 0 else padding
             bottom = height - (0 if j == steps - 1 else padding)
             left = 0 if i == 0 else padding
@@ -206,7 +218,26 @@ def encoder_forward(
     x1_tiles, steps1, stride1 = split(x1, patch_size, 0.5)
     x2_tiles = x2
 
-    pyramid = jnp.concatenate([x0_tiles, x1_tiles, x2_tiles], axis=0)
+    n0, n1 = steps0 * steps0, steps1 * steps1
+    total_tiles = n0 + n1 + 1
+    # Image-major pyramid: each image's (n0+n1+1) tiles are contiguous on
+    # dim 0, so a batch-sharded input stays local through the whole hot pass
+    # under data parallelism (DP zero-collective audit,
+    # __graft_entry__._dryrun_multichip_impl).  At B=1 this is the plain
+    # scale-major concat the flagship serving path always ran.
+    pyramid = jnp.concatenate(
+        [
+            x0_tiles.reshape(batch, n0, *x0_tiles.shape[1:]),
+            x1_tiles.reshape(batch, n1, *x1_tiles.shape[1:]),
+            x2_tiles[:, None],
+        ],
+        axis=1,
+    ).reshape(batch * total_tiles, *x0_tiles.shape[1:])
+
+    def _scale_group(stack: jnp.ndarray, start: int, count: int) -> jnp.ndarray:
+        """Slice one scale's tiles out of an image-major [B·total, ...] stack."""
+        g = stack.reshape(batch, total_tiles, *stack.shape[1:])
+        return g[:, start : start + count].reshape(batch * count, *stack.shape[1:])
 
     # ONE batched ViT pass over all 35 tiles — the hot loop.
     chunks = getattr(cfg, "tile_chunks", 0)
@@ -229,17 +260,14 @@ def encoder_forward(
         hook_tokens = [h.tokens for h in out.hooks]
 
     encodings = reshape_feature(patchtokens, out_size, out_size, 0)
-    len0 = x0_tiles.shape[0]
-    len1 = x1_tiles.shape[0]
-    x0_enc = encodings[:len0]
-    x1_enc = encodings[len0 : len0 + len1]
-    x2_enc = encodings[len0 + len1 :]
+    x0_enc = _scale_group(encodings, 0, n0)
+    x1_enc = _scale_group(encodings, n0, n1)
+    x2_enc = _scale_group(encodings, n0 + n1, 1)
 
-    high_count = batch * steps0 * steps0
     latent0_merge_input = reshape_feature(hook_tokens[0], out_size, out_size, 1)
     latent1_merge_input = reshape_feature(hook_tokens[1], out_size, out_size, 1)
-    latent0_enc = latent0_merge_input[:high_count]
-    latent1_enc = latent1_merge_input[:high_count]
+    latent0_enc = _scale_group(latent0_merge_input, 0, n0)
+    latent1_enc = _scale_group(latent1_merge_input, 0, n0)
 
     high_pad = feature_padding(patch_size, stride0, out_size)
     mid_pad = feature_padding(patch_size, stride1, out_size)

@@ -34,21 +34,45 @@ def test_split_geometry_matches_reference_shapes():
     assert feature_padding(384, 192, 24) == 6
 
 
-def test_split_merge_roundtrip_without_overlap():
-    # Reference test encoder.rs:501-519: 16 patches, overlap 0, exact rebuild.
+@pytest.mark.parametrize("batch", [1, 3])
+def test_split_merge_roundtrip_without_overlap(batch):
+    # Reference test encoder.rs:501-519: 16 patches, overlap 0, exact rebuild
+    # (extended to B>1: the image-major stack must round-trip per image).
     size, patch = 64, 16
-    x = np.arange(3 * size * size, dtype=np.float32).reshape(1, 3, size, size)
+    x = np.arange(batch * 3 * size * size, dtype=np.float32).reshape(batch, 3, size, size)
     tiles, steps, stride = split(jnp.asarray(x), patch, 0.0)
     assert steps * steps == 16
     pad = feature_padding(patch, stride, patch)
-    merged = np.asarray(merge(tiles, 1, pad))
+    merged = np.asarray(merge(tiles, batch, pad))
     np.testing.assert_allclose(merged, x, atol=1e-6)
 
 
-def test_merge_overlapping_layout_matches_expected():
+def test_batched_forward_matches_per_image(tiny_model):
+    """Batched encoder/decoder forward must equal two stacked B=1 passes —
+    pins the image-major tile-stack convention through the full model
+    (the property DP batch sharding relies on)."""
+    size = tiny_model.img_size
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 3, size, size)).astype(np.float32)
+    )
+    canon_b, fov_b = tiny_model.forward(x)
+    canon_0, fov_0 = tiny_model.forward(x[:1])
+    canon_1, fov_1 = tiny_model.forward(x[1:])
+    np.testing.assert_allclose(
+        np.asarray(canon_b), np.concatenate([canon_0, canon_1]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fov_b), np.concatenate([fov_0, fov_1]), rtol=1e-5, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("batch_size", [1, 2])
+def test_merge_overlapping_layout_matches_expected(batch_size):
     # Reference test encoder.rs:521-586: 5x5 patches of 8², pad 1, constant
-    # per-patch values; checks the exact seam layout.
-    batch_size, channels, fs, steps, padding = 1, 2, 8, 5, 1
+    # per-patch values; checks the exact seam layout.  Dim-0 order is
+    # image-major (ours — DP-local; the reference cats tile-major), so the
+    # B=2 case pins our convention while B=1 is the reference golden.
+    channels, fs, steps, padding = 2, 8, 5, 1
     patch_count = batch_size * steps * steps
     patches = np.stack(
         [np.full((channels, fs, fs), float(i), np.float32) for i in range(patch_count)]
@@ -59,7 +83,7 @@ def test_merge_overlapping_layout_matches_expected():
     for b in range(batch_size):
         for j in range(steps):
             for i in range(steps):
-                idx = batch_size * (j * steps + i) + b
+                idx = b * steps * steps + (j * steps + i)
                 top = 0 if j == 0 else padding
                 bottom = fs - (0 if j == steps - 1 else padding)
                 left = 0 if i == 0 else padding
