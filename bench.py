@@ -27,6 +27,69 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NORTH_STAR_IMG_S = 10.0
 
+# Serving-tier ladder, fastest first (BENCH.md round-2 full-model A/Bs:
+# int8-static+tanh 165.9 ms, tanh-only ~186 ms, erf parity 213.9 ms at
+# 1536² b=1).  Each row: (BENCH_INT8 mode, BDT_GELU form, tier name in
+# benchmarks/tier_drift.json, metric-name suffix).
+TIER_LADDER = [
+    ("static", "tanh", "bf16_tanh_int8_fused", "_int8"),
+    ("0", "tanh", "bf16_tanh_fused", "_tanh"),
+    ("0", "erf", "bf16_erf_fused", ""),
+]
+
+
+def tier_passes_accuracy(rec: dict) -> bool:
+    """Serving-approximation clause: switching from the parity-assured tier
+    (bf16 + exact erf GELU) to this tier moves end-to-end depth by < 1e-3
+    abs-rel (``vs_parity`` stats, tools/tier_drift.py, measured at flagship
+    geometry on the committed test image).  Thresholds are the north-star
+    accuracy clause (BASELINE.json <1e-3) in the reference gate's domains
+    (correctness.rs:887-897).
+
+    The ABSOLUTE <1e-3-vs-f32 clause cannot distinguish serving tiers on
+    TPU: every bf16 tier sits at the bf16 mantissa floor (~0.8% abs-rel vs
+    an f32/highest baseline — BENCH.md round 3), so the f32-exact comparison
+    is recorded per tier but the headline gate runs against the parity
+    tier.  Absolute <1e-3 parity vs PyTorch is the f32 PARITY policy's job
+    (the verify gates, ``burn_depth_tpu/verify/``)."""
+    vp = rec.get("vs_parity", rec)
+    return vp.get("abs_rel_mean", 9e9) <= 1e-3 and vp.get("inv_mean_abs", 9e9) <= 1e-3
+
+
+def select_tier():
+    """Default tier = the FASTEST ladder row whose measured end-to-end depth
+    drift passes the accuracy clause (benchmarks/tier_drift.json, written by
+    tools/tier_drift.py on real hardware).  BENCH_INT8 / BDT_GELU env vars
+    override explicitly, preserving the old A/B semantics.  No drift record
+    -> the exact-GELU parity tier (never report a speed the accuracy of
+    which was not measured)."""
+    if os.environ.get("BENCH_INT8") is not None:
+        mode = os.environ["BENCH_INT8"]
+        gelu = os.environ.get("BDT_GELU", "tanh" if mode != "0" else "erf")
+        suffix = ("_int8" if mode != "0" else "") + ("_tanh" if mode == "0" and gelu == "tanh" else "")
+        return mode, gelu, suffix, "env override"
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "benchmarks", "tier_drift.json")) as f:
+            record = json.load(f)
+        # The THIN leg gates: its f32 compute isolates the approximations at
+        # a ~1e-7 noise floor.  The flagship bf16 leg cannot — two different
+        # bf16 programs decorrelate at the bf16 rounding floor (~0.7% on the
+        # measured random-weight signal), parity tier included, so bf16
+        # cross-program drift reads the dtype policy, not the approximation
+        # (BENCH.md round 3; both legs are recorded there).
+        tiers = record["thin"]["tiers"]
+    except (OSError, KeyError, ValueError) as e:
+        return "0", "erf", "", f"no drift record ({e}); parity tier"
+    for mode, gelu, name, suffix in TIER_LADDER:
+        rec = tiers.get(name.replace("bf16", "f32"))
+        if rec is not None and tier_passes_accuracy(rec):
+            vp = rec["vs_parity"]
+            return mode, gelu, suffix, (
+                f"fastest tier passing <1e-3 drift gate: {name} "
+                f"(vs parity: abs_rel {vp['abs_rel_mean']:.2e}, inv mean_abs {vp['inv_mean_abs']:.2e})"
+            )
+    return "0", "erf", "", "no tier passed the <1e-3 drift gate; parity tier"
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -58,15 +121,16 @@ def main() -> None:
 
     size = config.img_size
     model = DepthPro.init(jax.random.PRNGKey(0), config, dtype=jnp.bfloat16)
-    # Default = the fastest measured serving tier (int8-static ViT linears +
-    # tanh-GELU + bf16 folded-scale dequant: 165.9 ms vs bf16-parity's 213.9
-    # at 1536² b=1 — BENCH.md round 2).  BENCH_INT8=0 benches the
-    # parity-assured bf16 tier instead (exact erf GELU, f32 dequant island).
-    int8_mode = os.environ.get("BENCH_INT8", "static")  # 0 | 1 (dynamic) | static
+    # Default tier is ACCURACY-GATED: the fastest serving tier whose
+    # end-to-end depth drift vs an f32 exact-GELU baseline measured < 1e-3
+    # (tools/tier_drift.py; VERDICT r2 #1 — the north star couples 10 img/s
+    # WITH <1e-3 abs-rel, so a tier that fails the clause may not carry the
+    # headline).  BENCH_INT8 / BDT_GELU env vars override for A/Bs.
+    int8_mode, gelu_form, tier_suffix, tier_reason = select_tier()
+    log(f"tier: BENCH_INT8={int8_mode} BDT_GELU={gelu_form} ({tier_reason})")
     int8 = int8_mode != "0"
+    os.environ.setdefault("BDT_GELU", gelu_form)
     if int8:
-        # serving-tier activation/epilogue forms (overridable via the env)
-        os.environ.setdefault("BDT_GELU", "tanh")
         os.environ.setdefault("BDT_INT8_EPILOGUE", "bf16")
     if int8:
         calib = None

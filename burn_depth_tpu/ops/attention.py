@@ -68,7 +68,10 @@ def fold_softmax_scale(q: jnp.ndarray, scale: float, impl: str = "auto"):
     ``multi_head_attention``'s dispatch): a base-e consumer fed log2e-scaled
     logits would silently run at the wrong temperature."""
     import math
+    import os as _os
 
+    if impl == "auto":  # same BDT_ATTN_IMPL override as multi_head_attention
+        impl = _os.environ.get("BDT_ATTN_IMPL", "auto")
     pallas_bound = impl == "pallas" or (
         impl == "auto" and _on_tpu() and q.ndim >= 3 and q.shape[-2] >= 128
     )
@@ -658,9 +661,16 @@ def multi_head_attention(
     """Scaled-dot-product attention over ``[B, H, T, hd]`` tensors.
 
     ``impl``: ``"auto"`` (pallas on TPU, jnp elsewhere), ``"pallas"``, ``"jnp"``.
+    ``BDT_ATTN_IMPL`` overrides an ``"auto"`` at trace time — probe/baseline
+    knob (e.g. tools/tier_drift.py pins ``jnp`` for its raised-precision f32
+    baseline: Mosaic's dot lowering rejects non-default matmul precision).
     """
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
+    if impl == "auto":
+        import os as _os
+
+        impl = _os.environ.get("BDT_ATTN_IMPL", "auto")
     if impl == "auto":
         # Same T>=128 gate as the flash BACKWARD: at tiny T the XLA softmax
         # path is faster (train_attn_probe: T=65 jnp 138 ms vs pallas 149),
