@@ -57,13 +57,16 @@ def bench():
 def test_drift_record_exists_with_required_stats():
     record = json.loads((REPO / "benchmarks" / "tier_drift.json").read_text())
     assert "thin" in record
-    for leg in record.values():
+    for name, leg in record.items():
         assert leg["baseline"] == "f32_erf_unfused"
-        assert leg["parity_tier"].endswith("_erf_fused")
+        assert "_erf" in leg["parity_tier"]
+        keys = ["inv_mean_abs", "inv_max_abs", "abs_rel_mean"]
+        if not name.startswith("da3"):
+            keys.append("fov_deg_abs")  # DA3 reports conf_mean_abs instead
         for tier, stats in leg["tiers"].items():
-            for key in ("inv_mean_abs", "inv_max_abs", "abs_rel_mean", "fov_deg_abs"):
-                assert key in stats, (tier, key)
-                assert key in stats["vs_parity"], (tier, key)
+            for key in keys:
+                assert key in stats, (name, tier, key)
+                assert key in stats["vs_parity"], (name, tier, key)
 
 
 def test_bench_default_tier_is_accuracy_gated(bench, monkeypatch):
@@ -116,4 +119,28 @@ def test_thin_serving_tier_drift_within_calibrated_bounds():
     tier = td.run_tier(base, "f32_tanh_int8_fused", x)
     d = td.drift(ref, tier)
     for key, bound in CALIBRATED_BOUNDS.items():
+        assert d[key] <= bound, f"{key}={d[key]:.3e} exceeds calibrated bound {bound:.0e} ({d})"
+
+
+# round-3 DA3 measurements (tools/tier_drift.py --model da3 --leg thin,
+# metric-large 518², excited layerscale): f32_tanh_int8 inv_mean_abs 1.2e-4,
+# abs_rel_mean 1.4e-4.  Bounds ~4x — still inside the 1e-3 clause.
+DA3_CALIBRATED_BOUNDS = {"inv_mean_abs": 5e-4, "abs_rel_mean": 6e-4}
+
+
+def test_da3_serving_tier_drift_within_calibrated_bounds():
+    """Same gate for the DA3 family: the real metric-large config at 518²
+    (affordable on CPU), f32 exact baseline vs the tanh+int8-static serving
+    tier.  Random init keeps layerscale at its 1e-5 DINOv2 init, which
+    zeroes every block's contribution — build_base excites it to O(0.1-1)
+    (trained-checkpoint scale) so approximation error actually flows."""
+    sys.path.insert(0, str(REPO / "tools"))
+    td = _load_module("tier_drift_tool_da3", REPO / "tools" / "tier_drift.py")
+
+    base = td.build_base("thin", "da3")
+    x = td.load_input(REPO / "assets" / "image" / "test.png", base.config.image_size, "da3")
+    ref = td.run_tier(base, "f32_erf", x, model="da3")
+    tier = td.run_tier(base, "f32_tanh_int8", x, model="da3")
+    d = td.drift_da3(ref, tier)
+    for key, bound in DA3_CALIBRATED_BOUNDS.items():
         assert d[key] <= bound, f"{key}={d[key]:.3e} exceeds calibrated bound {bound:.0e} ({d})"

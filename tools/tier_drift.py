@@ -67,18 +67,26 @@ def _env(**kv):
                 os.environ[k] = v
 
 
-def load_input(image: Path, size: int) -> np.ndarray:
-    """PNG -> ImageNet-normalized f32 [1, 3, size, size] via the model's own
-    ingest math (bilinear align_corners=False, as ``_infer_fn`` does)."""
+def load_input(image: Path, size: int, model: str = "depth_pro") -> np.ndarray:
+    """PNG -> ImageNet-normalized f32 [1, 3, size, size] via each model's own
+    ingest math (Depth Pro: bilinear align_corners=False as ``_infer_fn``;
+    DA3: shortest-side CatmullRom + center crop as ``api/preprocess.py``)."""
     import jax.numpy as jnp
     from PIL import Image
 
     from burn_depth_tpu.api.predict import normalize_image
-    from burn_depth_tpu.ops.interpolate import resize_bilinear
 
-    rgb = np.asarray(Image.open(image).convert("RGB"), dtype=np.float32) / 255.0
-    x = jnp.asarray(rgb.transpose(2, 0, 1)[None])
-    x = resize_bilinear(x, (size, size), align_corners=False)
+    rgb_u8 = np.asarray(Image.open(image).convert("RGB"))
+    if model == "da3":
+        from burn_depth_tpu.api.preprocess import prepare_depth_anything3_image
+
+        prep = prepare_depth_anything3_image(rgb_u8, size)
+        x = jnp.asarray(prep.rgb.transpose(2, 0, 1)[None], jnp.float32) / 255.0
+    else:
+        from burn_depth_tpu.ops.interpolate import resize_bilinear
+
+        x = jnp.asarray(rgb_u8.transpose(2, 0, 1)[None], jnp.float32) / 255.0
+        x = resize_bilinear(x, (size, size), align_corners=False)
     return np.asarray(normalize_image(x), dtype=np.float32)
 
 
@@ -90,14 +98,12 @@ def tier_model(base, tier: str, x_np: np.ndarray):
     import jax
     import jax.numpy as jnp
 
-    from burn_depth_tpu.models.depth_pro import DepthPro
-
     dtype = jnp.bfloat16 if tier.startswith("bf16") else jnp.float32
     params = jax.tree.map(
         lambda a: a.astype(dtype) if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
         base.params,
     )
-    model = DepthPro(base.config, params)
+    model = type(base)(base.config, params)
     x = jnp.asarray(x_np, dtype)
     if "_int8" in tier:
         # static calibration on the measurement image itself (what a serving
@@ -108,9 +114,10 @@ def tier_model(base, tier: str, x_np: np.ndarray):
     return model, x
 
 
-def run_tier(base, tier: str, x_np: np.ndarray, timed: bool = False) -> dict:
-    """One tier's (canonical inverse depth, fov_deg) + optional timing.
-    BDT_* env applies at trace time, so each tier gets a FRESH jit."""
+def run_tier(base, tier: str, x_np: np.ndarray, timed: bool = False, model: str = "depth_pro") -> dict:
+    """One tier's gate-domain outputs (Depth Pro: canonical inverse depth +
+    fov_deg; DA3: depth + confidence) + optional timing.  BDT_* env applies
+    at trace time, so each tier gets a FRESH jit."""
     import jax
 
     gelu = "tanh" if "_tanh" in tier else "erf"
@@ -132,19 +139,36 @@ def run_tier(base, tier: str, x_np: np.ndarray, timed: bool = False) -> dict:
         prec = nullcontext()
         env = _env(BDT_GELU=gelu, BDT_INT8_EPILOGUE="bf16")
     with env, prec:
-        model, x = tier_model(base, tier, x_np)
+        m, x = tier_model(base, tier, x_np)
 
-        @jax.jit
-        def fwd(params, x):
-            canonical, _f, _l, _o, fov = model._forward_internal(params, x)
-            return canonical, fov
+        if model == "da3":
 
-        t0 = time.perf_counter()
-        canonical, fov = fwd(model.params, x)
-        canonical = np.asarray(canonical, np.float32)
-        fov = np.asarray(fov, np.float32)
-        compile_s = time.perf_counter() - t0
-        out = {"canonical": canonical, "fov_deg": fov, "compile_s": round(compile_s, 1)}
+            @jax.jit
+            def fwd(params, x):
+                head_out, camera_pred, _ = m._forward_internal(params, x, None, None)
+                inf = m._finalize(head_out, camera_pred)
+                return inf.depth, inf.depth_confidence
+
+            t0 = time.perf_counter()
+            depth, conf = fwd(m.params, x)
+            out = {
+                "depth": np.asarray(depth, np.float32),
+                "conf": None if conf is None else np.asarray(conf, np.float32),
+            }
+        else:
+
+            @jax.jit
+            def fwd(params, x):
+                canonical, _f, _l, _o, fov = m._forward_internal(params, x)
+                return canonical, fov
+
+            t0 = time.perf_counter()
+            canonical, fov = fwd(m.params, x)
+            out = {
+                "canonical": np.asarray(canonical, np.float32),
+                "fov_deg": np.asarray(fov, np.float32),
+            }
+        out["compile_s"] = round(time.perf_counter() - t0, 1)
 
         if timed:
             # bench.py protocol: min-of-windows, device_get sync (through the
@@ -153,8 +177,8 @@ def run_tier(base, tier: str, x_np: np.ndarray, timed: bool = False) -> dict:
             for _ in range(3):
                 t0 = time.perf_counter()
                 for _ in range(5):
-                    c, _ = fwd(model.params, x)
-                _ = jax.device_get(c[0, 0, :1, :8])
+                    c, _ = fwd(m.params, x)
+                _ = jax.device_get(c[0, :1, :8] if model == "da3" else c[0, 0, :1, :8])
                 best = min(best, (time.perf_counter() - t0) / 5)
             out["ms"] = round(1000 * best, 1)
     return out
@@ -198,10 +222,60 @@ def drift(ref: dict, tier: dict) -> dict:
     return out
 
 
-def build_base(leg: str):
-    """The f32 base model for a leg (shared weights across all tiers)."""
-    import jax
+def drift_da3(ref: dict, tier: dict) -> dict:
+    """DA3 drift: the head's depth is already metric (exp-activated,
+    positive), so abs-rel runs on it directly with the same 1%-of-scale rel
+    guard; confidence drift is reported as mean_abs (its gate domain in
+    ``verify/da3.py`` is absolute)."""
+    d0, d1 = ref["depth"], tier["depth"]
+    d = np.abs(d1 - d0)
+    denom = np.abs(d0)
+    rel_floor = 1e-2 * float(denom.max())
+    valid = denom > rel_floor
+    rel = d[valid] / denom[valid]
+    out = {
+        "inv_mean_abs": float(d.mean()),  # schema-shared key: gate-domain mean_abs
+        "inv_max_abs": float(d.max()),
+        "abs_rel_mean": float(rel.mean()) if rel.size else 0.0,
+        "abs_rel_max": float(rel.max()) if rel.size else 0.0,
+        "rel_floor": rel_floor,
+        "rel_coverage": float(valid.mean()),
+    }
+    if ref.get("conf") is not None:
+        out["conf_mean_abs"] = float(np.abs(tier["conf"] - ref["conf"]).mean())
+    if "ms" in tier:
+        out["ms"] = tier["ms"]
+    return out
 
+
+def build_base(leg: str, model: str = "depth_pro"):
+    """The f32 base model for a leg (shared weights across all tiers).
+
+    Depth Pro thin leg: the HF-oracle-weighted thin transformer at real
+    flagship geometry.  DA3: the REAL metric-large config both legs (518² is
+    affordable on CPU), random weights."""
+    import jax
+    import jax.numpy as jnp
+
+    if model == "da3":
+        from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+
+        m = DepthAnything3.init(
+            jax.random.PRNGKey(0), DepthAnything3Config.metric_large(), dtype=jnp.float32
+        )
+        # Random init keeps DINOv2's real layerscale init (1e-5), which zeroes
+        # every block's contribution and makes approximation drift read as
+        # 1e-8 noise.  Trained checkpoints carry O(0.1-1) layerscale; excite
+        # the blocks the same way so the quant/GELU error actually flows.
+        rng = np.random.default_rng(7)
+
+        def excite(path, leaf):
+            if any(getattr(p, "key", None) in ("ls1", "ls2") for p in path):
+                return jnp.asarray(rng.uniform(0.2, 1.0, leaf.shape), leaf.dtype)
+            return leaf
+
+        params = jax.tree_util.tree_map_with_path(excite, m.params)
+        return type(m)(m.config, params)
     if leg == "thin":
         sys.path.insert(0, str(REPO / "tests"))
         from hf_depth_pro_oracle import build_hf_oracle, hf_to_params, ours_config
@@ -213,13 +287,13 @@ def build_base(leg: str):
         return DepthPro(cfg, hf_to_params(hf, vit_depth=12, config=cfg))
     from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
 
-    import jax.numpy as jnp
-
     return DepthPro.init(jax.random.PRNGKey(0), DepthProConfig.dinov2_l16_384(), dtype=jnp.float32)
 
 
 THIN_TIERS = ["f32_erf_fused", "f32_tanh_fused", "f32_erf_int8_fused", "f32_tanh_int8_fused"]
 FLAGSHIP_TIERS = ["bf16_erf_fused", "bf16_tanh_fused", "bf16_erf_int8_fused", "bf16_tanh_int8_fused"]
+DA3_THIN_TIERS = ["f32_erf", "f32_tanh", "f32_erf_int8", "f32_tanh_int8"]
+DA3_FLAGSHIP_TIERS = ["bf16_erf", "bf16_tanh", "bf16_erf_int8", "bf16_tanh_int8"]
 
 
 def main() -> int:
@@ -229,6 +303,7 @@ def main() -> int:
     ap.add_argument("--out", type=Path, default=REPO / "benchmarks" / "tier_drift.json")
     ap.add_argument("--time", action="store_true", help="also record per-tier ms (flagship/TPU)")
     ap.add_argument("--tiers", nargs="*", default=None)
+    ap.add_argument("--model", choices=["depth_pro", "da3"], default="depth_pro")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="pin the JAX platform (the TPU plugin ignores JAX_PLATFORMS; pin via jax.config)")
     args = ap.parse_args()
@@ -239,30 +314,37 @@ def main() -> int:
         jax.config.update("jax_platforms", args.platform)
 
     backend = jax.default_backend()
-    base = build_base(args.leg)
-    size = base.config.img_size
-    x_np = load_input(args.image, size)
-    print(f"leg={args.leg} backend={backend} img_size={size} input={tuple(x_np.shape)}", file=sys.stderr)
+    base = build_base(args.leg, args.model)
+    size = base.config.img_size if args.model == "depth_pro" else base.config.image_size
+    x_np = load_input(args.image, size, args.model)
+    print(f"model={args.model} leg={args.leg} backend={backend} img_size={size} "
+          f"input={tuple(x_np.shape)}", file=sys.stderr)
 
-    ref = run_tier(base, "f32_erf", x_np)  # unfused exact-f32 baseline
+    drift_fn = drift_da3 if args.model == "da3" else drift
+    ref = run_tier(base, "f32_erf", x_np, model=args.model)  # unfused exact-f32 baseline
+    sig = ref["depth"] if args.model == "da3" else ref["canonical"]
     print(f"baseline f32_erf: compile+run {ref['compile_s']}s "
-          f"canonical range [{ref['canonical'].min():.3f}, {ref['canonical'].max():.3f}] "
-          f"fov {ref['fov_deg']}", file=sys.stderr)
+          f"signal range [{sig.min():.4f}, {sig.max():.4f}]", file=sys.stderr)
 
-    tiers = args.tiers or (THIN_TIERS if args.leg == "thin" else FLAGSHIP_TIERS)
+    if args.tiers:
+        tiers = args.tiers
+    elif args.model == "da3":
+        tiers = DA3_THIN_TIERS if args.leg == "thin" else DA3_FLAGSHIP_TIERS
+    else:
+        tiers = THIN_TIERS if args.leg == "thin" else FLAGSHIP_TIERS
     results = {}
-    parity_run = None  # first tier (…_erf_fused) = the parity-assured serving config
+    parity_run = None  # first tier (…_erf[_fused]) = the parity-assured serving config
     for tier in tiers:
-        r = run_tier(base, tier, x_np, timed=args.time)
+        r = run_tier(base, tier, x_np, timed=args.time, model=args.model)
         if parity_run is None:
             parity_run = (tier, r)
-        results[tier] = drift(ref, r)
+        results[tier] = drift_fn(ref, r)
         # vs_parity: the serving-APPROXIMATION drift (int8 / tanh / epilogue)
         # with the dtype-policy rounding common-moded out.  The flagship leg's
         # bf16 tiers all sit ~0.8% from f32 (bf16 mantissa floor) — the gate
         # that decides the headline tier compares against the parity tier.
         results[tier]["vs_parity"] = {
-            k: v for k, v in drift(parity_run[1], r).items() if k != "ms"
+            k: v for k, v in drift_fn(parity_run[1], r).items() if k != "ms"
         }
         print(f"{tier}: {json.dumps(results[tier])}", file=sys.stderr)
 
@@ -277,9 +359,10 @@ def main() -> int:
     merged = {}
     if args.out.exists():
         merged = json.loads(args.out.read_text())
-    merged[args.leg] = record
+    leg_key = args.leg if args.model == "depth_pro" else f"da3_{args.leg}"
+    merged[leg_key] = record
     args.out.write_text(json.dumps(merged, indent=1) + "\n")
-    print(json.dumps({args.leg: record}, indent=1))
+    print(json.dumps({leg_key: record}, indent=1))
     return 0
 
 
