@@ -8,9 +8,16 @@ artifact (serialized StableHLO with the weights baked in — ``serve/export.py``
     python -m burn_depth_tpu.cli.export --run depth_pro.stablehlo \\
         --image photo.jpg --output depth.png
 
-The deployable-artifact counterpart of the reference's wasm Pages build
-(``.github/workflows/deploy-pages.yml:40-60``), TPU-shaped: the artifact is
-the compiled program, not a browser bundle.
+    # client-side/on-device artifact (LiteRT flatbuffer, runs without JAX):
+    python -m burn_depth_tpu.cli.export --model depth-anything-3 --variant small \\
+        --attn-impl jnp --format tflite --out da3_small.tflite
+
+Two deployable-artifact counterparts of the reference's wasm Pages build
+(``.github/workflows/deploy-pages.yml:40-60``): ``stablehlo`` is the
+server/TPU AOT program; ``tflite`` is the CLIENT-side one — LiteRT runs the
+flatbuffer on-device (XNNPACK/NNAPI/CoreML) and in the browser via its wasm
+runtime, matching the reference's in-browser inference
+(``crates/bevy_burn_depth/www/index.html:42-98``) without a server.
 """
 
 from __future__ import annotations
@@ -26,6 +33,9 @@ def main(argv=None) -> int:
     p.add_argument("--variant", default="metric-large", help="DA3 config variant")
     p.add_argument("--out", default=None, help="artifact path to write")
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--format", choices=["stablehlo", "tflite"], default="stablehlo",
+                   help="stablehlo: jax.export AOT artifact (server/TPU); tflite: LiteRT "
+                        "flatbuffer for client-side/on-device inference (use --attn-impl jnp)")
     p.add_argument("--input-size", type=int, default=None)
     p.add_argument("--platforms", default=None, help="comma list, e.g. tpu,cpu (portable artifacts need attn-impl jnp)")
     p.add_argument("--attn-impl", default=None, help="override config attn_impl (jnp for portable artifacts)")
@@ -75,6 +85,12 @@ def main(argv=None) -> int:
             else DepthAnything3.init(jax.random.PRNGKey(0), cfg)
         )
 
+    if args.format == "tflite":
+        from burn_depth_tpu.serve.export import export_tflite
+
+        n = export_tflite(model, args.out, batch=args.batch, input_size=args.input_size)
+        print(f"wrote {args.out}: {n} bytes (LiteRT flatbuffer, weights baked in)")
+        return 0
     platforms = args.platforms.split(",") if args.platforms else None
     n = export_serving(
         model, args.out, batch=args.batch, platforms=platforms, input_size=args.input_size

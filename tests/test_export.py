@@ -98,3 +98,54 @@ def test_quantized_model_export_roundtrip(tmp_path):
     out = call(np.asarray(x))
     ref = q.infer(x)
     np.testing.assert_array_equal(np.asarray(out.depth), np.asarray(ref.depth))
+
+
+def test_depth_pro_tflite_roundtrip(tmp_path):
+    """Client-side artifact (reference runs the model IN the browser via
+    wasm, ``www/index.html:42-98``; the LiteRT flatbuffer is this framework's
+    on-device counterpart): convert tiny Depth Pro, run it under the TFLite
+    interpreter, and require bit-level agreement with the jit path."""
+    pytest.importorskip("tensorflow")
+    from burn_depth_tpu.serve.export import export_tflite, load_tflite
+
+    cfg = dataclasses.replace(DepthProConfig.tiny_test(), attn_impl="jnp")
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "dp.tflite")
+    n = export_tflite(model, path)
+    assert n > 0 and os.path.getsize(path) == n
+
+    call = load_tflite(path)
+    assert tuple(call.input_shape) == (1, 3, model.img_size, model.img_size)
+    x = np.random.default_rng(0).standard_normal(call.input_shape).astype(np.float32)
+    leaves = call(x)
+    ref = jax.tree_util.tree_leaves(model.infer(jnp.asarray(x)))
+    assert len(leaves) == len(ref)
+    for got, want in zip(leaves, ref):
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_da3_tflite_roundtrip(tmp_path):
+    pytest.importorskip("tensorflow")
+    from burn_depth_tpu.serve.export import export_tflite, load_tflite
+
+    cfg = dataclasses.replace(DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp")
+    model = DepthAnything3.init(jax.random.PRNGKey(1), cfg)
+    path = str(tmp_path / "da3.tflite")
+    export_tflite(model, path)
+
+    call = load_tflite(path)
+    x = np.random.default_rng(1).standard_normal((1, 3, 28, 28)).astype(np.float32)
+    leaves = call(x)
+    ref = jax.tree_util.tree_leaves(model.infer(jnp.asarray(x)))
+    for got, want in zip(leaves, ref):
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_export_cli_tflite(tmp_path):
+    pytest.importorskip("tensorflow")
+    from burn_depth_tpu.cli.export import main as export_main
+
+    out = str(tmp_path / "dp_cli.tflite")
+    rc = export_main(["--model", "depth-pro", "--tiny", "--attn-impl", "jnp",
+                      "--format", "tflite", "--out", out])
+    assert rc == 0 and os.path.getsize(out) > 0
