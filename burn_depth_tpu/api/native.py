@@ -43,20 +43,27 @@ def list_image_files(path) -> list:
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libburn_depth_host.so")
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
+_load_error: Optional[str] = None  # last dlopen/bind failure, for diagnostics
 
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _load_failed
+    global _lib, _load_failed, _load_error
     if _lib is not None or _load_failed:
         return _lib
     path = os.environ.get("BURN_DEPTH_NATIVE_LIB", os.path.abspath(_LIB_PATH))
     try:
         lib = ctypes.CDLL(path)
-    except OSError:
+    except OSError as e:
+        # cache the failure (don't re-dlopen on every hot-path call) but keep
+        # the reason and let reload() retry: a dlopen failure can be
+        # TRANSIENT (fd exhaustion under a big test session, memory
+        # pressure), and a permanently poisoned flag turns one hiccup into
+        # "native lane disabled for the rest of the process".
         _load_failed = True
+        _load_error = str(e)
         return None
     try:
         _bind_symbols(lib)
@@ -71,6 +78,7 @@ def _load() -> Optional[ctypes.CDLL]:
             stacklevel=2,
         )
         _load_failed = True
+        _load_error = f"{path}: missing loader-ABI symbols (stale build)"
         return None
     _lib = lib
     return _lib
@@ -101,6 +109,22 @@ def _bind_symbols(lib: ctypes.CDLL) -> None:
 
 def available() -> bool:
     return _load() is not None
+
+
+def load_error() -> Optional[str]:
+    """The last load failure's message (None when loaded or never tried)."""
+    return _load_error
+
+
+def reload() -> bool:
+    """Clear the cached load failure and retry the dlopen.  Returns
+    availability.  Use after rebuilding the .so, or to recover from a
+    transient dlopen failure (fd/memory pressure) that ``_load`` cached."""
+    global _lib, _load_failed, _load_error
+    _lib = None
+    _load_failed = False
+    _load_error = None
+    return available()
 
 
 def resize_bicubic_u8(img: np.ndarray, out_h: int, out_w: int, a: float = CATMULL_ROM) -> np.ndarray:

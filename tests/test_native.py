@@ -20,9 +20,16 @@ NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
 @pytest.fixture(scope="module", autouse=True)
 def built_lib():
     if not native.available():
+        # native.reload(): a transient dlopen failure earlier in a long test
+        # session (fd/memory pressure) caches _load_failed — retry through
+        # it, and rebuild if the .so is genuinely missing/stale.
+        first_error = native.load_error()
         rc = subprocess.run(["make", "-C", str(NATIVE_DIR)], capture_output=True)
-        if rc.returncode != 0 or not native.available():
-            pytest.skip(f"native lib unavailable (build rc={rc.returncode})")
+        if rc.returncode != 0 or not native.reload():
+            pytest.skip(
+                f"native lib unavailable (build rc={rc.returncode}; "
+                f"load error: {native.load_error() or first_error})"
+            )
 
 
 def test_native_bicubic_matches_numpy():
@@ -436,3 +443,18 @@ def test_progressive_jpeg_decodes_in_both_lanes(tmp_path):
     # same pixels in, near-identical JPEG round trips out
     assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
     assert decode(prog, fast_jpeg=True).shape == (64, 64, 3)
+
+
+def test_reload_recovers_from_transient_load_failure(monkeypatch):
+    """A transient dlopen failure (fd/memory pressure in a long process) must
+    not permanently poison the native lane: reload() clears the cached
+    failure and retries — the exact path the built_lib fixture leans on."""
+    from burn_depth_tpu.api import native
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_failed", True)
+    monkeypatch.setattr(native, "_load_error", "simulated: Too many open files")
+    assert not native.available()
+    assert "Too many open files" in native.load_error()
+    assert native.reload() is True  # the real .so loads on retry
+    assert native.available() and native.load_error() is None
