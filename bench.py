@@ -135,7 +135,22 @@ def main() -> None:
     if int8:
         calib = None
         if int8_mode == "static":
-            calib = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, size, size), jnp.bfloat16)
+            # calibrate on the committed test image — the same recipe the
+            # drift gate measured (tools/tier_drift.py); random noise is the
+            # fallback when assets are absent
+            try:
+                import importlib.util
+                import pathlib
+
+                repo = pathlib.Path(__file__).resolve().parent
+                spec = importlib.util.spec_from_file_location("tier_drift_tool", repo / "tools" / "tier_drift.py")
+                td = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(td)
+                calib = jnp.asarray(td.load_input(repo / "assets" / "image" / "test.png", size), jnp.bfloat16)
+                log("int8 calibration input: assets/image/test.png (drift-gate recipe)")
+            except Exception as e:  # noqa: BLE001 — bench must run even without assets
+                log(f"int8 calibration fallback to random noise ({e})")
+                calib = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, size, size), jnp.bfloat16)
         t0 = time.perf_counter()
         model = model.quantize_vit(calibration_input=calib)
         log(f"int8 ViT serving tier (BENCH_INT8={int8_mode}) prepared in {time.perf_counter() - t0:.1f}s")
