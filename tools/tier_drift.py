@@ -77,7 +77,7 @@ def load_input(image: Path, size: int, model: str = "depth_pro") -> np.ndarray:
     from burn_depth_tpu.api.predict import normalize_image
 
     rgb_u8 = np.asarray(Image.open(image).convert("RGB"))
-    if model == "da3":
+    if model.startswith("da3"):
         from burn_depth_tpu.api.preprocess import prepare_depth_anything3_image
 
         prep = prepare_depth_anything3_image(rgb_u8, size)
@@ -141,7 +141,7 @@ def run_tier(base, tier: str, x_np: np.ndarray, timed: bool = False, model: str 
     with env, prec:
         m, x = tier_model(base, tier, x_np)
 
-        if model == "da3":
+        if model.startswith("da3"):
 
             @jax.jit
             def fwd(params, x):
@@ -178,7 +178,7 @@ def run_tier(base, tier: str, x_np: np.ndarray, timed: bool = False, model: str 
                 t0 = time.perf_counter()
                 for _ in range(5):
                     c, _ = fwd(m.params, x)
-                _ = jax.device_get(c[0, :1, :8] if model == "da3" else c[0, 0, :1, :8])
+                _ = jax.device_get(c[0, :1, :8] if model.startswith("da3") else c[0, 0, :1, :8])
                 best = min(best, (time.perf_counter() - t0) / 5)
             out["ms"] = round(1000 * best, 1)
     return out
@@ -257,12 +257,11 @@ def build_base(leg: str, model: str = "depth_pro"):
     import jax
     import jax.numpy as jnp
 
-    if model == "da3":
+    if model.startswith("da3"):
         from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
 
-        m = DepthAnything3.init(
-            jax.random.PRNGKey(0), DepthAnything3Config.metric_large(), dtype=jnp.float32
-        )
+        cfg = DepthAnything3Config.small() if model == "da3_small" else DepthAnything3Config.metric_large()
+        m = DepthAnything3.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
         # Random init keeps DINOv2's real layerscale init (1e-5), which zeroes
         # every block's contribution and makes approximation drift read as
         # 1e-8 noise.  Trained checkpoints carry O(0.1-1) layerscale; excite
@@ -303,7 +302,7 @@ def main() -> int:
     ap.add_argument("--out", type=Path, default=REPO / "benchmarks" / "tier_drift.json")
     ap.add_argument("--time", action="store_true", help="also record per-tier ms (flagship/TPU)")
     ap.add_argument("--tiers", nargs="*", default=None)
-    ap.add_argument("--model", choices=["depth_pro", "da3"], default="depth_pro")
+    ap.add_argument("--model", choices=["depth_pro", "da3", "da3_small"], default="depth_pro")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="pin the JAX platform (the TPU plugin ignores JAX_PLATFORMS; pin via jax.config)")
     args = ap.parse_args()
@@ -320,15 +319,15 @@ def main() -> int:
     print(f"model={args.model} leg={args.leg} backend={backend} img_size={size} "
           f"input={tuple(x_np.shape)}", file=sys.stderr)
 
-    drift_fn = drift_da3 if args.model == "da3" else drift
+    drift_fn = drift_da3 if args.model.startswith("da3") else drift
     ref = run_tier(base, "f32_erf", x_np, model=args.model)  # unfused exact-f32 baseline
-    sig = ref["depth"] if args.model == "da3" else ref["canonical"]
+    sig = ref["depth"] if args.model.startswith("da3") else ref["canonical"]
     print(f"baseline f32_erf: compile+run {ref['compile_s']}s "
           f"signal range [{sig.min():.4f}, {sig.max():.4f}]", file=sys.stderr)
 
     if args.tiers:
         tiers = args.tiers
-    elif args.model == "da3":
+    elif args.model.startswith("da3"):
         tiers = DA3_THIN_TIERS if args.leg == "thin" else DA3_FLAGSHIP_TIERS
     else:
         tiers = THIN_TIERS if args.leg == "thin" else FLAGSHIP_TIERS
@@ -359,7 +358,7 @@ def main() -> int:
     merged = {}
     if args.out.exists():
         merged = json.loads(args.out.read_text())
-    leg_key = args.leg if args.model == "depth_pro" else f"da3_{args.leg}"
+    leg_key = args.leg if args.model == "depth_pro" else f"{args.model}_{args.leg}"
     merged[leg_key] = record
     args.out.write_text(json.dumps(merged, indent=1) + "\n")
     print(json.dumps({leg_key: record}, indent=1))
