@@ -57,23 +57,27 @@ def run_da3_parity(
     x = jnp.asarray(golden["metric_input"])
     inf, trace = model.infer_with_trace(x)
 
+    # Every compared stage gates — the reference applies its tolerances
+    # per-feature, not just on depth (``correctness.rs:875,887-897`` and the
+    # per-stage stats of ``da3_small_correctness.rs:89-138``).
     compare("depth", inf.depth, gate=True)
-    compare("depth_confidence", inf.depth_confidence)
-    compare("ray", inf.aux)
-    compare("ray_confidence", inf.aux_confidence)
-    compare("pose_encoding", inf.pose_encoding)
-    compare("extrinsics", inf.extrinsics)
-    compare("intrinsics", inf.intrinsics)
+    compare("depth_confidence", inf.depth_confidence, gate=True)
+    compare("ray", inf.aux, gate=True)
+    compare("ray_confidence", inf.aux_confidence, gate=True)
+    compare("pose_encoding", inf.pose_encoding, gate=True)
+    compare("extrinsics", inf.extrinsics, gate=True)
+    compare("intrinsics", inf.intrinsics, gate=True)
 
     for i, tok in enumerate(trace.backbone_tokens):
-        compare(f"backbone_tokens.stage{i}", tok)
+        compare(f"backbone_tokens.stage{i}", tok, gate=True)
     if trace.aux_stage_necks is not None:
         for i, neck in enumerate(trace.aux_stage_necks):
-            compare(f"aux_stage_necks.stage{i}", neck)
-    compare("aux_logits", trace.aux_logits)
-    compare("aux_head_input", trace.aux_head_input)
+            compare(f"aux_stage_necks.stage{i}", neck, gate=True)
+    compare("aux_logits", trace.aux_logits, gate=True)
+    compare("aux_head_input", trace.aux_head_input, gate=True)
 
     # --- head-only replay from golden backbone tokens --------------------
+    # (the reference's bisection layer, ``da3_small_correctness.rs:279-326``)
     n_stages = len(trace.backbone_tokens)
     token_keys = [f"backbone_tokens.stage{i}" for i in range(n_stages)]
     if all(k in golden for k in token_keys) and "depth" in golden:
@@ -81,5 +85,21 @@ def run_da3_parity(
         tokens = [jnp.asarray(golden[k]) for k in token_keys]
         head_out = model.infer_from_tokens(tokens, int(h), int(w))
         compare("head_only_depth", head_out.depth, golden_arr=golden["depth"], gate=True)
+        if head_out.depth_confidence is not None and "depth_confidence" in golden:
+            compare(
+                "head_only_depth_confidence",
+                head_out.depth_confidence,
+                golden_arr=golden["depth_confidence"],
+                gate=True,
+            )
+        if head_out.aux is not None and "ray" in golden:
+            compare("head_only_ray", head_out.aux, golden_arr=golden["ray"], gate=True)
+        if head_out.aux_confidence is not None and "ray_confidence" in golden:
+            compare(
+                "head_only_ray_confidence",
+                head_out.aux_confidence,
+                golden_arr=golden["ray_confidence"],
+                gate=True,
+            )
 
     return ParityReport(stages=stages, failures=failures, skipped=skipped)

@@ -98,6 +98,166 @@ def test_import_report_covers_every_oracle_tensor(pipeline_artifacts):
     assert not report.ignored
 
 
+# ===========================================================================
+# DA3-small dual-head pipeline (VERDICT r3 #1): independent torch-oracle dump
+# for the hardest component — variant backbone (QK-norm/RoPE/alt/cat/camera
+# token) + dual DPT head + camera decoder — through the full verify gate,
+# plus the rope_coords/cat_order knob-sweep discrimination proof.
+# ===========================================================================
+
+
+def _run_small_dump(d, size, rope_coords="index", cat_order="prev_first", seed=0):
+    golden = d / f"small_{size}_{rope_coords}_{cat_order}.safetensors"
+    state = d / f"small_state_{size}_{rope_coords}_{cat_order}.safetensors"
+    cfg = d / f"small_cfg_{size}_{rope_coords}_{cat_order}.json"
+    rc = dump_tool.main(
+        [
+            "--backend", "oracle",
+            "--variant", "small",
+            "--size", str(size),
+            "--seed", str(seed),
+            "--rope-coords", rope_coords,
+            "--cat-order", cat_order,
+            "--image", str(REPO / "assets" / "image" / "test.png"),
+            "--out", str(golden),
+            "--save-state", str(state),
+            "--save-config", str(cfg),
+        ]
+    )
+    assert rc == 0
+    return golden, state, cfg
+
+
+@pytest.fixture(scope="module")
+def small_pipeline_artifacts(tmp_path_factory):
+    """Full-geometry (518², real ViT-S backbone) small-variant dump."""
+    return _run_small_dump(tmp_path_factory.mktemp("da3_small_pipeline"), 518)
+
+
+def test_small_dump_schema_matches_reference_contract(small_pipeline_artifacts):
+    """The dump carries the reference's small schema
+    (``/root/reference/tool/correctness_da3.py:110-173``)."""
+    golden, _, _ = small_pipeline_artifacts
+    from burn_depth_tpu.io.checkpoint import load_safetensors
+
+    g = load_safetensors(str(golden))
+    for key in (
+        ["metric_input", "depth", "depth_confidence", "ray", "ray_confidence",
+         "pose_encoding", "extrinsics", "intrinsics", "aux_logits", "aux_head_input"]
+        + [f"backbone_tokens.stage{i}" for i in range(4)]
+        + [f"aux_stage_necks.stage{i}" for i in range(4)]
+    ):
+        assert key in g, key
+    assert g["depth"].shape == (1, 518, 518)
+    # aux branch emits at the refinenet chain's final resolution (8x the
+    # 37-patch grid), with no final upsample to H×W (dpt.rs:356-441)
+    assert g["ray"].shape == (1, 6, 296, 296)
+    assert g["pose_encoding"].shape == (1, 1, 9)
+    assert g["extrinsics"].shape == (1, 1, 3, 4)
+    assert g["intrinsics"].shape == (1, 1, 3, 3)
+    assert g["backbone_tokens.stage0"].shape == (1, 37 * 37, 768)  # cat_token: 2x384
+
+
+def test_small_full_gate_passes_on_independent_dump(small_pipeline_artifacts, capsys):
+    """cli.correctness on the small dump: import through the production
+    ``head_dual`` remap table and gate EVERY dumped stage — depth, conf, ray,
+    ray_conf, pose/extr/intr, per-stage backbone tokens, aux necks/logits —
+    plus the head-only-from-golden-tokens bisection
+    (``example/da3_small_correctness.rs:89-138,279-326``)."""
+    golden, state, cfg = small_pipeline_artifacts
+    from burn_depth_tpu.cli.correctness import main
+
+    rc = main(
+        [
+            "--model", "depth-anything-3",
+            "--golden", str(golden),
+            "--checkpoint", str(state),
+            "--config", str(cfg),
+            "--rel-floor", "1e-3",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    for stage in ("head_only_depth", "head_only_ray", "pose_encoding",
+                  "intrinsics", "aux_stage_necks.stage3", "backbone_tokens.stage3"):
+        assert stage in out, stage
+
+
+def test_small_import_report_covers_every_oracle_tensor(small_pipeline_artifacts):
+    golden, state, cfg = small_pipeline_artifacts
+    from burn_depth_tpu.core.configio import load_config
+    from burn_depth_tpu.io.checkpoint import load_safetensors
+    from burn_depth_tpu.io.importers import import_da3
+
+    sd = load_safetensors(str(state))
+    model, report = import_da3(str(state), variant="small", config=load_config(str(cfg)))
+    assert report.applied == len(sd)
+    assert not report.ignored
+
+
+def test_small_oracle_keys_equal_upstream_manifest(small_pipeline_artifacts):
+    """The small oracle's state dict keys are EXACTLY the vendored upstream
+    small manifest (geometry-thin channel widths don't change key structure,
+    and the small manifest has fixed block/hook counts — so this is set
+    equality, stronger than the mono pattern check)."""
+    _, state, _ = small_pipeline_artifacts
+    from burn_depth_tpu.io.checkpoint import load_safetensors
+
+    manifest = {
+        line.strip()
+        for line in (REPO / "tests" / "fixtures" / "da3_small_upstream_keys.txt")
+        .read_text()
+        .splitlines()
+        if line.strip()
+    }
+    assert set(load_safetensors(str(state)).keys()) == manifest
+
+
+# --- knob-sweep discrimination (PARITY.md "DA3-small ViT variant numerics") --
+
+
+def _sweep_report(state, cfg_path, golden, rope_coords, cat_order):
+    import dataclasses
+
+    from burn_depth_tpu.core.configio import load_config
+    from burn_depth_tpu.io.checkpoint import load_safetensors
+    from burn_depth_tpu.io.importers import import_da3
+    from burn_depth_tpu.verify.da3 import run_da3_parity
+
+    config = dataclasses.replace(
+        load_config(str(cfg_path)), rope_coords=rope_coords, cat_order=cat_order
+    )
+    model, _ = import_da3(str(state), variant="small", config=config)
+    return run_da3_parity(model, load_safetensors(str(golden)), {"rel_floor": 1e-3})
+
+
+COMBOS = [("index", "prev_first"), ("index", "cur_first"),
+          ("norm_pm1", "prev_first"), ("norm_pm1", "cur_first")]
+
+
+@pytest.mark.parametrize("oracle_combo", [("index", "prev_first"), ("norm_pm1", "cur_first")])
+def test_small_knob_sweep_localizes_oracle_convention(tmp_path, oracle_combo):
+    """The real-weights-day playbook's discrimination proof: build the torch
+    oracle with ONE (rope_coords, cat_order) convention, run the framework's
+    4-combination sweep, and the gate passes ONLY on the matching combination
+    — in both directions (default convention and the flipped one), so the
+    sweep localizes the convention rather than merely preferring the default.
+
+    Runs at 140² (grid 10) — convention discrimination is geometry-
+    independent; the full-geometry gate is covered above."""
+    golden, state, cfg = _run_small_dump(
+        tmp_path, 140, rope_coords=oracle_combo[0], cat_order=oracle_combo[1]
+    )
+    results = {}
+    for rope_coords, cat_order in COMBOS:
+        report = _sweep_report(state, cfg, golden, rope_coords, cat_order)
+        results[(rope_coords, cat_order)] = report.ok
+    assert results[oracle_combo], "matching combination must pass the gate"
+    for combo, ok in results.items():
+        if combo != oracle_combo:
+            assert not ok, f"mismatched combination {combo} must fail the gate"
+
+
 def test_oracle_keys_follow_upstream_manifest_patterns(pipeline_artifacts):
     """Every oracle state-dict key must match a key pattern from the vendored
     upstream metric-large manifest (block/hook counts differ by geometry, so

@@ -39,16 +39,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def run_oracle(args) -> int:
-    import torch
-    from safetensors.torch import save_file
-
-    sys.path.insert(0, str(Path(__file__).resolve().parent))
-    from torch_da3_oracle import TorchDA3Oracle
-
-    oracle = TorchDA3Oracle(img_size=args.size).randomize(seed=args.seed).eval()
-
+def _oracle_input(args):
     import numpy as np
+    import torch
     from PIL import Image
 
     from burn_depth_tpu.api.preprocess import TORCH_BICUBIC, resize_bicubic
@@ -58,14 +51,11 @@ def run_oracle(args) -> int:
     arr = torch.from_numpy(resized).permute(2, 0, 1).float() / 255.0
     mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
     std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
-    tensor = ((arr - mean) / std)[None]  # [1, 3, H, W]
+    return ((arr - mean) / std)[None]  # [1, 3, H, W]
 
-    with torch.inference_mode():
-        depth, patch_hooks = oracle(tensor)
 
-    tensors = {"metric_input": tensor.contiguous(), "depth": depth.contiguous()}
-    for i, tok in enumerate(patch_hooks):
-        tensors[f"backbone_tokens.stage{i}"] = tok.contiguous()
+def _save_oracle_artifacts(args, oracle, tensors, cfg) -> None:
+    from safetensors.torch import save_file
 
     args.out.parent.mkdir(parents=True, exist_ok=True)
     save_file({k: v.cpu() for k, v in tensors.items()}, str(args.out))
@@ -79,21 +69,86 @@ def run_oracle(args) -> int:
 
     if args.save_config is not None:
         from burn_depth_tpu.core.configio import save_config
-        from burn_depth_tpu.models.da3.dpt import DepthAnything3HeadConfig
-        from burn_depth_tpu.models.da3.model import DepthAnything3Config
+
+        save_config(str(args.save_config), cfg)
+        print(f"wrote model config to {args.save_config}")
+
+
+def run_oracle(args) -> int:
+    import torch
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from burn_depth_tpu.models.da3.dpt import DepthAnything3HeadConfig
+    from burn_depth_tpu.models.da3.model import DepthAnything3Config
+
+    tensor = _oracle_input(args)
+
+    if args.variant == "small":
+        from torch_da3_oracle import TorchDA3SmallOracle
+
+        oracle = (
+            TorchDA3SmallOracle(
+                img_size=args.size, rope_coords=args.rope_coords, cat_order=args.cat_order
+            )
+            .randomize(seed=args.seed)
+            .eval()
+        )
+        with torch.inference_mode():
+            out = oracle(tensor)
+
+        tensors = {"metric_input": tensor.contiguous()}
+        for key in ("depth", "depth_confidence", "ray", "ray_confidence",
+                    "pose_encoding", "extrinsics", "intrinsics",
+                    "aux_logits", "aux_head_input"):
+            # clone: channel selects are views into aux_logits (B=1 slices
+            # count as contiguous), and safetensors rejects shared storage
+            tensors[key] = out[key].clone().contiguous()
+        for i, tok in enumerate(out["backbone_tokens"]):
+            tensors[f"backbone_tokens.stage{i}"] = tok.contiguous()
+        for i, neck in enumerate(out["aux_stage_necks"]):
+            tensors[f"aux_stage_necks.stage{i}"] = neck.contiguous()
+
+        from burn_depth_tpu.models.da3.camera import CameraDecoderConfig, CameraEncoderConfig
 
         cfg = DepthAnything3Config(
             image_size=args.size,
             patch_size=oracle.patch,
             hook_block_ids=oracle.hook_ids,
             head=DepthAnything3HeadConfig(
-                dim_in=384, features=16, out_channels=(8, 12, 16, 16),
-                output_dim=1, activation="exp", conf_activation="exp",
+                dim_in=768, features=oracle.features, out_channels=oracle.out_channels,
+                output_dim=2, activation="exp", conf_activation="exp_p1",
+                dual_head=True, aux_layer_norm_stages=(0,),
             ),
+            camera_encoder=CameraEncoderConfig(dim_out=384, num_heads=6),
+            camera_decoder=CameraDecoderConfig(dim_in=768),
             attn_impl="jnp",
+            rope_coords=args.rope_coords,
+            cat_order=args.cat_order,
         )
-        save_config(str(args.save_config), cfg)
-        print(f"wrote model config to {args.save_config}")
+        _save_oracle_artifacts(args, oracle, tensors, cfg)
+        return 0
+
+    from torch_da3_oracle import TorchDA3Oracle
+
+    oracle = TorchDA3Oracle(img_size=args.size).randomize(seed=args.seed).eval()
+    with torch.inference_mode():
+        depth, patch_hooks = oracle(tensor)
+
+    tensors = {"metric_input": tensor.contiguous(), "depth": depth.contiguous()}
+    for i, tok in enumerate(patch_hooks):
+        tensors[f"backbone_tokens.stage{i}"] = tok.contiguous()
+
+    cfg = DepthAnything3Config(
+        image_size=args.size,
+        patch_size=oracle.patch,
+        hook_block_ids=oracle.hook_ids,
+        head=DepthAnything3HeadConfig(
+            dim_in=384, features=16, out_channels=(8, 12, 16, 16),
+            output_dim=1, activation="exp", conf_activation="exp",
+        ),
+        attn_impl="jnp",
+    )
+    _save_oracle_artifacts(args, oracle, tensors, cfg)
     return 0
 
 
@@ -106,6 +161,13 @@ def main(argv=None) -> int:
     parser.add_argument("--config", type=Path, default=None, help="DA3 YAML model config")
     parser.add_argument("--size", type=int, default=518)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--variant", choices=["metric-large", "small"], default="metric-large",
+                        help="oracle backend: which DA3 architecture to build "
+                        "(small = dual head + camera + variant ViT-S backbone)")
+    parser.add_argument("--rope-coords", choices=["index", "norm_pm1"], default="index",
+                        help="small oracle: RoPE coordinate parameterization")
+    parser.add_argument("--cat-order", choices=["prev_first", "cur_first"], default="prev_first",
+                        help="small oracle: cat-token hook pair order")
     parser.add_argument("--out", type=Path, default=Path("test_da3_reference.safetensors"))
     parser.add_argument("--save-state", type=Path, default=None,
                         help="oracle backend: also write the state dict (importable checkpoint)")
