@@ -17,7 +17,7 @@ sys.path.insert(0, ".")
 
 from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config  # noqa: E402
 from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig  # noqa: E402
-from burn_depth_tpu.utils.profiling import Timer, device_memory_stats  # noqa: E402
+from burn_depth_tpu.utils.profiling import device_memory_stats, min_window_run  # noqa: E402
 
 
 def emit(metric: str, mean_s: float, images: int) -> None:
@@ -28,21 +28,22 @@ def emit(metric: str, mean_s: float, images: int) -> None:
                 "value": round(images / mean_s, 3),
                 "unit": "img/s",
                 "mean_ms": round(mean_s * 1e3, 2),
+                "protocol": "min_window_device_get",
             }
         ),
         flush=True,
     )
 
 
-def bench_depth_pro(timer: Timer) -> None:
+def bench_depth_pro(timer) -> None:
     cfg = DepthProConfig.dinov2_l16_384()
     model = DepthPro.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     fn = jax.jit(lambda p, x: model._infer_fn(p, x).depth)
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 1536, 1536), jnp.bfloat16)
-    emit("depth_pro_infer_1536_b1", timer.run(fn, model.params, x)["mean_s"], 1)
+    emit("depth_pro_infer_1536_b1", timer(fn, model.params, x)["mean_s"], 1)
 
 
-def bench_da3(timer: Timer, variant: str, serving: bool = False) -> None:
+def bench_da3(timer, variant: str, serving: bool = False) -> None:
     cfg = DepthAnything3Config.small() if variant == "small" else DepthAnything3Config.metric_large()
     model = DepthAnything3.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     tag = ""
@@ -63,10 +64,10 @@ def bench_da3(timer: Timer, variant: str, serving: bool = False) -> None:
 
     fn = jax.jit(f)
     x = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 518, 518), jnp.bfloat16)
-    emit(f"depth_anything3_{variant}_infer_518_b1{tag}", timer.run(fn, model.params, x)["mean_s"], 1)
+    emit(f"depth_anything3_{variant}_infer_518_b1{tag}", timer(fn, model.params, x)["mean_s"], 1)
 
 
-def bench_streaming(timer: Timer, batch: int = 8) -> None:
+def bench_streaming(timer, batch: int = 8) -> None:
     """BASELINE config 4: batched 512² frames, persistent weights."""
     cfg = DepthAnything3Config.metric_large()
     import dataclasses
@@ -80,11 +81,16 @@ def bench_streaming(timer: Timer, batch: int = 8) -> None:
 
     fn = jax.jit(f)
     x = jax.random.uniform(jax.random.PRNGKey(1), (batch, 3, 518, 518), jnp.bfloat16)
-    emit(f"da3_metric_large_stream_b{batch}", timer.run(fn, model.params, x)["mean_s"], batch)
+    emit(f"da3_metric_large_stream_b{batch}", timer(fn, model.params, x)["mean_s"], batch)
 
 
 def main() -> int:
-    timer = Timer(warmup=3, iters=20, sync_each=False)
+    # The VERDICT protocol (NEXT.md): min-of-windows with device_get sync.
+    # The async 20-iter Timer this harness used through round 2 reads FAST on
+    # ms-scale programs through the tunnel (block_until_ready returns early) —
+    # the source of the 5.77-vs-8.3 ms DA3-small spread BENCH.md reconciles.
+    def timer(fn, *args):
+        return min_window_run(fn, *args, windows=4, iters_per_window=5)
     which = sys.argv[1:] or ["depth_pro", "da3_large", "da3_small", "stream"]
     if "depth_pro" in which:
         bench_depth_pro(timer)

@@ -61,6 +61,49 @@ class Timer:
         return {"mean_s": dt, "iters": self.iters, "throughput_per_s": 1.0 / dt}
 
 
+def min_window_run(fn, *args, windows: int = 4, iters_per_window: int = 5,
+                   warmup: int = 3, probe=None) -> dict:
+    """The repo's VERDICT timing protocol (bench.py, NEXT.md): several timed
+    windows of async dispatches, each synced by ``jax.device_get`` of a small
+    output slice, reporting the MIN window.
+
+    Rationale, both tunnel-specific (BENCH.md round 2): (a) the axon tunnel
+    occasionally injects multi-second stalls into a window — the min window
+    is the chip's steady-state rate; (b) ``block_until_ready`` can return
+    before remote execution completes (async ``Timer`` numbers read up to
+    ~30% fast on ms-scale programs), so fetching real output bytes is the
+    only watertight sync.  ``probe``: maps the call result to the small array
+    to fetch (default: the first 8 floats of the first leaf).
+    """
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+
+    def default_probe(res):
+        leaf = jax.tree_util.tree_leaves(res)[0]
+        return leaf.reshape(-1)[:8]
+
+    probe = probe or default_probe
+    best = float("inf")
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters_per_window):
+            out = fn(*args)
+        _ = jax.device_get(probe(out))
+        dt = (time.perf_counter() - t0) / iters_per_window
+        times.append(dt)
+        best = min(best, dt)
+    return {
+        "mean_s": best,
+        "ms": 1000.0 * best,
+        "throughput_per_s": 1.0 / best,
+        "window_ms": [round(1000 * t, 2) for t in times],
+    }
+
+
 def device_memory_stats(device: Optional[jax.Device] = None) -> dict:
     """HBM usage for a device (empty dict where the backend lacks stats)."""
     device = device or jax.devices()[0]
