@@ -84,6 +84,28 @@ def build_thin_hf_model(embed_dim=32, depth=12, heads=2, fusion=32, seed=0):
     return hf
 
 
+def condition_o1_signal(hf):
+    """Condition the thin model so its FINAL outputs are O(1), bounded away
+    from zero — the regime the reference's bare ``max_rel`` thresholds
+    presume (real checkpoints emit O(1) inverse depth and ~50° FOV; a
+    random-init thin model emits O(0.1) zero-crossing signals whose
+    near-zero pixels read float cancellation as relative error).  Shrink the
+    final convs and pin their biases: canonical inverse depth ≈ 1 ± 0.05,
+    fovx ≈ 50° ± small.  Intermediates stay random/zero-crossing — this
+    conditions only the output scale, not the network path."""
+    import torch
+
+    with torch.no_grad():
+        head_out = hf.head.layers[4]  # conv_out (1×1, 1 channel)
+        head_out.weight.mul_(0.05)
+        head_out.bias.fill_(1.0)
+        fov_convs = [m for m in hf.fov_model.head.modules()
+                     if isinstance(m, torch.nn.Conv2d)]
+        fov_convs[-1].weight.mul_(0.05)
+        fov_convs[-1].bias.fill_(50.0)
+    return hf
+
+
 def load_network_input(image_path: Path, img_size: int):
     """Apple's transform convention: ``(x/255 − 0.5)/0.5`` then bilinear
     resize (align_corners=False) to the square working resolution
@@ -137,6 +159,8 @@ def run_hf(args) -> int:
         model = DepthProForDepthEstimation.from_pretrained(str(args.hf_checkpoint)).eval()
     elif args.thin:
         model = build_thin_hf_model(seed=args.seed)
+        if args.o1_signal:
+            model = condition_o1_signal(model)
     else:
         print("--backend hf needs --hf-checkpoint DIR or --thin", file=sys.stderr)
         return 2
@@ -185,14 +209,19 @@ def run_hf(args) -> int:
     for h in handles:
         h.remove()
 
-    # encoder features: reverse the HF low-res-first list to apple order
-    for i, f in enumerate(reversed(taps.pop("pre_projection"))):
-        tensors[f"encoder_feature_{i}"] = f.contiguous()
-    projected = taps.pop("projected")
-    tensors["decoder_lowres_feature"] = projected[0].detach().float().contiguous()
-    # clone: safetensors rejects tensors sharing storage (decoder_feature IS
-    # the final fusion output in apple's schema)
-    tensors["decoder_feature"] = taps["decoder_fusion_0"].clone().contiguous()
+    if args.final_only:
+        # strict-rel gate mode: only the final outputs (the stages the bare
+        # max_rel thresholds apply to) — the replay skips absent keys
+        taps = {"canonical_inverse_depth": taps["canonical_inverse_depth"]}
+    else:
+        # encoder features: reverse the HF low-res-first list to apple order
+        for i, f in enumerate(reversed(taps.pop("pre_projection"))):
+            tensors[f"encoder_feature_{i}"] = f.contiguous()
+        projected = taps.pop("projected")
+        tensors["decoder_lowres_feature"] = projected[0].detach().float().contiguous()
+        # clone: safetensors rejects tensors sharing storage (decoder_feature IS
+        # the final fusion output in apple's schema)
+        tensors["decoder_feature"] = taps["decoder_fusion_0"].clone().contiguous()
     tensors.update({k: v.contiguous() for k, v in taps.items()})
 
     h, w = batch.shape[-2:]
@@ -360,6 +389,12 @@ def main(argv=None) -> int:
                         help="HF checkpoint dir, e.g. apple/DepthPro-hf (hf backend)")
     parser.add_argument("--thin", action="store_true",
                         help="hf backend: seeded random thin model at flagship geometry")
+    parser.add_argument("--o1-signal", action="store_true",
+                        help="thin model: condition final convs so outputs are O(1) away "
+                        "from zero — the regime the reference's bare max_rel gate presumes")
+    parser.add_argument("--final-only", action="store_true",
+                        help="dump only final outputs (canonical/metric/fov) — the "
+                        "strict-rel gate surface")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=Path, default=Path("test.safetensors"))
     parser.add_argument("--save-hf-state", type=Path, default=None,
