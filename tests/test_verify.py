@@ -94,11 +94,31 @@ def _da3_self_golden(model, x):
     return g
 
 
+def _condition_camera_fov(model):
+    """Random-init camera decoders can emit fov = relu(·) = 0, and the
+    reference's exact intrinsics math (``camera.rs:311-312``) then yields
+    focal = W / (2·tan 0) = inf — which reads as nan drift in the gate.
+    Real checkpoints always emit positive FOV; pin the fc_fov bias the same
+    way the torch oracle does (``tools/torch_da3_oracle.py:685-686``) so the
+    self-parity fixture lives in the regime the gate presumes."""
+    if "camera_decoder" not in model.params:
+        return model
+    import jax.numpy as jnp
+
+    params = dict(model.params)
+    cam = dict(params["camera_decoder"])
+    fov = dict(cam["fc_fov"])
+    fov["bias"] = jnp.full_like(fov["bias"], 1.0)
+    cam["fc_fov"] = fov
+    params["camera_decoder"] = cam
+    return type(model)(model.config, params)
+
+
 @pytest.mark.parametrize("variant", ["metric-large", "small"])
 def test_da3_self_parity_passes(variant):
     base = DepthAnything3Config.small() if variant == "small" else DepthAnything3Config.metric_large()
     cfg = dataclasses.replace(base, image_size=28, attn_impl="jnp")
-    model = DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    model = _condition_camera_fov(DepthAnything3.init(jax.random.PRNGKey(0), cfg))
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 28, 28)) * 0.5
     golden = _da3_self_golden(model, x)
     report = run_da3_parity(model, golden)
