@@ -90,6 +90,21 @@ def main():
                 wt,
                 flops,
             )
+        # C-blocked accumulation (NEXT.md OPEN avenue): smaller per-step C
+        # slices free VMEM for larger spatial tiles — M of the per-position
+        # matmul grows from 512 toward the 2048 the direct kernel runs at.
+        for th, tw, cb in ((16, 256, 128), (32, 256, 64), (32, 128, 128)):
+            if h % th or w % tw or c % cb:
+                continue
+            bench(
+                f"wino {name} th{th}xtw{tw}cb{cb}",
+                lambda xx, ww, th=th, tw=tw, cb=cb: conv3x3_wino_pallas(
+                    xx, ww, tile_h=th, tile_w=tw, c_block=cb
+                ),
+                x,
+                wt,
+                flops,
+            )
 
 
 if __name__ == "__main__":

@@ -69,7 +69,7 @@ def _bt_combine(v):
 
 
 def _kernel(e_ref, o_ref, u_ref, out_ref, *, n: int, m: int, relu_in: bool,
-            bias_ref=None):
+            bias_ref=None, c_steps: int = 1):
     # e/o: [th+2, mb, C] padded column-parity windows; th = 2n, tw = 2m.
     e = e_ref[0]
     o = o_ref[0]
@@ -126,10 +126,31 @@ def _kernel(e_ref, o_ref, u_ref, out_ref, *, n: int, m: int, relu_in: bool,
 
     # Column phases concatenated on lanes: [th, m, 2O].
     out = jnp.concatenate([rows(0), rows(1)], axis=-1)
-    out_ref[0] = out.astype(out_ref.dtype)
+    if c_steps == 1:
+        out_ref[0] = out.astype(out_ref.dtype)
+    else:
+        # C-blocked accumulation (NEXT.md OPEN avenue): the innermost grid
+        # dim walks C in blocks; the output block's index_map ignores it, so
+        # Mosaic keeps the f32 block resident in VMEM and we accumulate
+        # partial contractions across steps.  Shrinking the per-step C slice
+        # frees VMEM for LARGER spatial tiles (M = n·m rows per matmul) —
+        # the isolated probe measured the per-position matmuls at only
+        # ~26 TF/s at M=512 vs ~83 TF/s for direct M=2048 (BENCH.md round-2
+        # cont. 3); growing M is the one Winograd lever not yet tried.
+        c_idx = pl.program_id(3)
+
+        @pl.when(c_idx == 0)
+        def _init():
+            out_ref[0] = out.astype(out_ref.dtype)
+
+        @pl.when(c_idx > 0)
+        def _accum():
+            out_ref[0] += out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("relu_in", "relu_out", "tile_h", "tile_w"))
+@functools.partial(
+    jax.jit, static_argnames=("relu_in", "relu_out", "tile_h", "tile_w", "c_block")
+)
 def conv3x3_wino_pallas(
     x: jnp.ndarray,  # [N, H, W, C]
     w_hwio: jnp.ndarray,  # [3, 3, C, O]
@@ -139,7 +160,14 @@ def conv3x3_wino_pallas(
     relu_out: bool = False,
     tile_h: int = 16,
     tile_w: int = 128,
+    c_block: int | None = None,
 ) -> jnp.ndarray:
+    """``c_block``: enable C-blocked accumulation — the innermost grid dim
+    walks C in ``c_block``-channel slices and partial results accumulate
+    into an f32 output block held in VMEM.  Shrinking the per-step C slice
+    frees VMEM for larger spatial tiles (pass ``tile_h``/``tile_w`` up), the
+    M-of-the-matmul lever the round-2 probe identified (26 TF/s @ M=512 vs
+    83 @ M=2048).  Bias/interleave move to the XLA epilogue in this mode."""
     n_, h, w, c = x.shape
     oc = w_hwio.shape[-1]
     if h % 2 or w % 2:
@@ -151,7 +179,11 @@ def conv3x3_wino_pallas(
     while tw > 2 and w % tw:
         tw -= 2
     n, m = th // 2, tw // 2
-    grid = (n_, h // th, w // tw)
+
+    cb = c
+    if c_block is not None and c_block < c and c % c_block == 0:
+        cb = c_block
+    c_steps = c // cb
 
     u = wino_filter(w_hwio, dtype=x.dtype)
 
@@ -164,40 +196,62 @@ def conv3x3_wino_pallas(
     ev = jnp.pad(xp[:, :, 0::2, :], ((0, 0), (0, 0), (0, max(pad_c, 0)), (0, 0)))
     od = jnp.pad(xp[:, :, 1::2, :], ((0, 0), (0, 0), (0, max(pad_c, 0)), (0, 0)))
 
-    win_spec = pl.BlockSpec(
-        (Element(1), Element(th + 2), Element(mb), Element(c)),
-        lambda i, j, k: (i, j * th, k * m, 0),
-        memory_space=pltpu.VMEM,
-    )
-    in_specs = [
-        win_spec,
-        win_spec,
-        pl.BlockSpec((4, 4, c, oc), lambda i, j, k: (0, 0, 0, 0), memory_space=pltpu.VMEM),
-    ]
+    accum = c_steps > 1
+    grid = (n_, h // th, w // tw) if not accum else (n_, h // th, w // tw, c_steps)
+
+    if accum:
+        win_spec = pl.BlockSpec(
+            (Element(1), Element(th + 2), Element(mb), Element(cb)),
+            lambda i, j, k, cs: (i, j * th, k * m, cs * cb),
+            memory_space=pltpu.VMEM,
+        )
+        u_spec = pl.BlockSpec(
+            (4, 4, cb, oc), lambda i, j, k, cs: (0, 0, cs, 0), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (1, th, m, 2 * oc), lambda i, j, k, cs: (i, j, k, 0), memory_space=pltpu.VMEM
+        )
+        out_dtype = jnp.float32  # accumulate in f32 across C steps
+    else:
+        win_spec = pl.BlockSpec(
+            (Element(1), Element(th + 2), Element(mb), Element(c)),
+            lambda i, j, k: (i, j * th, k * m, 0),
+            memory_space=pltpu.VMEM,
+        )
+        u_spec = pl.BlockSpec(
+            (4, 4, c, oc), lambda i, j, k: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_spec = pl.BlockSpec(
+            (1, th, m, 2 * oc), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM
+        )
+        out_dtype = x.dtype
+    in_specs = [win_spec, win_spec, u_spec]
     args = [ev, od, u]
-    if bias is not None:
+    in_kernel_bias = bias is not None and not accum
+    if in_kernel_bias:
         in_specs.append(pl.BlockSpec((oc,), lambda i, j, k: (0,), memory_space=pltpu.VMEM))
         args.append(bias)
 
-    kern_kw = dict(n=n, m=m, relu_in=relu_in)
+    kern_kw = dict(n=n, m=m, relu_in=relu_in, c_steps=c_steps)
 
     def kernel(*refs):
-        b_ref = refs[3] if bias is not None else None
+        b_ref = refs[3] if in_kernel_bias else None
         _kernel(refs[0], refs[1], refs[2], refs[-1], bias_ref=b_ref, **kern_kw)
 
     out_ph = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_, h, w // 2, 2 * oc), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_, h, w // 2, 2 * oc), out_dtype),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, th, m, 2 * oc), lambda i, j, k: (i, j, k, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
     )(*args)
 
     # Column-phase interleave: [N, H, W/2, 2, O] -> [N, H, W, O] (one XLA
-    # reshape pass; residual/relu fuse into it).
+    # reshape pass; bias (c-blocked mode) / residual / relu fuse into it).
     out = out_ph.reshape(n_, h, w // 2, 2, oc).reshape(n_, h, w, oc)
+    if accum and bias is not None:
+        out = out + bias.astype(out.dtype)
+    out = out.astype(x.dtype)
     if residual is not None:
         out = out + residual.astype(out.dtype)
     if relu_out:

@@ -267,6 +267,13 @@ def test_conv3x3_winograd_matches_xla_nhwc():
         ref2 = conv2d_nhwc(x, wt, None, padding=1)
         np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=2e-4)
 
+        # C-blocked accumulation path (innermost grid dim walks C in blocks,
+        # f32 accumulation into a revisited output block; bias moves to the
+        # XLA epilogue) — must match the direct conv and the unblocked kernel
+        got3 = m.conv3x3_wino_pallas(x, wt, b, residual=res, relu_in=True,
+                                     relu_out=True, tile_h=4, tile_w=8, c_block=4)
+        np.testing.assert_allclose(np.asarray(got3), np.asarray(ref), atol=2e-4)
+
         # odd spatial dims are rejected (F(2x2) needs even tiling)
         with pytest.raises(ValueError):
             m.conv3x3_wino_pallas(x[:, :11], wt)
