@@ -145,6 +145,24 @@ def _wino_conv3() -> bool:
     return os.environ.get("BDT_CONV3_WINO", "0") == "1"
 
 
+def _wino_kwargs() -> dict:
+    """Tile/C-block knobs for the Winograd route: ``BDT_CONV3_WINO_TILE=HxW``
+    (spatial tile) and ``BDT_CONV3_WINO_CBLK=N`` (C-blocked accumulation —
+    the innermost-grid C walk that frees VMEM for larger tiles; see
+    ``ops/winograd3x3_pallas.py``)."""
+    import os
+
+    kw: dict = {}
+    tile = os.environ.get("BDT_CONV3_WINO_TILE")
+    if tile:
+        th, tw = tile.lower().split("x")
+        kw["tile_h"], kw["tile_w"] = int(th), int(tw)
+    cblk = os.environ.get("BDT_CONV3_WINO_CBLK")
+    if cblk:
+        kw["c_block"] = int(cblk)
+    return kw
+
+
 def _wino_ok(x: jnp.ndarray) -> bool:
     """Wino route gate: even spatial dims and >= BDT_CONV3_WINO_MIN (default
     384 — the isolated probe's crossover; small levels are cheap anyway and
@@ -163,7 +181,7 @@ def _cv(x: jnp.ndarray, p: dict, padding=0) -> jnp.ndarray:
         if is3 and _wino_conv3() and _wino_ok(x):
             from burn_depth_tpu.ops.winograd3x3_pallas import conv3x3_wino_pallas
 
-            return conv3x3_wino_pallas(x, w, p.get("bias"))
+            return conv3x3_wino_pallas(x, w, p.get("bias"), **_wino_kwargs())
         if is3 and _pallas_conv3():
             from burn_depth_tpu.ops.conv3x3_pallas import conv3x3_nhwc_pallas
 
@@ -184,9 +202,9 @@ def _residual_block(p: dict, x: jnp.ndarray) -> jnp.ndarray:
         from burn_depth_tpu.ops.winograd3x3_pallas import conv3x3_wino_pallas
 
         out = conv3x3_wino_pallas(x, p["conv1"]["weight_hwio"], p["conv1"].get("bias"),
-                                  relu_in=True)
+                                  relu_in=True, **_wino_kwargs())
         return conv3x3_wino_pallas(out, p["conv2"]["weight_hwio"], p["conv2"].get("bias"),
-                                   relu_in=True, residual=x)
+                                   relu_in=True, residual=x, **_wino_kwargs())
     if "weight_hwio" in p["conv1"] and _pallas_conv3():
         from burn_depth_tpu.ops.conv3x3_pallas import conv3x3_nhwc_pallas
 

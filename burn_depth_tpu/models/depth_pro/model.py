@@ -254,7 +254,10 @@ def _depth_head_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
             # lanes would underfill the 128-lane VPU/MXU tiles).
             from burn_depth_tpu.ops.winograd3x3_pallas import conv3x3_wino_pallas
 
-            x = conv3x3_wino_pallas(x, p["conv0"]["weight_hwio"], p["conv0"]["bias"])
+            from burn_depth_tpu.models.depth_pro.decoder import _wino_kwargs
+
+            x = conv3x3_wino_pallas(x, p["conv0"]["weight_hwio"], p["conv0"]["bias"],
+                                    **_wino_kwargs())
             x = conv_transpose2d_nhwc(x, p["deconv"]["weight_hwio"], p["deconv"]["bias"], stride=2)
             x = relu(conv2d_nhwc(x, p["conv1"]["weight_hwio"], p["conv1"]["bias"], padding=1))
         elif mode == "head0":

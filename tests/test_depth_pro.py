@@ -451,6 +451,15 @@ def test_nhwc_pallas_conv_route_matches(monkeypatch):
         np.asarray(gotw.depth), np.asarray(ref.depth), rtol=1e-4, atol=1e-5
     )
 
+    # C-blocked accumulation route (BDT_CONV3_WINO_CBLK + explicit tile):
+    # same numerics through the f32-accumulating revisited-output path
+    monkeypatch.setitem(os.environ, "BDT_CONV3_WINO_TILE", "4x8")
+    monkeypatch.setitem(os.environ, "BDT_CONV3_WINO_CBLK", "8")
+    gotc = model.to_nhwc_tail().infer(x)
+    np.testing.assert_allclose(
+        np.asarray(gotc.depth), np.asarray(ref.depth), rtol=1e-4, atol=1e-5
+    )
+
 
 def test_tile_chunked_encoder_matches_batched(tiny_model):
     """``tile_chunks`` (the training form: scan over rematerialized tile
