@@ -84,23 +84,46 @@ def build_thin_hf_model(embed_dim=32, depth=12, heads=2, fusion=32, seed=0):
     return hf
 
 
-def condition_o1_signal(hf):
+def condition_o1_signal(hf, calibration=None, target_mean=1.5, target_std=0.15):
     """Condition the thin model so its FINAL outputs are O(1), bounded away
     from zero — the regime the reference's bare ``max_rel`` thresholds
     presume (real checkpoints emit O(1) inverse depth and ~50° FOV; a
     random-init thin model emits O(0.1) zero-crossing signals whose
-    near-zero pixels read float cancellation as relative error).  Shrink the
-    final convs and pin their biases: canonical inverse depth ≈ 1 ± 0.05,
-    fovx ≈ 50° ± small.  Intermediates stay random/zero-crossing — this
-    conditions only the output scale, not the network path."""
+    near-zero pixels read float cancellation as relative error).
+    Intermediates stay random/zero-crossing — this conditions only the
+    output scale, not the network path.
+
+    ``calibration`` (a ``[1,3,S,S]`` network-input batch): CALIBRATED mode —
+    forward once, measure the raw output conv's distribution, and rescale so
+    canonical inverse depth lands at ``target_mean ± target_std`` regardless
+    of width/seed.  Required for the width-scaling drift sweep
+    (``tools/tier_drift.py --o1-signal``): a fixed weight shrink gives each
+    width a DIFFERENT output spread (w32 measured ±0.5%), which rescales the
+    measured abs-rel drift arbitrarily; pinning the spread makes the
+    cross-width drift trend one fixed, realistic regime.  Without
+    ``calibration``: the fixed shrink (inverse depth ≈ 1, fov ≈ 50°)."""
     import torch
 
     with torch.no_grad():
         head_out = hf.head.layers[4]  # conv_out (1×1, 1 channel)
-        head_out.weight.mul_(0.05)
-        head_out.bias.fill_(1.0)
         fov_convs = [m for m in hf.fov_model.head.modules()
                      if isinstance(m, torch.nn.Conv2d)]
+        if calibration is None:
+            head_out.weight.mul_(0.05)
+            head_out.bias.fill_(1.0)
+        else:
+            raw = {}
+            h = head_out.register_forward_hook(
+                lambda _m, _i, out: raw.__setitem__("head", out.detach().float())
+            )
+            hf(calibration)
+            h.remove()
+            b0 = float(head_out.bias)
+            m, s = float(raw["head"].mean()), float(raw["head"].std())
+            alpha = target_std / max(s, 1e-12)
+            head_out.weight.mul_(alpha)
+            # new_out = alpha*(raw - b0) + b_new: mean -> target_mean
+            head_out.bias.fill_(target_mean - alpha * (m - b0))
         fov_convs[-1].weight.mul_(0.05)
         fov_convs[-1].bias.fill_(50.0)
     return hf
@@ -159,14 +182,16 @@ def run_hf(args) -> int:
         model = DepthProForDepthEstimation.from_pretrained(str(args.hf_checkpoint)).eval()
     elif args.thin:
         model = build_thin_hf_model(seed=args.seed)
-        if args.o1_signal:
-            model = condition_o1_signal(model)
     else:
         print("--backend hf needs --hf-checkpoint DIR or --thin", file=sys.stderr)
         return 2
 
     img_size = model.config.image_model_config.image_size * 4  # window·4 (encoder.rs:140)
     batch = load_network_input(args.image, img_size)
+    if args.thin and args.o1_signal:
+        # calibrated on the dump image itself so the conditioned regime is
+        # width/seed-independent (mean 1.5 ± 0.15 inverse depth)
+        model = condition_o1_signal(model, calibration=batch)
     tensors: dict[str, torch.Tensor] = {"network_input": batch.float().contiguous()}
 
     taps: dict[str, torch.Tensor] = {}

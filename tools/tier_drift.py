@@ -248,12 +248,18 @@ def drift_da3(ref: dict, tier: dict) -> dict:
     return out
 
 
-def build_base(leg: str, model: str = "depth_pro"):
+def build_base(leg: str, model: str = "depth_pro", thin_width: int = 32,
+               o1_signal: bool = False,
+               image: Path = REPO / "assets" / "image" / "test.png"):
     """The f32 base model for a leg (shared weights across all tiers).
 
     Depth Pro thin leg: the HF-oracle-weighted thin transformer at real
-    flagship geometry.  DA3: the REAL metric-large config both legs (518² is
-    affordable on CPU), random weights."""
+    flagship geometry; ``thin_width`` sweeps the transformer embed dim
+    (VERDICT r3 #3 — bound the width-32 extrapolation: per-channel int8
+    outlier behavior grows with width, so the drift trend over 32→256 is
+    the evidence that the committed thin-leg gate number is not a
+    single-width artifact).  DA3: the REAL metric-large config both legs
+    (518² is affordable on CPU), random weights."""
     import jax
     import jax.numpy as jnp
 
@@ -281,8 +287,32 @@ def build_base(leg: str, model: str = "depth_pro"):
 
         from burn_depth_tpu.models.depth_pro import DepthPro
 
-        hf, _ = build_hf_oracle(embed_dim=32, depth=12, heads=2, fusion=32)
-        cfg = ours_config(embed_dim=32, depth=12, heads=2, fusion=32)
+        # head_dim pinned at 16 across the sweep (the real ViT-L is 64);
+        # width scales channels-per-linear, which is what per-channel int8
+        # scale quality depends on.
+        heads = max(2, thin_width // 16)
+        kw = dict(embed_dim=thin_width, depth=12, heads=heads, fusion=32)
+        hf, _ = build_hf_oracle(**kw)
+        if o1_signal:
+            # Width sweep requirement: a random-init thin model's output
+            # scale varies wildly with width (w64+ collapses toward zero →
+            # the 1%-of-scale rel guard excludes ~all pixels and abs-rel
+            # becomes a ~10-pixel artifact; a FIXED weight shrink gives each
+            # width a different spread, rescaling abs-rel arbitrarily).
+            # Calibrate the OUTPUT conv on the measurement image so inverse
+            # depth is 1.5 ± 0.15 and FOV ≈ 50° at EVERY width;
+            # intermediates — where the int8/GELU approximations live —
+            # stay random, so the drift trend across widths is measured in
+            # one fixed, realistic output regime
+            # (tools/correctness_depth_pro.py::condition_o1_signal).
+            sys.path.insert(0, str(Path(__file__).resolve().parent))
+            from correctness_depth_pro import condition_o1_signal, load_network_input
+
+            cfg_probe = ours_config(**kw)
+            hf = condition_o1_signal(
+                hf, calibration=load_network_input(image, cfg_probe.img_size)
+            )
+        cfg = ours_config(**kw)
         return DepthPro(cfg, hf_to_params(hf, vit_depth=12, config=cfg))
     from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
 
@@ -305,6 +335,13 @@ def main() -> int:
     ap.add_argument("--model", choices=["depth_pro", "da3", "da3_small"], default="depth_pro")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="pin the JAX platform (the TPU plugin ignores JAX_PLATFORMS; pin via jax.config)")
+    ap.add_argument("--thin-width", type=int, default=32,
+                    help="thin leg: transformer embed dim (width-scaling drift sweep; "
+                    "legs other than the default 32 record as thin_w{N})")
+    ap.add_argument("--o1-signal", action="store_true",
+                    help="thin leg: condition output convs to O(1) inverse depth / ~50deg "
+                    "FOV so the width sweep measures drift in one fixed realistic regime "
+                    "(records as thin_w{N} even at width 32)")
     args = ap.parse_args()
 
     import jax
@@ -313,7 +350,8 @@ def main() -> int:
         jax.config.update("jax_platforms", args.platform)
 
     backend = jax.default_backend()
-    base = build_base(args.leg, args.model)
+    base = build_base(args.leg, args.model, thin_width=args.thin_width,
+                      o1_signal=args.o1_signal, image=args.image)
     size = base.config.img_size if args.model == "depth_pro" else base.config.image_size
     x_np = load_input(args.image, size, args.model)
     print(f"model={args.model} leg={args.leg} backend={backend} img_size={size} "
@@ -359,7 +397,18 @@ def main() -> int:
     if args.out.exists():
         merged = json.loads(args.out.read_text())
     leg_key = args.leg if args.model == "depth_pro" else f"{args.model}_{args.leg}"
-    merged[leg_key] = record
+    if args.leg == "thin" and args.model == "depth_pro" and (
+        args.thin_width != 32 or args.o1_signal
+    ):
+        leg_key = f"thin_w{args.thin_width}"
+        record["o1_signal"] = bool(args.o1_signal)
+    if args.tiers and leg_key in merged:
+        # partial run (explicit --tiers): merge into the existing leg rather
+        # than replacing it — e.g. adding the timed f32-policy point to the
+        # committed flagship record
+        merged[leg_key]["tiers"].update(record["tiers"])
+    else:
+        merged[leg_key] = record
     args.out.write_text(json.dumps(merged, indent=1) + "\n")
     print(json.dumps({leg_key: record}, indent=1))
     return 0
