@@ -78,15 +78,35 @@ def select_tier():
         # cross-program drift reads the dtype policy, not the approximation
         # (BENCH.md round 3; both legs are recorded there).
         tiers = record["thin"]["tiers"]
+        # Width-scaling guard (VERDICT r3 #3): int8 drift GROWS with
+        # transformer width (~w^1.5 over the measured 32→256 sweep,
+        # benchmarks/tier_drift.json thin_w*), so the gate must also hold at
+        # the WIDEST measured thin leg, not just the width-32 one.
+        widest = max(
+            (int(k[6:]) for k in record if k.startswith("thin_w")), default=None
+        )
+        wide_tiers = record[f"thin_w{widest}"]["tiers"] if widest else {}
     except (OSError, KeyError, ValueError) as e:
         return "0", "erf", "", f"no drift record ({e}); parity tier"
     for mode, gelu, name, suffix in TIER_LADDER:
-        rec = tiers.get(name.replace("bf16", "f32"))
-        if rec is not None and tier_passes_accuracy(rec):
+        thin_name = name.replace("bf16", "f32")
+        rec = tiers.get(thin_name)
+        wide = wide_tiers.get(thin_name)
+        if (
+            rec is not None
+            and tier_passes_accuracy(rec)
+            and (wide is None or tier_passes_accuracy(wide))
+        ):
             vp = rec["vs_parity"]
+            wide_note = (
+                f", w{widest}: abs_rel {wide['vs_parity']['abs_rel_mean']:.2e}"
+                if wide
+                else ""
+            )
             return mode, gelu, suffix, (
                 f"fastest tier passing <1e-3 drift gate: {name} "
-                f"(vs parity: abs_rel {vp['abs_rel_mean']:.2e}, inv mean_abs {vp['inv_mean_abs']:.2e})"
+                f"(vs parity: abs_rel {vp['abs_rel_mean']:.2e}, inv mean_abs "
+                f"{vp['inv_mean_abs']:.2e}{wide_note})"
             )
     return "0", "erf", "", "no tier passed the <1e-3 drift gate; parity tier"
 

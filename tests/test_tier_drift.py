@@ -122,6 +122,37 @@ def test_thin_serving_tier_drift_within_calibrated_bounds():
         assert d[key] <= bound, f"{key}={d[key]:.3e} exceeds calibrated bound {bound:.0e} ({d})"
 
 
+def test_width_scaling_drift_sweep_bounds_the_extrapolation():
+    """VERDICT r3 #3: the headline gate's decisive int8 number was measured
+    on an embed-dim-32 thin model; per-channel int8 outlier behavior grows
+    with width, so the committed record must show the drift TREND over
+    32→256 and the largest width must still clear the north-star clause
+    with margin.
+
+    The sweep legs are O(1)-signal conditioned (``--o1-signal``): a
+    random-init thin model's output scale collapses toward zero at larger
+    widths (w64 raw: rel coverage 5e-6 — abs-rel becomes a ~10-pixel
+    artifact), so every width is conditioned into the same O(1) positive
+    inverse-depth / ~50° FOV regime real checkpoints occupy, and the
+    cross-width comparison is made in ONE fixed regime."""
+    record = json.loads((REPO / "benchmarks" / "tier_drift.json").read_text())
+    widths = [32, 64, 128, 256]
+    for w in widths:
+        leg = record.get(f"thin_w{w}")
+        assert leg is not None, f"width-sweep leg thin_w{w} missing"
+        assert leg.get("o1_signal") is True, f"thin_w{w} not O(1)-conditioned"
+        serving = leg["tiers"]["f32_tanh_int8_fused"]
+        # the rel guard must actually cover the image in this regime —
+        # otherwise the abs-rel stat is a few-pixel artifact again
+        assert serving["rel_coverage"] > 0.5, (w, serving["rel_coverage"])
+    largest = record[f"thin_w{widths[-1]}"]["tiers"]["f32_tanh_int8_fused"]
+    drift = largest["vs_parity"]["abs_rel_mean"]
+    assert drift < 5e-4, (
+        f"width-{widths[-1]} serving-tier drift {drift:.2e} leaves <2x margin "
+        "to the 1e-3 clause — the width-32 gate number no longer extrapolates"
+    )
+
+
 # round-3 DA3 measurements (tools/tier_drift.py --model da3 --leg thin,
 # metric-large 518², excited layerscale): f32_tanh_int8 inv_mean_abs 1.2e-4,
 # abs_rel_mean 1.4e-4.  Bounds ~4x — still inside the 1e-3 clause.
