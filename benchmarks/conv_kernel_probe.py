@@ -38,6 +38,13 @@ def log(*a):
 
 
 def bench(label, fn, x, w, flops):
+    try:
+        _bench(label, fn, x, w, flops)
+    except Exception as e:  # a VMEM-OOM case must not kill the probe
+        log(f"{label:36s} FAILED: {type(e).__name__}: {str(e)[:160]}")
+
+
+def _bench(label, fn, x, w, flops):
     jfn = jax.jit(fn)
 
     def chain(k):
@@ -93,7 +100,7 @@ def main():
         # C-blocked accumulation (NEXT.md OPEN avenue): smaller per-step C
         # slices free VMEM for larger spatial tiles — M of the per-position
         # matmul grows from 512 toward the 2048 the direct kernel runs at.
-        for th, tw, cb in ((16, 256, 128), (32, 256, 64), (32, 128, 128)):
+        for th, tw, cb in ((16, 128, 128), (32, 128, 64), (32, 128, 32)):
             if h % th or w % tw or c % cb:
                 continue
             bench(

@@ -40,6 +40,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import benchmarks._cache  # noqa: F401  (persistent XLA compile cache)
 
+# serving-tier env defaults (bench.py's selected tier: int8-static + tanh
+# GELU + bf16 dequant epilogue); explicit env still overrides for A/Bs
+os.environ.setdefault("BDT_GELU", "tanh")
+os.environ.setdefault("BDT_INT8_EPILOGUE", "bf16")
+
 import jax
 import jax.numpy as jnp
 

@@ -68,8 +68,10 @@ def _bt_combine(v):
     return [v[0] - v[2], v[1] + v[2], v[2] - v[1], v[1] - v[3]]
 
 
-def _kernel(e_ref, o_ref, u_ref, out_ref, *, n: int, m: int, relu_in: bool,
-            bias_ref=None, c_steps: int = 1):
+def _tile_out(e_ref, o_ref, u_ref, *, n: int, m: int, relu_in: bool,
+              bias_ref=None):
+    """Shared tile computation → f32 ``[th, m, 2O]`` (column phases packed
+    on lanes, rows interleaved in-kernel)."""
     # e/o: [th+2, mb, C] padded column-parity windows; th = 2n, tw = 2m.
     e = e_ref[0]
     o = o_ref[0]
@@ -125,27 +127,42 @@ def _kernel(e_ref, o_ref, u_ref, out_ref, *, n: int, m: int, relu_in: bool,
         return jnp.concatenate([s0, s1], axis=1).reshape(2 * n, m, oc)
 
     # Column phases concatenated on lanes: [th, m, 2O].
-    out = jnp.concatenate([rows(0), rows(1)], axis=-1)
-    if c_steps == 1:
-        out_ref[0] = out.astype(out_ref.dtype)
-    else:
-        # C-blocked accumulation (NEXT.md OPEN avenue): the innermost grid
-        # dim walks C in blocks; the output block's index_map ignores it, so
-        # Mosaic keeps the f32 block resident in VMEM and we accumulate
-        # partial contractions across steps.  Shrinking the per-step C slice
-        # frees VMEM for LARGER spatial tiles (M = n·m rows per matmul) —
-        # the isolated probe measured the per-position matmuls at only
-        # ~26 TF/s at M=512 vs ~83 TF/s for direct M=2048 (BENCH.md round-2
-        # cont. 3); growing M is the one Winograd lever not yet tried.
-        c_idx = pl.program_id(3)
+    return jnp.concatenate([rows(0), rows(1)], axis=-1)
 
-        @pl.when(c_idx == 0)
-        def _init():
-            out_ref[0] = out.astype(out_ref.dtype)
 
-        @pl.when(c_idx > 0)
-        def _accum():
-            out_ref[0] += out.astype(out_ref.dtype)
+def _kernel(e_ref, o_ref, u_ref, out_ref, *, n: int, m: int, relu_in: bool,
+            bias_ref=None):
+    out = _tile_out(e_ref, o_ref, u_ref, n=n, m=m, relu_in=relu_in,
+                    bias_ref=bias_ref)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _kernel_cblk(e_ref, o_ref, u_ref, out_ref, acc_ref, *, n: int, m: int,
+                 relu_in: bool, c_steps: int):
+    """C-blocked accumulation (NEXT.md OPEN avenue): the innermost grid dim
+    walks C in blocks; partial contractions accumulate in an f32 VMEM
+    SCRATCH (``acc_ref`` — single-buffered, persists across the sequential
+    innermost steps) and the (input-dtype, double-buffered) output block is
+    written once on the last step.  Keeping the f32 accumulator out of the
+    double-buffered output path is what fits the 16M scoped-VMEM budget at
+    the larger spatial tiles this mode exists for — M = n·m rows per matmul
+    (the round-2 probe measured the per-position matmuls at ~26 TF/s at
+    M=512 vs ~83 TF/s direct at M=2048; growing M is the one Winograd lever
+    not yet tried).  Bias is applied in the XLA epilogue (exactly once)."""
+    out = _tile_out(e_ref, o_ref, u_ref, n=n, m=m, relu_in=relu_in)
+    c_idx = pl.program_id(3)
+
+    @pl.when(c_idx == 0)
+    def _init():
+        acc_ref[...] = out
+
+    @pl.when(c_idx > 0)
+    def _accum():
+        acc_ref[...] += out
+
+    @pl.when(c_idx == c_steps - 1)
+    def _write():
+        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -211,7 +228,7 @@ def conv3x3_wino_pallas(
         out_spec = pl.BlockSpec(
             (1, th, m, 2 * oc), lambda i, j, k, cs: (i, j, k, 0), memory_space=pltpu.VMEM
         )
-        out_dtype = jnp.float32  # accumulate in f32 across C steps
+        out_dtype = x.dtype  # f32 accumulation lives in the VMEM scratch
     else:
         win_spec = pl.BlockSpec(
             (Element(1), Element(th + 2), Element(mb), Element(c)),
@@ -232,11 +249,21 @@ def conv3x3_wino_pallas(
         in_specs.append(pl.BlockSpec((oc,), lambda i, j, k: (0,), memory_space=pltpu.VMEM))
         args.append(bias)
 
-    kern_kw = dict(n=n, m=m, relu_in=relu_in, c_steps=c_steps)
+    if accum:
 
-    def kernel(*refs):
-        b_ref = refs[3] if in_kernel_bias else None
-        _kernel(refs[0], refs[1], refs[2], refs[-1], bias_ref=b_ref, **kern_kw)
+        def kernel(e_ref, o_ref, u_ref, out_ref, acc_ref):
+            _kernel_cblk(e_ref, o_ref, u_ref, out_ref, acc_ref,
+                         n=n, m=m, relu_in=relu_in, c_steps=c_steps)
+
+        scratch_shapes = [pltpu.VMEM((th, m, 2 * oc), jnp.float32)]
+    else:
+
+        def kernel(*refs):
+            b_ref = refs[3] if in_kernel_bias else None
+            _kernel(refs[0], refs[1], refs[2], refs[-1], bias_ref=b_ref,
+                    n=n, m=m, relu_in=relu_in)
+
+        scratch_shapes = []
 
     out_ph = pl.pallas_call(
         kernel,
@@ -244,6 +271,7 @@ def conv3x3_wino_pallas(
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
+        scratch_shapes=scratch_shapes,
     )(*args)
 
     # Column-phase interleave: [N, H, W/2, 2, O] -> [N, H, W, O] (one XLA
