@@ -100,7 +100,9 @@ def main():
         # C-blocked accumulation (NEXT.md OPEN avenue): smaller per-step C
         # slices free VMEM for larger spatial tiles — M of the per-position
         # matmul grows from 512 toward the 2048 the direct kernel runs at.
-        for th, tw, cb in ((16, 128, 128), (32, 128, 64), (32, 128, 32)):
+        # cb must keep the lane dim >= 128 (Mosaic block constraint), so
+        # with C=256 the only split is cb=128; the lever is tile growth.
+        for th, tw, cb in ((16, 128, 128), (32, 128, 128)):
             if h % th or w % tw or c % cb:
                 continue
             bench(

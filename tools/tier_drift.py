@@ -346,8 +346,16 @@ def main() -> int:
 
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # --platform tpu: do NOT force jax_platforms — tunnel platforms (axon)
+    # register the chip under their own platform name, and forcing "tpu"
+    # selects the deviceless local plugin ("No jellyfish device found").
+    # The backend assert below is the actual guarantee.
+    if args.platform == "tpu" and jax.default_backend() != "tpu":
+        print(f"--platform tpu requested but backend is {jax.default_backend()}",
+              file=sys.stderr)
+        return 2
 
     backend = jax.default_backend()
     base = build_base(args.leg, args.model, thin_width=args.thin_width,
