@@ -88,9 +88,15 @@ def timeit(jfn, params, x) -> float:
         jax.block_until_ready(out)
 
     chain(2)
-    t0 = time.perf_counter()
-    chain(K)
-    return (time.perf_counter() - t0) / K * 1e3
+    # min-of-windows: single-window readings through the tunnel carry 2-3x
+    # stall inflation (a head program measured 15.75 vs 36.9 ms across two
+    # runs; bench.py protocol note, BENCH.md round 2 variance section)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chain(K)
+        best = min(best, (time.perf_counter() - t0) / K * 1e3)
+    return best
 
 
 def component_row(label, fn, params, x) -> dict:
