@@ -182,9 +182,11 @@ def main() -> None:
         model = model.fuse_tail(head=fuse_mode in ("1", "head"),
                                 decoder=fuse_mode in ("1", "decoder"))
         log(f"fused tail ({fuse_mode}): phase-packed head deconv+conv1 / decoder out_conv fold")
-    if os.environ.get("BENCH_NHWC", "0") != "0":
-        model = model.to_nhwc_tail()
-        log("NHWC decoder+head serving layout")
+    nhwc_mode = os.environ.get("BENCH_NHWC", "0")
+    if nhwc_mode != "0":
+        model = model.to_nhwc_tail(head=nhwc_mode in ("1", "head"),
+                                   decoder=nhwc_mode in ("1", "decoder"))
+        log(f"NHWC serving layout ({nhwc_mode})")
     if os.environ.get("BENCH_STACK", "0") != "0":
         model = model.stack_dual_encoders()
         log("stacked image+fov dual-encoder pass")

@@ -359,15 +359,19 @@ class DepthPro:
     def img_size(self) -> int:
         return self.config.img_size
 
-    def to_nhwc_tail(self) -> "DepthPro":
-        """Serving-layout transform: run the decoder + depth head in NHWC
-        (the TPU's native feature-minor conv layout).  Checkpoint-facing
-        params keep torch NCHW; compose with ``quantize_vit`` freely."""
+    def to_nhwc_tail(self, head: bool = True, decoder: bool = True) -> "DepthPro":
+        """Serving-layout transform: run the decoder and/or depth head in
+        NHWC (the TPU's native feature-minor conv layout).  Checkpoint-facing
+        params keep torch NCHW; compose with ``quantize_vit`` freely.
+        Selective application lets the serving config pick per-component
+        (the head-probe bytes data shows layout cost differs by stage)."""
         from burn_depth_tpu.models.depth_pro.decoder import decoder_to_nhwc
 
         params = dict(self.params)
-        params["decoder"] = decoder_to_nhwc(params["decoder"])
-        params["head"] = head_to_nhwc(params["head"])
+        if decoder:
+            params["decoder"] = decoder_to_nhwc(params["decoder"])
+        if head:
+            params["head"] = head_to_nhwc(params["head"])
         return DepthPro(self.config, params)
 
     def fuse_tail(self, head: bool = True, decoder: bool = True) -> "DepthPro":
