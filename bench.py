@@ -184,8 +184,10 @@ def main() -> None:
         log(f"fused tail ({fuse_mode}): phase-packed head deconv+conv1 / decoder out_conv fold")
     nhwc_mode = os.environ.get("BENCH_NHWC", "0")
     if nhwc_mode != "0":
-        model = model.to_nhwc_tail(head=nhwc_mode in ("1", "head"),
-                                   decoder=nhwc_mode in ("1", "decoder"))
+        # "head"/"decoder" = selective; any other non-zero value keeps the
+        # historical "full NHWC tail" semantics (never a silent no-op)
+        model = model.to_nhwc_tail(head=nhwc_mode != "decoder",
+                                   decoder=nhwc_mode != "head")
         log(f"NHWC serving layout ({nhwc_mode})")
     if os.environ.get("BENCH_STACK", "0") != "0":
         model = model.stack_dual_encoders()

@@ -155,10 +155,18 @@ def _wino_kwargs() -> dict:
     kw: dict = {}
     tile = os.environ.get("BDT_CONV3_WINO_TILE")
     if tile:
-        th, tw = tile.lower().split("x")
-        kw["tile_h"], kw["tile_w"] = int(th), int(tw)
+        parts = tile.lower().split("x")
+        if len(parts) != 2 or not all(p.isdigit() for p in parts):
+            raise ValueError(
+                f"BDT_CONV3_WINO_TILE={tile!r} — expected HxW, e.g. '16x128'"
+            )
+        kw["tile_h"], kw["tile_w"] = int(parts[0]), int(parts[1])
     cblk = os.environ.get("BDT_CONV3_WINO_CBLK")
     if cblk:
+        if not cblk.isdigit() or int(cblk) <= 0:
+            raise ValueError(
+                f"BDT_CONV3_WINO_CBLK={cblk!r} — expected a positive integer"
+            )
         kw["c_block"] = int(cblk)
     return kw
 

@@ -198,8 +198,15 @@ def conv3x3_wino_pallas(
     n, m = th // 2, tw // 2
 
     cb = c
-    if c_block is not None and c_block < c and c % c_block == 0:
-        cb = c_block
+    if c_block is not None:
+        if c % c_block != 0:
+            raise ValueError(
+                f"c_block={c_block} does not divide C={c} — the C walk needs "
+                "equal slices (a silently-ignored knob would make an A/B "
+                "measure the unblocked kernel while believing c-blocking is on)"
+            )
+        if c_block < c:
+            cb = c_block
     c_steps = c // cb
 
     u = wino_filter(w_hwio, dtype=x.dtype)

@@ -29,7 +29,16 @@ def test_derived_rows_use_the_device_get_protocol_sources():
     # every model family appears, each drift-gated
     for needle in ("Depth Pro", "DA3 metric-large", "DA3 small", "drift-gated"):
         assert needle in text, needle
-    # DA3 rows come from tier_drift.json's device_get-protocol timings, not
-    # the retired async-Timer numbers (8.x ms, not 5.x)
+    # DA3 rows come from tier_drift.json's device_get-protocol timings —
+    # assert identity with the committed record rather than a literal digit
+    # (a re-benchmark must not break this test; only drift from the record
+    # should)
+    import json
+    from pathlib import Path
+
+    drift = json.loads(
+        (Path(g.__file__).resolve().parent.parent / "benchmarks" / "tier_drift.json").read_text()
+    )
+    committed_ms = drift["da3_small_flagship"]["tiers"]["bf16_erf"]["ms"]
     small_row = [res for desc, res in rows if "DA3 small" in desc][0]
-    assert "8." in small_row.split(";")[0]
+    assert f"{committed_ms:.1f} ms" in small_row.split(";")[0]

@@ -413,7 +413,18 @@ def main() -> int:
     if args.tiers and leg_key in merged:
         # partial run (explicit --tiers): merge into the existing leg rather
         # than replacing it — e.g. adding the timed f32-policy point to the
-        # committed flagship record
+        # committed flagship record.  Refuse to mix measurement regimes:
+        # stats from an unconditioned run must not overwrite an
+        # O(1)-conditioned width-sweep leg (or vice versa).
+        if bool(merged[leg_key].get("o1_signal")) != bool(record.get("o1_signal")):
+            print(
+                f"refusing to merge into {leg_key}: existing record has "
+                f"o1_signal={merged[leg_key].get('o1_signal')} but this run has "
+                f"o1_signal={record.get('o1_signal')} — regimes are not comparable "
+                "(pass/drop --o1-signal to match, or use a different leg)",
+                file=sys.stderr,
+            )
+            return 2
         merged[leg_key]["tiers"].update(record["tiers"])
     else:
         merged[leg_key] = record
