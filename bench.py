@@ -27,88 +27,36 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NORTH_STAR_IMG_S = 10.0
 
-# Serving-tier ladder, fastest first (BENCH.md round-2 full-model A/Bs:
-# int8-static+tanh 165.9 ms, tanh-only ~186 ms, erf parity 213.9 ms at
-# 1536² b=1).  Each row: (BENCH_INT8 mode, BDT_GELU form, tier name in
-# benchmarks/tier_drift.json, metric-name suffix).
-TIER_LADDER = [
-    ("static", "tanh", "bf16_tanh_int8_fused", "_int8"),
-    ("0", "tanh", "bf16_tanh_fused", "_tanh"),
-    ("0", "erf", "bf16_erf_fused", ""),
-]
-
-
-def tier_passes_accuracy(rec: dict) -> bool:
-    """Serving-approximation clause: switching from the parity-assured tier
-    (bf16 + exact erf GELU) to this tier moves end-to-end depth by < 1e-3
-    abs-rel (``vs_parity`` stats, tools/tier_drift.py, measured at flagship
-    geometry on the committed test image).  Thresholds are the north-star
-    accuracy clause (BASELINE.json <1e-3) in the reference gate's domains
-    (correctness.rs:887-897).
-
-    The ABSOLUTE <1e-3-vs-f32 clause cannot distinguish serving tiers on
-    TPU: every bf16 tier sits at the bf16 mantissa floor (~0.8% abs-rel vs
-    an f32/highest baseline — BENCH.md round 3), so the f32-exact comparison
-    is recorded per tier but the headline gate runs against the parity
-    tier.  Absolute <1e-3 parity vs PyTorch is the f32 PARITY policy's job
-    (the verify gates, ``burn_depth_tpu/verify/``)."""
-    vp = rec.get("vs_parity", rec)
-    return vp.get("abs_rel_mean", 9e9) <= 1e-3 and vp.get("inv_mean_abs", 9e9) <= 1e-3
+# One gate, one ladder, shared with the README status generator and the
+# serving CLIs' --tier auto (burn_depth_tpu/core/tiers.py) — re-exported
+# here because the bench is the historical home and tests pin these names.
+from burn_depth_tpu.core.tiers import (  # noqa: E402
+    TIER_LADDER,
+    select_serving_tier,
+    tier_passes_accuracy,
+)
 
 
 def select_tier():
     """Default tier = the FASTEST ladder row whose measured end-to-end depth
-    drift passes the accuracy clause (benchmarks/tier_drift.json, written by
-    tools/tier_drift.py on real hardware).  BENCH_INT8 / BDT_GELU env vars
-    override explicitly, preserving the old A/B semantics.  No drift record
-    -> the exact-GELU parity tier (never report a speed the accuracy of
-    which was not measured)."""
+    drift passes the accuracy clause — on the f32-resolution thin leg AND at
+    the widest measured thin_w leg (int8 drift grows ~w^1.5 with width;
+    BENCH.md round 4).  BENCH_INT8 / BDT_GELU env vars override explicitly,
+    preserving the old A/B semantics.  No drift record -> the exact-GELU
+    parity tier (never report a speed the accuracy of which was not
+    measured).  Selection logic: burn_depth_tpu/core/tiers.py (shared with
+    the serving CLIs and the README status generator).
+    """
     if os.environ.get("BENCH_INT8") is not None:
         mode = os.environ["BENCH_INT8"]
         gelu = os.environ.get("BDT_GELU", "tanh" if mode != "0" else "erf")
         suffix = ("_int8" if mode != "0" else "") + ("_tanh" if mode == "0" and gelu == "tanh" else "")
         return mode, gelu, suffix, "env override"
-    try:
-        with open(os.path.join(os.path.dirname(__file__), "benchmarks", "tier_drift.json")) as f:
-            record = json.load(f)
-        # The THIN leg gates: its f32 compute isolates the approximations at
-        # a ~1e-7 noise floor.  The flagship bf16 leg cannot — two different
-        # bf16 programs decorrelate at the bf16 rounding floor (~0.7% on the
-        # measured random-weight signal), parity tier included, so bf16
-        # cross-program drift reads the dtype policy, not the approximation
-        # (BENCH.md round 3; both legs are recorded there).
-        tiers = record["thin"]["tiers"]
-        # Width-scaling guard (VERDICT r3 #3): int8 drift GROWS with
-        # transformer width (~w^1.5 over the measured 32→256 sweep,
-        # benchmarks/tier_drift.json thin_w*), so the gate must also hold at
-        # the WIDEST measured thin leg, not just the width-32 one.
-        widest = max(
-            (int(k[6:]) for k in record if k.startswith("thin_w")), default=None
-        )
-        wide_tiers = record[f"thin_w{widest}"]["tiers"] if widest else {}
-    except (OSError, KeyError, ValueError) as e:
-        return "0", "erf", "", f"no drift record ({e}); parity tier"
+    choice = select_serving_tier("depth_pro")
     for mode, gelu, name, suffix in TIER_LADDER:
-        thin_name = name.replace("bf16", "f32")
-        rec = tiers.get(thin_name)
-        wide = wide_tiers.get(thin_name)
-        if (
-            rec is not None
-            and tier_passes_accuracy(rec)
-            and (wide is None or tier_passes_accuracy(wide))
-        ):
-            vp = rec["vs_parity"]
-            wide_note = (
-                f", w{widest}: abs_rel {wide['vs_parity']['abs_rel_mean']:.2e}"
-                if wide
-                else ""
-            )
-            return mode, gelu, suffix, (
-                f"fastest tier passing <1e-3 drift gate: {name} "
-                f"(vs parity: abs_rel {vp['abs_rel_mean']:.2e}, inv mean_abs "
-                f"{vp['inv_mean_abs']:.2e}{wide_note})"
-            )
-    return "0", "erf", "", "no tier passed the <1e-3 drift gate; parity tier"
+        if name == choice.tier_name:
+            return mode, gelu, suffix, choice.reason
+    return "0", "erf", "", choice.reason
 
 
 def log(*a):

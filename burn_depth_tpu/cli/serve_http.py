@@ -48,6 +48,14 @@ def main(argv=None) -> int:
         "(dynamic scales; for the static-calibrated tier pre-quantize the "
         "checkpoint with cli/quantize — AnyDepthModel.load auto-detects it)",
     )
+    parser.add_argument(
+        "--tier", default="default", choices=["default", "auto", "parity"],
+        help="'auto': serve the fastest tier whose measured end-to-end depth "
+        "drift passes the <1e-3 accuracy gate (benchmarks/tier_drift.json — "
+        "the SAME gate bench.py and README's status table use; "
+        "burn_depth_tpu/core/tiers.py); 'parity': force exact-erf, no int8; "
+        "'default': explicit flags only",
+    )
     args = parser.parse_args(argv)
 
     from burn_depth_tpu.api import AnyDepthModel, DepthModelKind, load_model
@@ -60,9 +68,15 @@ def main(argv=None) -> int:
     else:
         print("no --checkpoint: random-init weights (smoke mode)", file=sys.stderr)
         model = load_model(kind)
-    if args.int8:
+    from burn_depth_tpu.core.tiers import apply_tier_choice
+
+    model = apply_tier_choice(model, args.tier,
+                              log=lambda m: print(m, file=sys.stderr))
+    if args.int8 and args.tier == "default":
         model = model.quantize_vit()
         print("int8 ViT serving tier (dynamic scales)", file=sys.stderr)
+    elif args.int8:
+        print("--int8 ignored: --tier governs quantization", file=sys.stderr)
 
     if args.source == "synthetic":
         source = SyntheticSource(args.size, args.size * 3 // 4, 1 << 30)
