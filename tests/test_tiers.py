@@ -14,11 +14,9 @@ import pytest
 from burn_depth_tpu.core.tiers import (
     DA3_TIER_NAMES,
     TIER_LADDER,
-    TierChoice,
     apply_tier_choice,
     family_of,
     select_serving_tier,
-    tier_passes_accuracy,
 )
 
 REPO = Path(__file__).resolve().parent.parent
