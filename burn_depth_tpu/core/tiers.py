@@ -101,13 +101,15 @@ def select_serving_tier(
     parity = names[-1]
     if record is None:
         return TierChoice(parity, False, "erf", None, "no drift record; parity tier")
-    thin_leg, _flag_leg = _FAMILY_LEGS[family]
+    thin_leg, flag_leg = _FAMILY_LEGS[family]
     try:
         thin = record[thin_leg]["tiers"]
     except KeyError as e:
         return TierChoice(parity, False, "erf", None, f"no {e} leg; parity tier")
+    flag = record.get(flag_leg, {}).get("tiers", {})
     wide = _widest_thin_tiers(record) if family == "depth_pro" else {}
-    for name in names:
+    passing = []
+    for idx, name in enumerate(names):
         thin_name = name.replace("bf16", "f32")
         rec = thin.get(thin_name)
         wrec = wide.get(thin_name)
@@ -116,15 +118,30 @@ def select_serving_tier(
             and tier_passes_accuracy(rec)
             and (wrec is None or tier_passes_accuracy(wrec))
         ):
-            drift = rec["vs_parity"]["abs_rel_mean"]
-            return TierChoice(
-                name,
-                "_int8" in name,
-                "tanh" if "_tanh" in name else "erf",
-                drift,
-                f"fastest tier passing <1e-3 drift gate: {name} "
-                f"(vs parity abs_rel {drift:.2e})",
-            )
+            passing.append((idx, name, rec))
+    if passing:
+        # rank by MEASURED flagship ms, not ladder position — at ViT-S sizes
+        # int8 is speed-neutral (BENCH.md round 3: DA3-small 8.3 vs 8.3 ms)
+        # and a tie should go to the SIMPLER tier (later ladder row: no
+        # startup quantization for zero gain).  Untimed tiers fall back to
+        # ladder order ahead of any timed slower tier they may beat.
+        def key(entry):
+            idx, name, _rec = entry
+            ms = flag.get(name, {}).get("ms")
+            return (ms if ms is not None else -1 + idx * 1e-6, -idx)
+
+        idx, name, rec = min(passing, key=key)
+        drift = rec["vs_parity"]["abs_rel_mean"]
+        ms = flag.get(name, {}).get("ms")
+        ms_note = f", {ms} ms" if ms is not None else ""
+        return TierChoice(
+            name,
+            "_int8" in name,
+            "tanh" if "_tanh" in name else "erf",
+            drift,
+            f"fastest measured tier passing <1e-3 drift gate: {name} "
+            f"(vs parity abs_rel {drift:.2e}{ms_note})",
+        )
     return TierChoice(
         parity, False, "erf", None, "no tier passed the <1e-3 drift gate; parity tier"
     )

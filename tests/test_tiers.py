@@ -35,6 +35,11 @@ def test_committed_record_selects_gated_tiers_per_family():
         c = select_serving_tier(family, rec)
         assert c.tier_name in DA3_TIER_NAMES
         assert c.drift is not None and c.drift <= 1e-3
+    # measured-ms ranking with simpler-tier tie-break: DA3-small's int8 is
+    # speed-NEUTRAL (8.3 vs 8.3 ms committed), so auto must pick bf16+tanh
+    # (no startup quantization for zero gain) — BENCH.md round-3 guidance
+    small = select_serving_tier("da3_small", rec)
+    assert small.tier_name == "bf16_tanh" and not small.int8
 
 
 def test_no_record_falls_back_to_parity():
