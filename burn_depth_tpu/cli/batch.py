@@ -94,7 +94,9 @@ def main(argv=None) -> int:
         step = compile_serving_step(with_u8_ingest(forward), inner.params, mesh)
         run = step
     else:
-        fn = jax.jit(with_u8_ingest(forward))
+        from burn_depth_tpu.core.knobs import kjit
+
+        fn = kjit(with_u8_ingest(forward))
         run = lambda x: fn(inner.params, x)  # noqa: E731
 
     # DA3 prep = shortest-side + crop; Depth Pro = squash (full frame).

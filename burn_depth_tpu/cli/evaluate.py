@@ -150,7 +150,9 @@ def _evaluate_multiview(args, model, size: int) -> int:
 
     views = args.views
 
-    @jax.jit
+    from burn_depth_tpu.core.knobs import kjit
+
+    @kjit
     def predict_mv(flat):
         head_out, camera, _ = model._forward_internal(
             model.params, flat, None, None, views=views
@@ -161,7 +163,7 @@ def _evaluate_multiview(args, model, size: int) -> int:
 
     # gauge-canonicalized comparison: SfM targets carry an arbitrary
     # per-scene world frame/scale — fix both sides to the first view
-    pose_fn = jax.jit(lambda p, t: pose_metrics(p, t, views=views))
+    pose_fn = kjit(lambda p, t: pose_metrics(p, t, views=views))
 
     def pose_battery(extr, batch):
         if extr is None or "extrinsics" not in batch:

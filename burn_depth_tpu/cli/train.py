@@ -108,10 +108,12 @@ def build_predict_fn(model, model_name: str, views: int = 1):
     """
     import jax
 
+    from burn_depth_tpu.core.knobs import kjit
+
     if model_name == "depth-pro":
-        return jax.jit(lambda p, x: model._infer_fn(p, x).depth)
+        return kjit(lambda p, x: model._infer_fn(p, x).depth)
     # views > 1: cross-view DA3 forward over the flat scenes·views batch
-    return jax.jit(
+    return kjit(
         lambda p, x: model._finalize(
             model._forward_internal(p, x, None, None, views=views)[0], None
         ).depth

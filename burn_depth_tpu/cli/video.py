@@ -111,7 +111,9 @@ def main(argv=None) -> int:
             return inner._finalize(head_out, camera_pred).depth
         return inner._infer_fn(params, x).depth
 
-    fn = jax.jit(with_u8_ingest(forward))
+    from burn_depth_tpu.core.knobs import kjit
+
+    fn = kjit(with_u8_ingest(forward))
 
     smoother = TemporalSmoother(args.ema, args.scene_reset or None) if args.ema > 0 else None
     normalizer = RunningNormalizer(args.norm_momentum) if args.norm == "running" else None

@@ -13,11 +13,13 @@ K + V = 2·1408·64·4 ≈ 720 KB, scores block 128·1408·4 ≈ 720 KB — comf
 inside the ~16 MB/core VMEM.
 
 KNOB CONTRACT: the ``BDT_ATTN_*`` serving knobs are read from the
-environment at TRACE time.  jit's cache key does not include them, so
-toggling a knob after a same-shape jitted call reuses the stale program —
-set knobs before the first call of a process (bench.py's protocol runs one
-configuration per process).  Calling the dispatch eagerly (fresh trace per
-call) honors toggles, which is what the knob A/B tests rely on.
+environment at TRACE time, and every long-lived jit in the package —
+the model/serving/train entry points and the jitted dispatchers in this
+module — is built with ``core.knobs.kjit``, which folds a snapshot of all
+``BDT_*`` variables into the jit cache key.  Toggling a knob after a
+same-shape call therefore forces a retrace that re-reads the environment;
+a stale program can no longer be silently reused
+(``tests/test_knobs.py``).
 """
 
 from __future__ import annotations
@@ -28,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+
+from burn_depth_tpu.core.knobs import kjit
 
 try:  # pltpu is importable on CPU builds too; guard anyway.
     from jax.experimental.pallas import tpu as pltpu
@@ -246,8 +250,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(
-    jax.jit,
+@kjit(
     static_argnames=(
         "scale", "quiet_softmax", "q_block", "head_group", "pad_hd", "exp_bf16", "no_max",
         "interleave",
@@ -399,7 +402,7 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref
         dv_ref[...] += dv_j
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "quiet"))
+@kjit(static_argnames=("scale", "quiet"))
 def _attention_pallas_bwd(q, k, v, o, do, scale: float, quiet: bool):
     """Flash backward over ``[B, H, T, hd]``: returns (dq, dk, dv)."""
     b, h, t, hd = q.shape
@@ -508,7 +511,7 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: i
     o_ref[0] = out.swapaxes(0, 1).reshape(bq, g * hd).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "quiet_softmax", "q_block", "head_group"))
+@kjit(static_argnames=("scale", "quiet_softmax", "q_block", "head_group"))
 def _attention_pallas_packed(qkv, scale: float, quiet_softmax: bool, q_block: int = 0, head_group: int = 0):
     """``qkv: [B, T, 3, H, hd]`` (the natural reshape of the qkv matmul
     output) → ``[B, T, H·hd]`` with no HBM relayouts."""
@@ -572,9 +575,7 @@ def _flash_kernel_packed4(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: 
     o_ref[0] = out.swapaxes(0, 1).astype(o_ref.dtype)  # [Bq, G, hd]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_heads", "scale", "quiet_softmax", "head_group", "q_block")
-)
+@kjit(static_argnames=("num_heads", "scale", "quiet_softmax", "head_group", "q_block"))
 def _attention_pallas_packed4(qkv3, num_heads: int, scale: float, quiet_softmax: bool,
                               head_group: int = 8, q_block: int = 128):
     """``qkv3: [B, T, 3H, hd]`` (row order [3, H] — the packed projection's

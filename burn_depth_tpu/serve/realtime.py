@@ -273,7 +273,9 @@ def run_realtime(
             depth = inner._infer_fn(params, x).depth[0]
         return depth, _normalize_u8(depth)
 
-    fn = jax.jit(step)
+    from burn_depth_tpu.core.knobs import kjit
+
+    fn = kjit(step)
     fps = FpsDiagnostic()
 
     pending = None  # (index, (depth, depth_u8)) dispatched but not consumed

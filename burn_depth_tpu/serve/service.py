@@ -79,7 +79,9 @@ class BatchedInferService:
                 "pos-embeds); Depth Pro's canonical path squash-resizes the "
                 "full frame to its fixed 1536² input"
             )
-        fn = jax.jit(with_u8_ingest(forward))  # u8 up, normalize fused in-graph
+        from burn_depth_tpu.core.knobs import kjit
+
+        fn = kjit(with_u8_ingest(forward))  # u8 up, normalize fused in-graph
         self._fn, self._params = fn, inner.params  # kept for warmup()
         self._batcher = DynamicBatcher(
             lambda x: fn(inner.params, jnp.asarray(x)),

@@ -74,7 +74,9 @@ def compile_serving_step(
     param_shardings = jax.tree.map(lambda a: a.sharding, placed)
     in_shard = batch_sharding(mesh, 4) if out_batch_sharded else NamedSharding(mesh, P())
 
-    fn = jax.jit(
+    from burn_depth_tpu.core.knobs import kjit
+
+    fn = kjit(
         forward_fn,
         in_shardings=(param_shardings, in_shard),
         donate_argnums=(1,) if donate_input else (),

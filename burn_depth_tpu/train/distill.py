@@ -52,16 +52,18 @@ def build_teacher_predict(teacher, kind: str) -> Callable:
 
     from burn_depth_tpu.ops.interpolate import resize_bilinear
 
+    from burn_depth_tpu.core.knobs import kjit
+
     if kind == "depth-pro":
 
-        @jax.jit
+        @kjit
         def predict(params, x):
             return teacher._infer_fn(params, x).depth, None
 
     else:
         ts = teacher.img_size
 
-        @jax.jit
+        @kjit
         def predict(params, x):
             h, w = x.shape[-2], x.shape[-1]
             xi = x if (h, w) == (ts, ts) else resize_bilinear(x, (ts, ts))

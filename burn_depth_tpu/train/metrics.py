@@ -280,6 +280,7 @@ def evaluate_model(
     ``boundary`` adds the scale-invariant occlusion-boundary F1 to the
     battery (:func:`boundary_f1`; dense GT only — see its docstring).
     """
+    from burn_depth_tpu.core.knobs import kjit
     from burn_depth_tpu.ops.interpolate import resize_bilinear
 
     if per_image and extra_metrics is not None:
@@ -296,10 +297,10 @@ def evaluate_model(
             valid = (((t > 1e-6) * m).sum() > 0).astype(jnp.float32)
             return met, valid
 
-        metric_fn = jax.jit(jax.vmap(_one))
+        metric_fn = kjit(jax.vmap(_one))
     else:
-        metric_fn = jax.jit(base_fn)
-    resize_fn = jax.jit(resize_bilinear, static_argnums=(1,))
+        metric_fn = kjit(base_fn)
+    resize_fn = kjit(resize_bilinear, static_argnums=(1,))
     totals: Dict[str, float] = {}
     n = 0.0
     for i, batch in enumerate(batches):
