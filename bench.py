@@ -102,7 +102,7 @@ def main() -> None:
         os.environ.setdefault("BDT_INT8_EPILOGUE", "bf16")
     if int8:
         calib = None
-        if int8_mode == "static":
+        if int8_mode == "static" or int8_mode.startswith("mix"):
             # calibrate on the committed test image — the same recipe the
             # drift gate measured (tools/tier_drift.py); random noise is the
             # fallback when assets are absent
@@ -120,8 +120,19 @@ def main() -> None:
                 log(f"int8 calibration fallback to random noise ({e})")
                 calib = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, size, size), jnp.bfloat16)
         t0 = time.perf_counter()
-        model = model.quantize_vit(calibration_input=calib)
-        log(f"int8 ViT serving tier (BENCH_INT8={int8_mode}) prepared in {time.perf_counter() - t0:.1f}s")
+        # BENCH_INT8=mix{k}: the graceful-degradation rung — int8 minus the
+        # k most-sensitive linears (core/tiers.py ladder).  BENCH_INT8_CALIB
+        # picks the activation calibration (absmax / p999 / mse).
+        from burn_depth_tpu.core.tiers import tier_exclude_k
+
+        k = tier_exclude_k(f"int8{int8_mode}") if int8_mode.startswith("mix") else 0
+        calib_method = os.environ.get("BENCH_INT8_CALIB", "absmax")
+        model = model.quantize_vit(
+            calibration_input=calib, exclude_k=k, calib_method=calib_method
+        )
+        log(f"int8 ViT serving tier (BENCH_INT8={int8_mode}, calib={calib_method}"
+            + (f", {k} linears kept float" if k else "")
+            + f") prepared in {time.perf_counter() - t0:.1f}s")
     # Serving default: decoder out_conv folded into the fusion deconvs
     # (170.2 vs 171.2 ms A/B).  The phase-packed head ("head"/"1") measured
     # SLOWER (175.6) — opt-in only.  BENCH_FUSE_TAIL=0 disables.

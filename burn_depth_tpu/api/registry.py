@@ -126,18 +126,22 @@ class AnyDepthModel:
             return self.model.img_size
         return None
 
-    def quantize_vit(self, calibration_input=None) -> "AnyDepthModel":
+    def quantize_vit(self, calibration_input=None, **kwargs) -> "AnyDepthModel":
         """int8 ViT serving tier (BENCH.md round 2: +8% with static
         calibration on Depth Pro; the default `POST /infer` bench tier on
         DA3).  Returns a NEW wrapper; without ``calibration_input`` the
-        dynamic-scale variant is used.  Pre-calibrated int8 checkpoints
-        (``cli/quantize``) load straight through ``AnyDepthModel.load`` and
-        don't need this — calling it on one is a no-op (idempotent), so
-        ``--int8`` composes safely with a quantized checkpoint."""
+        dynamic-scale variant is used.  ``kwargs`` pass through to the
+        model's ``quantize_vit`` (``exclude_k`` mixed quantization,
+        ``calib_method`` outlier-robust calibration).  Pre-calibrated int8
+        checkpoints (``cli/quantize``) load straight through
+        ``AnyDepthModel.load`` and don't need this — calling it on one is a
+        no-op (idempotent), so ``--int8`` composes safely with a quantized
+        checkpoint."""
         if _tree_has_key(self.model.params, "weight_i8"):
             return self  # already int8 (pre-calibrated checkpoint)
         return AnyDepthModel(
-            self._kind, self.model.quantize_vit(calibration_input=calibration_input)
+            self._kind,
+            self.model.quantize_vit(calibration_input=calibration_input, **kwargs),
         )
 
     def prepare_input_image(self, image: np.ndarray, keep_aspect: bool = False) -> PreparedModelImage:
@@ -180,7 +184,9 @@ class AnyDepthModel:
                 out = m._infer_fn(params, x)
                 return out.depth, out.focallength_px, out.fovy_rad
 
-            fn = jax.jit(dp_fn)
+            from burn_depth_tpu.core.knobs import kjit
+
+            fn = kjit(dp_fn)
 
             def run(x):
                 depth, focal, fovy = fn(m.params, x)
@@ -195,7 +201,9 @@ class AnyDepthModel:
             inf = m._finalize(head_out, camera_pred)
             return inf.depth, inf.intrinsics, inf.depth_confidence
 
-        fn = jax.jit(da3_fn)
+        from burn_depth_tpu.core.knobs import kjit
+
+        fn = kjit(da3_fn)
 
         def run(x):
             depth, intr, conf = fn(m.params, x)

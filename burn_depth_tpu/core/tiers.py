@@ -32,11 +32,30 @@ REPO = Path(__file__).resolve().parent.parent.parent
 # int8-static+tanh 168 ms, tanh-only ~198 ms, erf parity 216 ms at 1536²
 # b=1).  Each row: (BENCH_INT8 mode, BDT_GELU form, tier name in
 # benchmarks/tier_drift.json, metric-name suffix).
+#
+# The ``int8mix{k}`` rows are the GRACEFUL-DEGRADATION rungs (VERDICT r4
+# #1): int8 with the k most-sensitive linears left in float
+# (``quantize_vit(exclude_k=k)``) — measured between full int8 and the
+# all-float tanh tier.  If real-weight calibration pushes full int8 over
+# the 1e-3 clause, selection steps down the mix rungs instead of taking
+# the binary 15% BENCH_INT8=0 cliff.  A rung is only selectable once its
+# drift is measured into the record, like every other tier.
 TIER_LADDER = [
     ("static", "tanh", "bf16_tanh_int8_fused", "_int8"),
+    ("mix4", "tanh", "bf16_tanh_int8mix4_fused", "_int8mix4"),
+    ("mix12", "tanh", "bf16_tanh_int8mix12_fused", "_int8mix12"),
     ("0", "tanh", "bf16_tanh_fused", "_tanh"),
     ("0", "erf", "bf16_erf_fused", ""),
 ]
+
+
+def tier_exclude_k(name: str) -> int:
+    """Mixed-tier rung: number of float-excluded linears encoded in a tier
+    name (``...int8mix{k}...`` → k; plain int8 / non-int8 → 0)."""
+    import re
+
+    m = re.search(r"int8mix(\d+)", name)
+    return int(m.group(1)) if m else 0
 
 # DA3-family tier names share the dtype/GELU/int8 grammar minus tail fusion.
 DA3_TIER_NAMES = [name.replace("_fused", "") for _m, _g, name, _s in TIER_LADDER]
@@ -90,8 +109,11 @@ class TierChoice:
 
 
 def _widest_thin_tiers(record: dict) -> dict:
+    import re
+
     widest = max(
-        (int(k[6:]) for k in record if k.startswith("thin_w")), default=None
+        (int(m.group(1)) for k in record if (m := re.fullmatch(r"thin_w(\d+)", k))),
+        default=None,
     )
     return record[f"thin_w{widest}"]["tiers"] if widest else {}
 
@@ -183,7 +205,10 @@ def apply_tier_choice(model, tier_arg: str, log=print):
     os.environ.setdefault("BDT_GELU", choice.gelu)
     if choice.int8:
         os.environ.setdefault("BDT_INT8_EPILOGUE", "bf16")
-        model = model.quantize_vit()
+        k = tier_exclude_k(choice.tier_name)
+        # mixed rung without calibration data: the weight-only sensitivity
+        # proxy picks the k float-kept linears (quantize_vit docstring)
+        model = model.quantize_vit(exclude_k=k) if k else model.quantize_vit()
     log(f"auto tier: {choice.tier_name} — {choice.reason}")
     return model
 

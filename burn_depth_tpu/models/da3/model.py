@@ -359,7 +359,13 @@ class DepthAnything3:
         return self._finalize(head_out, None)
 
     def quantize_vit(
-        self, calibration_input: Optional[jnp.ndarray] = None, *, unit_scales: bool = False
+        self,
+        calibration_input: Optional[jnp.ndarray] = None,
+        *,
+        unit_scales: bool = False,
+        exclude_k: int = 0,
+        exclude: Optional[set] = None,
+        calib_method: str = "absmax",
     ) -> "DepthAnything3":
         """Opt-in int8 serving tier (``Policy.SERVING_INT8``), same scheme as
         ``DepthPro.quantize_vit``: per-channel int8 weights + quantized
@@ -367,12 +373,37 @@ class DepthAnything3:
         modules and norms stay in the float policy (``ops/quant.py``).
 
         ``calibration_input``: optional ``[B, 3, S, S]`` batch — one jitted
-        forward records per-tensor maxima for static scales.  ``unit_scales``
-        builds the static-scale structure with placeholder 1.0 scales (the
+        forward records per-tensor clip values for static scales
+        (``calib_method``: absmax / p999 / mse).  ``exclude_k`` / ``exclude``:
+        mixed quantization — the k most int8-sensitive backbone linears
+        (activation-aware with calibration data, weight-only proxy without)
+        or an explicit index set stay float.  ``unit_scales`` builds the
+        static-scale structure with placeholder 1.0 scales (the
         ``load_quantized`` template)."""
         import itertools
 
-        from burn_depth_tpu.ops.quant import calibrate_amax, quantize_vit_blocks
+        from burn_depth_tpu.ops.quant import (
+            calibrate_amax,
+            calibrate_sensitivity,
+            quantize_vit_blocks,
+            weight_sensitivity_blocks,
+        )
+
+        if exclude is None:
+            exclude = set()
+            if exclude_k > 0:
+                if calibration_input is not None:
+                    scores = calibrate_sensitivity(
+                        lambda p, x: self._finalize(
+                            *self._forward_internal(p, x, None, None)[:2]
+                        ).depth,
+                        self.params,
+                        calibration_input,
+                    )
+                else:
+                    scores = weight_sensitivity_blocks(self.params["backbone"]["pretrained"])
+                order = sorted(range(len(scores)), key=lambda i: -scores[i])
+                exclude = set(order[:exclude_k])
 
         scales = None
         if unit_scales:
@@ -383,11 +414,14 @@ class DepthAnything3:
                     lambda p, x: self._finalize(*self._forward_internal(p, x, None, None)[:2]).depth,
                     self.params,
                     calibration_input,
+                    method=calib_method,
                 )
             )
         params = dict(self.params)
         backbone = dict(params["backbone"])
-        backbone["pretrained"] = quantize_vit_blocks(backbone["pretrained"], scales)
+        backbone["pretrained"] = quantize_vit_blocks(
+            backbone["pretrained"], scales, frozenset(exclude)
+        )
         params["backbone"] = backbone
         return DepthAnything3(self.config, params)
 
@@ -395,7 +429,9 @@ class DepthAnything3:
     def jit_infer(self):
         """A jitted ``image -> depth [B,H,W]`` closure over the params."""
 
-        @partial(jax.jit)
+        from burn_depth_tpu.core.knobs import kjit
+
+        @kjit
         def fn(params, x):
             head_out, camera_pred, _ = self._forward_internal(params, x, None, None)
             return self._finalize(head_out, camera_pred).depth
@@ -436,7 +472,9 @@ class CachedDepthAnything3:
                 inf = m._finalize(head_out, camera_pred)
                 return inf
 
-            self._jits[key] = jax.jit(f)
+            from burn_depth_tpu.core.knobs import kjit
+
+            self._jits[key] = kjit(f)
         return self._jits[key](self.model.params, x)
 
     def cache_len(self) -> int:

@@ -391,8 +391,66 @@ class DepthPro:
             params["head"] = fuse_depth_head(params["head"])
         return DepthPro(self.config, params)
 
+    def _vit_linear_names(self) -> list:
+        """Global qlinear call-order names — ``{encoder}.{block}.{linear}``
+        over patch → image → fov encoders.  Index into this list = the
+        global linear index used by sensitivity rankings and ``exclude``."""
+        from burn_depth_tpu.ops.quant import HOT_LINEARS
+
+        names = []
+        for enc_name, tree in self._vit_encoder_trees():
+            for b in range(len(tree["blocks"])):
+                names.extend(f"{enc_name}.{b}.{lin}" for lin in HOT_LINEARS)
+        return names
+
+    def _vit_encoder_trees(self) -> list:
+        out = [
+            ("patch_encoder", self.params["encoder"]["patch_encoder"]),
+            ("image_encoder", self.params["encoder"]["image_encoder"]),
+        ]
+        if "fov" in self.params and self.params["fov"].get("encoder") is not None:
+            out.append(("fov", self.params["fov"]["encoder"]))
+        return out
+
+    def rank_vit_sensitivity(
+        self, calibration_input: Optional[jnp.ndarray] = None
+    ) -> list:
+        """Per-linear int8 sensitivity ranking, most-sensitive first:
+        ``[(global_index, name, score), ...]``.
+
+        With ``calibration_input``: activation-aware — one jitted float
+        forward measuring each linear's simulated-int8 relative output
+        error on that input (``ops/quant.py::calibrate_sensitivity``).
+        Without: the weight-only quant-error proxy (no data needed).  Feeds
+        ``quantize_vit(exclude_k=...)`` — the mixed tier that drops the k
+        worst linears back to float when full int8 breaks the accuracy
+        gate (graceful degradation instead of the binary BENCH_INT8=0)."""
+        from burn_depth_tpu.ops.quant import (
+            calibrate_sensitivity,
+            weight_sensitivity_blocks,
+        )
+
+        if calibration_input is not None:
+            scores = calibrate_sensitivity(
+                lambda p, x: self._infer_fn(p, x).depth, self.params, calibration_input
+            )
+        else:
+            scores = []
+            for _name, tree in self._vit_encoder_trees():
+                scores.extend(weight_sensitivity_blocks(tree))
+        names = self._vit_linear_names()
+        assert len(scores) == len(names), (len(scores), len(names))
+        ranked = sorted(zip(range(len(names)), names, scores), key=lambda t: -t[2])
+        return ranked
+
     def quantize_vit(
-        self, calibration_input: Optional[jnp.ndarray] = None, *, unit_scales: bool = False
+        self,
+        calibration_input: Optional[jnp.ndarray] = None,
+        *,
+        unit_scales: bool = False,
+        exclude_k: int = 0,
+        exclude: Optional[set] = None,
+        calib_method: str = "absmax",
     ) -> "DepthPro":
         """Opt-in int8 serving tier (``Policy.SERVING_INT8``): per-channel
         int8 weights + quantized activations on every ViT-block linear in all
@@ -400,9 +458,19 @@ class DepthPro:
         stay in the float policy.  See ``ops/quant.py``.
 
         ``calibration_input``: optional ``[B, 3, S, S]`` batch.  When given,
-        one jitted float forward records per-tensor activation maxima and the
-        quantizers use static scales (the quant fuses into the producing op
-        — faster than the default dynamic per-token scales).
+        one jitted float forward records per-tensor activation clip values
+        and the quantizers use static scales (the quant fuses into the
+        producing op — faster than the default dynamic per-token scales).
+
+        ``calib_method``: static-scale calibration: ``absmax`` (default) /
+        ``p999`` (99.9th-percentile clip) / ``mse`` (MSE-optimal clip) —
+        the outlier-robust alternatives (``ops/quant.py::_clip_value``).
+
+        ``exclude_k`` / ``exclude``: mixed quantization — leave the k most
+        int8-sensitive linears (per ``rank_vit_sensitivity``; activation-
+        aware when calibrating, weight-only otherwise) or an explicit set of
+        global linear indices in float.  The measured frontier sits between
+        full int8 and the all-float tanh tier (BENCH.md round 5).
 
         ``unit_scales``: build the static-scale STRUCTURE with placeholder
         1.0 activation scales and no calibration forward — the load template
@@ -411,24 +479,43 @@ class DepthPro:
 
         from burn_depth_tpu.ops.quant import calibrate_amax, quantize_vit_blocks
 
+        if exclude is None:
+            exclude = set()
+            if exclude_k > 0:
+                ranked = self.rank_vit_sensitivity(calibration_input)
+                exclude = {idx for idx, _n, _s in ranked[:exclude_k]}
+
         scales = None
         if unit_scales:
             scales = itertools.repeat(1.0)
         elif calibration_input is not None:
             scales = iter(
-                calibrate_amax(lambda p, x: self._infer_fn(p, x).depth, self.params, calibration_input)
+                calibrate_amax(
+                    lambda p, x: self._infer_fn(p, x).depth,
+                    self.params,
+                    calibration_input,
+                    method=calib_method,
+                )
             )
 
         params = dict(self.params)
         enc = dict(params["encoder"])
         # quantization order must match the forward's qlinear CALL order:
         # patch encoder blocks, then image encoder, then fov encoder.
-        enc["patch_encoder"] = quantize_vit_blocks(enc["patch_encoder"], scales)
-        enc["image_encoder"] = quantize_vit_blocks(enc["image_encoder"], scales)
+        # Exclusion indices are global over that order; re-base per encoder.
+        sizes = [4 * len(tree["blocks"]) for _n, tree in self._vit_encoder_trees()]
+        offs = [sum(sizes[:i]) for i in range(len(sizes))]
+
+        def local_excl(i):
+            lo, hi = offs[i], offs[i] + sizes[i]
+            return frozenset(g - lo for g in exclude if lo <= g < hi)
+
+        enc["patch_encoder"] = quantize_vit_blocks(enc["patch_encoder"], scales, local_excl(0))
+        enc["image_encoder"] = quantize_vit_blocks(enc["image_encoder"], scales, local_excl(1))
         params["encoder"] = enc
         if "fov" in params and params["fov"].get("encoder") is not None:
             fov = dict(params["fov"])
-            fov["encoder"] = quantize_vit_blocks(fov["encoder"], scales)
+            fov["encoder"] = quantize_vit_blocks(fov["encoder"], scales, local_excl(2))
             params["fov"] = fov
         return DepthPro(self.config, params)
 
@@ -557,5 +644,7 @@ class DepthPro:
 
     def jit_infer(self):
         """Jitted ``image -> DepthProInference`` closure over the params."""
-        fn = jax.jit(lambda params, x: self._infer_fn(params, x))
+        from burn_depth_tpu.core.knobs import kjit
+
+        fn = kjit(lambda params, x: self._infer_fn(params, x))
         return partial(fn, self.params)

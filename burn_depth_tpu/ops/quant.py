@@ -28,38 +28,142 @@ import jax.numpy as jnp
 # Active amax-capture sink for calibration (``capture_amax``).  Only ever set
 # during an *eager* calibration forward, so the recorded maxima are concrete.
 _CAPTURE: Optional[list] = None
+_CAPTURE_METHOD: str = "absmax"
+# Active sensitivity sink (``capture_quant_sensitivity``): per-qlinear
+# relative int8 output error on the calibration input, in call order.
+_SENS: Optional[list] = None
+
+
+def _clip_value(x: jnp.ndarray, method: str) -> jnp.ndarray:
+    """Per-tensor activation clip value for static int8 quantization.
+
+    ``absmax`` — max|x| (the scheme's default; outlier-sensitive: one hot
+    channel stretches the step size for every other channel).
+    ``p999`` — approximate 99.9th percentile of |x| (2048-bin histogram);
+    the top 0.1% of magnitudes saturate at ±127 instead of widening the
+    grid — the standard outlier-robust calibration.
+    ``mse`` — the clip minimizing the quantization MSE on the calibration
+    tensor, searched over a 20-point log grid spanning [amax/316, amax]
+    in-graph (log-spaced so a single 100x outlier cannot push every
+    candidate past the useful range).
+    Values beyond the clip are saturated by ``int8_linear``'s round+clip.
+    """
+    ax = jnp.abs(x).astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(ax), 1e-12)
+    if method == "absmax":
+        return amax
+    if method == "p999":
+        bins = 2048
+        idx = jnp.clip((ax / amax * bins).astype(jnp.int32), 0, bins - 1)
+        counts = jnp.zeros((bins,), jnp.float32).at[idx.ravel()].add(1.0)
+        cum = jnp.cumsum(counts)
+        k = jnp.argmax(cum >= 0.999 * ax.size)
+        return amax * (k.astype(jnp.float32) + 1.0) / bins
+    if method == "mse":
+        cands = amax * 10.0 ** jnp.linspace(-2.5, 0.0, 20)
+
+        def err(c):
+            q = jnp.clip(jnp.round(ax / c * 127.0), 0, 127) * (c / 127.0)
+            return jnp.sum((q - ax) ** 2)
+
+        return cands[jnp.argmin(jax.vmap(err)(cands))]
+    raise ValueError(f"unknown calibration method {method!r} (want absmax/p999/mse)")
 
 
 @contextlib.contextmanager
-def capture_amax(sink: list):
-    """While active, every ``qlinear`` float call appends ``max|x|`` of its
-    input (a traced jnp scalar) to ``sink``.  The call order is
-    deterministic, so the recorded scales can be replayed by
-    ``quantize_vit_blocks`` in the same order.  Use via ``calibrate_amax``,
-    which traces the forward ONCE under jit — an eager calibration forward
-    costs minutes of op-by-op dispatch on a tunnel-attached TPU."""
-    global _CAPTURE
+def capture_amax(sink: list, method: str = "absmax"):
+    """While active, every ``qlinear`` float call appends its input's clip
+    value (a traced jnp scalar; ``method`` picks absmax / p999 / mse — see
+    ``_clip_value``) to ``sink``.  The call order is deterministic, so the
+    recorded scales can be replayed by ``quantize_vit_blocks`` in the same
+    order.  Use via ``calibrate_amax``, which traces the forward ONCE under
+    jit — an eager calibration forward costs minutes of op-by-op dispatch
+    on a tunnel-attached TPU."""
+    global _CAPTURE, _CAPTURE_METHOD
     if _CAPTURE is not None:
         raise RuntimeError("nested capture_amax")
     _CAPTURE = sink
+    _CAPTURE_METHOD = method
     try:
         yield sink
     finally:
         _CAPTURE = None
+        _CAPTURE_METHOD = "absmax"
 
 
-def calibrate_amax(fn, *args) -> list:
-    """Run ``fn(*args)`` once under jit with amax capture; return the
-    concrete per-qlinear-input abs-maxima in call order."""
+def calibrate_amax(fn, *args, method: str = "absmax") -> list:
+    """Run ``fn(*args)`` once under jit with clip-value capture; return the
+    concrete per-qlinear-input clip values in call order."""
 
     def wrapper(*a):
         sink: list = []
-        with capture_amax(sink):
+        with capture_amax(sink, method):
             fn(*a)
         return sink
 
     vals = jax.jit(wrapper)(*args)
     return [float(v) for v in vals]
+
+
+@contextlib.contextmanager
+def capture_quant_sensitivity(sink: list):
+    """While active, every ``qlinear`` float call simulates its own int8
+    form (per-channel weights, dynamic per-token activations) and appends
+    the relative output error ``‖y_int8 − y‖/‖y‖`` to ``sink`` — the
+    per-layer error norm on the calibration input.  The forward itself
+    stays float (each linear's error is measured in isolation, not
+    compounded), so the scores rank WHERE int8 hurts most.  Use via
+    ``calibrate_sensitivity``."""
+    global _SENS
+    if _SENS is not None:
+        raise RuntimeError("nested capture_quant_sensitivity")
+    _SENS = sink
+    try:
+        yield sink
+    finally:
+        _SENS = None
+
+
+def calibrate_sensitivity(fn, *args) -> list:
+    """One jitted forward of ``fn(*args)``; returns the per-qlinear relative
+    int8 output-error norms in call order (the activation-aware sensitivity
+    ranking input for mixed quantization)."""
+
+    def wrapper(*a):
+        sink: list = []
+        with capture_quant_sensitivity(sink):
+            fn(*a)
+        return sink
+
+    vals = jax.jit(wrapper)(*args)
+    return [float(v) for v in vals]
+
+
+def _sens_record(x: jnp.ndarray, p: dict) -> None:
+    """Append this float linear's simulated-int8 relative output error."""
+    from burn_depth_tpu.ops.linear import linear
+
+    w = p["weight_hm"] if "weight_hm" in p else p["weight"]
+    b = p.get("bias")
+    y = linear(x.astype(jnp.float32), w.astype(jnp.float32),
+               None if b is None else b.astype(jnp.float32))
+    w_i8, w_scale = quantize_weight_per_channel(w)
+    yq = int8_linear(x.astype(jnp.float32), w_i8, w_scale,
+                     None if b is None else b.astype(jnp.float32), impl="xla")
+    rel = jnp.linalg.norm((yq - y).ravel()) / (jnp.linalg.norm(y.ravel()) + 1e-12)
+    _SENS.append(rel.astype(jnp.float32))
+
+
+def weight_quant_error(p: dict) -> float:
+    """Weight-only sensitivity proxy: relative Frobenius error of the
+    per-channel int8 round-trip of this linear's weight.  No calibration
+    data needed — the fallback ranking when no image is available."""
+    w = p["weight_hm"] if "weight_hm" in p else p["weight"]
+    w32 = jnp.asarray(w, jnp.float32)
+    w_i8, scale = quantize_weight_per_channel(w32)
+    deq = w_i8.astype(jnp.float32) * scale[None, :]  # [K, N]
+    err = jnp.linalg.norm(deq - w32.T) / (jnp.linalg.norm(w32) + 1e-12)
+    return float(err)
 
 
 def _on_tpu() -> bool:
@@ -248,12 +352,16 @@ def qlinear(x: jnp.ndarray, p: dict) -> jnp.ndarray:
         # would make quantize_vit(calibration_input) on a to_head_major model
         # run out of scales (StopIteration).
         if _CAPTURE is not None:
-            _CAPTURE.append(jnp.max(jnp.abs(x)).astype(jnp.float32))
+            _CAPTURE.append(_clip_value(x, _CAPTURE_METHOD))
+        if _SENS is not None:
+            _sens_record(x, p)
         from burn_depth_tpu.ops.linear import linear
 
         return linear(x, p["weight_hm"], p.get("bias"))
     if _CAPTURE is not None:
-        _CAPTURE.append(jnp.max(jnp.abs(x)).astype(jnp.float32))
+        _CAPTURE.append(_clip_value(x, _CAPTURE_METHOD))
+    if _SENS is not None:
+        _sens_record(x, p)
     from burn_depth_tpu.ops.linear import linear
 
     return linear(x, p["weight"], p.get("bias"))
@@ -298,18 +406,50 @@ def qlinear_stacked(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     return out
 
 
-def quantize_vit_blocks(vit_params: dict, scales: Optional[Iterator[float]] = None) -> dict:
+# The four hot linears of a DINOv2 block, in qlinear CALL order.  Linear
+# index i within an encoder = block*4 + HOT_LINEARS.index(name); the same
+# order keys calibration scales, sensitivity scores, and exclusion sets.
+HOT_LINEARS = ("qkv", "proj", "fc1", "fc2")
+
+
+def weight_sensitivity_blocks(vit_params: dict) -> list:
+    """Per-linear ``weight_quant_error`` for every hot linear of a DINOv2
+    block stack, in call order (len = 4 · depth)."""
+    out = []
+    for bp in vit_params["blocks"]:
+        for name in HOT_LINEARS:
+            p = bp["attn"][name] if name in ("qkv", "proj") else bp["mlp"][name]
+            out.append(weight_quant_error(p))
+    return out
+
+
+def quantize_vit_blocks(
+    vit_params: dict,
+    scales: Optional[Iterator[float]] = None,
+    exclude: frozenset = frozenset(),
+) -> dict:
     """Quantize the four hot linears (qkv/proj/fc1/fc2) of every transformer
     block in a DINOv2 param tree; everything else (patch embed, norms,
     layerscales, tokens) is left untouched.
 
-    ``scales``: iterator of calibrated input abs-maxima in qlinear CALL order
-    (qkv, proj, fc1, fc2 per block), as recorded by ``capture_amax`` during an
-    eager forward.  None -> dynamic per-token scales.
+    ``scales``: iterator of calibrated input clip values in qlinear CALL
+    order (qkv, proj, fc1, fc2 per block), as recorded by ``capture_amax``
+    during a calibration forward.  None -> dynamic per-token scales.
+
+    ``exclude``: linear indices (call order, ``block*4 + HOT_LINEARS``
+    position) to LEAVE FLOAT — the mixed-quantization escape hatch for
+    int8-sensitive layers (``DepthPro.quantize_vit(exclude_k=...)``).
+    Excluded linears still consume their calibration scale so the iterator
+    stays aligned with the float forward that recorded it.
     """
+    idx = 0
 
     def q(p):
-        return quantize_linear_params(p, x_scale=None if scales is None else next(scales))
+        nonlocal idx
+        scale = None if scales is None else next(scales)
+        skip = idx in exclude
+        idx += 1
+        return dict(p) if skip else quantize_linear_params(p, x_scale=scale)
 
     out = dict(vit_params)
     blocks = []

@@ -321,3 +321,170 @@ def test_calibrated_quantization_composes_with_head_major():
     # quantized head-major forward still runs
     out = dinov2_forward(q, x, cfg)
     assert out.x_norm_patchtokens.shape == (1, 4, cfg.embed_dim)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: mixed quantization + outlier-robust calibration (VERDICT r4 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_methods_clip_values():
+    """p999/mse clips sit at or below absmax, and on an outlier-heavy tensor
+    they shrink the grid dramatically (the whole point: one hot value must
+    not stretch the step size for everything else)."""
+    from burn_depth_tpu.ops.quant import _clip_value
+
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(rng.standard_normal((64, 256)), jnp.float32)
+    spiked = clean.at[3, 17].set(500.0)
+
+    for x in (clean, spiked):
+        amax = float(_clip_value(x, "absmax"))
+        p999 = float(_clip_value(x, "p999"))
+        mse = float(_clip_value(x, "mse"))
+        assert p999 <= amax + 1e-6 and mse <= amax + 1e-6
+    assert float(_clip_value(spiked, "absmax")) > 400
+    # the percentile clip ignores the single spike outright
+    assert float(_clip_value(spiked, "p999")) < 3 * float(_clip_value(clean, "absmax"))
+    # MSE is NOT a percentile: on a small tensor one 500x spike's saturation
+    # cost (≈247k) exceeds the grid-refinement gain, so MSE correctly keeps
+    # the full range here — clipping only wins once the tensor is large
+    # relative to the outlier energy (see the next test).
+    assert float(_clip_value(spiked, "mse")) == float(_clip_value(spiked, "absmax"))
+
+    # large tensor + moderate outliers: refinement starts to win and MSE
+    # clips below the range (conservatively — the quadratic saturation cost
+    # keeps it far above the percentile clip)
+    big = rng.standard_normal((1024, 2048)).astype(np.float32)
+    big.ravel()[rng.integers(0, big.size, 40)] = 30.0
+    big = jnp.asarray(big)
+    assert float(_clip_value(big, "mse")) < 0.99 * float(_clip_value(big, "absmax"))
+
+
+def test_robust_calibration_beats_absmax_under_outliers():
+    """int8 output error with a spiked activation tensor: the p999/mse clip
+    (saturating the outliers) must beat absmax (which widens every step)."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((8, 512, 64)).astype(np.float32)
+    # per-channel activation outliers (LLM.int8-style): a few positions
+    # carry 30x magnitudes — enough to stretch the absmax grid 30x, moderate
+    # enough that saturating them is the right trade
+    x[:, 5, 3] = 30.0
+    x = jnp.asarray(x)
+    w = jnp.asarray(rng.standard_normal((48, 64)).astype(np.float32) * 0.05)
+    ref = np.asarray(x @ w.T)
+
+    from burn_depth_tpu.ops.quant import _clip_value
+
+    errs = {}
+    for method in ("absmax", "p999", "mse"):
+        p = quantize_linear_params({"weight": w, "bias": None},
+                                   x_scale=float(_clip_value(x, method)))
+        got = np.asarray(int8_linear(x, p["weight_i8"], p["scale"], None,
+                                     x_scale=p["x_scale"]))
+        errs[method] = np.abs(got - ref).mean()
+    assert errs["p999"] < errs["absmax"]
+    assert errs["mse"] <= errs["absmax"]
+
+
+def test_quantize_vit_blocks_exclude_keeps_alignment():
+    """Excluded linears stay float AND the static-scale iterator stays
+    aligned with the calibration call order (an excluded linear must consume
+    its scale, or every later x_scale would be off by one)."""
+    cfg, params, x = _tiny_vit()
+
+    def fwd(p, xb):
+        return dinov2_forward(p, xb, cfg, attn_impl="jnp").x_norm_patchtokens
+
+    scales = calibrate_amax(fwd, params, x)
+    # exclude block-0 proj (index 1) and block-1 fc1 (index 4+2=6)
+    q = quantize_vit_blocks(params, iter(scales), frozenset({1, 6}))
+    b0, b1 = q["blocks"]
+    assert "weight" in b0["attn"]["proj"] and "weight_i8" not in b0["attn"]["proj"]
+    assert "weight" in b1["mlp"]["fc1"] and "weight_i8" not in b1["mlp"]["fc1"]
+    # the linear AFTER an excluded one still gets ITS OWN calibration value
+    np.testing.assert_allclose(float(b0["mlp"]["fc1"]["x_scale"]), scales[2], rtol=1e-6)
+    np.testing.assert_allclose(float(b1["mlp"]["fc2"]["x_scale"]), scales[7], rtol=1e-6)
+
+
+def test_weight_sensitivity_ranks_a_bad_linear_first():
+    """A linear whose weight has a huge in-row dynamic range quantizes worst
+    per-channel; both the weight proxy and the activation-aware ranker must
+    surface it."""
+    from burn_depth_tpu.ops.quant import calibrate_sensitivity, weight_sensitivity_blocks
+
+    cfg, params, x = _tiny_vit()
+    params = _grow_layerscale(params, jax.random.PRNGKey(7))
+    # poison block-1 proj (call index 5): a per-row spike ~400x the other
+    # elements zeroes the rest of the row under the per-channel scale
+    # (relative error ≈ √(K-1)/ratio ≈ 2%, vs ~0.7% for a healthy Gaussian
+    # row).  NOTE a much LARGER spike would shrink the relative error again
+    # (the representable spike dominates the norm) — the ratio is chosen in
+    # the genuinely-hard band.
+    w = params["blocks"][1]["attn"]["proj"]["weight"]
+    params["blocks"][1]["attn"]["proj"]["weight"] = w.at[:, 0].set(8.0)
+
+    scores = weight_sensitivity_blocks(params)
+    assert len(scores) == 4 * cfg.depth
+    assert int(np.argmax(scores)) == 5
+
+    def fwd(p, xb):
+        return dinov2_forward(p, xb, cfg, attn_impl="jnp").x_norm_patchtokens
+
+    act_scores = calibrate_sensitivity(fwd, params, x)
+    assert len(act_scores) == 4 * cfg.depth
+    assert int(np.argmax(act_scores)) == 5
+
+
+def test_exclude_k_mixed_tier_reduces_drift():
+    """The mixed tier's reason to exist: dropping the worst-k linears back
+    to float must reduce end-to-end drift vs full int8 on a model with one
+    poisoned (int8-hostile) linear."""
+    cfg, params, x = _tiny_vit()
+    params = _grow_layerscale(params, jax.random.PRNGKey(7))
+    w = params["blocks"][1]["attn"]["proj"]["weight"]
+    params["blocks"][1]["attn"]["proj"]["weight"] = w.at[:, 0].set(8.0)
+
+    def fwd(p, xb):
+        return dinov2_forward(p, xb, cfg, attn_impl="jnp").x_norm_patchtokens
+
+    from burn_depth_tpu.ops.quant import weight_sensitivity_blocks
+
+    ref = np.asarray(fwd(params, x))
+    full = np.asarray(fwd(quantize_vit_blocks(params), x))
+    worst = int(np.argmax(weight_sensitivity_blocks(params)))
+    mixed = np.asarray(fwd(quantize_vit_blocks(params, None, frozenset({worst})), x))
+    err_full = np.abs(full - ref).mean()
+    err_mixed = np.abs(mixed - ref).mean()
+    assert err_mixed < err_full, (err_mixed, err_full)
+
+
+def test_quantize_vit_exclude_k_model_api():
+    """DepthPro.quantize_vit(exclude_k=...) leaves exactly k linears float
+    across the three encoders and still runs end-to-end."""
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+    cfg = DepthProConfig.tiny_test()
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 3, cfg.img_size, cfg.img_size))
+    k = 3
+    qm = model.quantize_vit(calibration_input=x, exclude_k=k)
+
+    def count_float(tree):
+        n = 0
+        for bp in tree["blocks"]:
+            for sub in (bp["attn"]["qkv"], bp["attn"]["proj"], bp["mlp"]["fc1"], bp["mlp"]["fc2"]):
+                n += "weight" in sub and "weight_i8" not in sub
+        return n
+
+    n_float = (
+        count_float(qm.params["encoder"]["patch_encoder"])
+        + count_float(qm.params["encoder"]["image_encoder"])
+        + count_float(qm.params["fov"]["encoder"])
+    )
+    assert n_float == k
+    assert np.isfinite(np.asarray(qm.infer(x).depth)).all()
+
+    ranked = model.rank_vit_sensitivity()
+    assert len(ranked) == 3 * 4 * cfg.patch_encoder.depth
+    assert ranked[0][2] >= ranked[-1][2]

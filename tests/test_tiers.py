@@ -145,3 +145,63 @@ def test_apply_tier_choice_parity_and_default(monkeypatch):
     monkeypatch.delenv("BDT_GELU", raising=False)
     with pytest.raises(ValueError):
         apply_tier_choice(m, "nonsense", log=lambda _m: None)
+
+
+def test_mixed_rung_selected_when_full_int8_fails_the_gate():
+    """Graceful degradation (VERDICT r4 #1): when full int8 drifts over the
+    clause (the trained-outlier scenario) but a measured int8mix rung
+    passes, selection must step DOWN to the mix rung — not all the way off
+    the int8 cliff to tanh-only."""
+    rec = json.loads(json.dumps(_record()))
+    thin = rec["thin"]["tiers"]
+    widest = max(int(k[6:]) for k in rec if k.startswith("thin_w") and k[6:].isdigit())
+    wide = rec[f"thin_w{widest}"]["tiers"]
+
+    # full int8 breaks the gate at the real width
+    wide["f32_tanh_int8_fused"]["vs_parity"]["abs_rel_mean"] = 2e-3
+    # ...but the measured mix4 rung passes on both legs
+    thin["f32_tanh_int8mix4_fused"] = {
+        "vs_parity": {"abs_rel_mean": 2e-4, "inv_mean_abs": 2e-4}
+    }
+    wide["f32_tanh_int8mix4_fused"] = {
+        "vs_parity": {"abs_rel_mean": 5e-4, "inv_mean_abs": 8e-4}
+    }
+    rec["flagship"]["tiers"]["bf16_tanh_int8mix4_fused"] = {"ms": 180.0}
+
+    c = select_serving_tier("depth_pro", rec)
+    assert c.tier_name == "bf16_tanh_int8mix4_fused" and c.int8
+
+    from burn_depth_tpu.core.tiers import tier_exclude_k
+
+    assert tier_exclude_k(c.tier_name) == 4
+    assert tier_exclude_k("bf16_tanh_int8_fused") == 0
+    assert tier_exclude_k("bf16_tanh_fused") == 0
+
+
+def test_apply_tier_choice_mixed_rung_passes_exclude_k(monkeypatch):
+    import burn_depth_tpu.core.tiers as tiers_mod
+
+    choice = tiers_mod.TierChoice(
+        "bf16_tanh_int8mix4_fused", True, "tanh", 5e-4, "test"
+    )
+    monkeypatch.setattr(tiers_mod, "select_serving_tier", lambda fam: choice)
+
+    calls = {}
+
+    class Head:
+        dual_head = False
+
+    class Cfg:
+        head = Head()
+
+    class FakeModel:
+        config = Cfg()
+
+        def quantize_vit(self, **kw):
+            calls.update(kw)
+            return self
+
+    monkeypatch.delenv("BDT_GELU", raising=False)
+    tiers_mod.apply_tier_choice(FakeModel(), "auto", log=lambda _m: None)
+    assert calls == {"exclude_k": 4}
+    monkeypatch.delenv("BDT_GELU", raising=False)

@@ -93,8 +93,10 @@ def load_input(image: Path, size: int, model: str = "depth_pro") -> np.ndarray:
 def tier_model(base, tier: str, x_np: np.ndarray):
     """Apply a tier's param transforms to the f32 base model.  Returns
     (model, input) with the tier's serving dtype.  Tier grammar:
-    ``<dtype>_<gelu>[_int8][_fused]`` — the env half (BDT_GELU,
-    BDT_INT8_EPILOGUE) is handled by the caller at trace time."""
+    ``<dtype>_<gelu>[_int8[mix{k}][_{p999|mse}]][_fused]`` — mix{k} = the
+    mixed rung keeping the k most-sensitive linears float; p999/mse = the
+    outlier-robust activation calibrations (absmax default).  The env half
+    (BDT_GELU, BDT_INT8_EPILOGUE) is handled by the caller at trace time."""
     import jax
     import jax.numpy as jnp
 
@@ -106,9 +108,16 @@ def tier_model(base, tier: str, x_np: np.ndarray):
     model = type(base)(base.config, params)
     x = jnp.asarray(x_np, dtype)
     if "_int8" in tier:
+        from burn_depth_tpu.core.tiers import tier_exclude_k
+
+        calib_method = "p999" if "_p999" in tier else ("mse" if "_mse" in tier else "absmax")
         # static calibration on the measurement image itself (what a serving
         # deployment calibrates on: representative data, not noise)
-        model = model.quantize_vit(calibration_input=x)
+        model = model.quantize_vit(
+            calibration_input=x,
+            exclude_k=tier_exclude_k(tier),
+            calib_method=calib_method,
+        )
     if "_fused" in tier:
         model = model.fuse_tail(head=False, decoder=True)  # bench default BENCH_FUSE_TAIL=decoder
     return model, x
@@ -248,8 +257,35 @@ def drift_da3(ref: dict, tier: dict) -> dict:
     return out
 
 
+def inject_activation_outliers(hf, k: int, mag: float) -> None:
+    """Trained-ViT activation-outlier stress (VERDICT r4 #1b): scale ``k``
+    channels of every transformer block's norm1/norm2 gain by ``mag``.
+
+    LayerNorm-output outlier channels are the canonical int8 breaker in
+    trained transformers (a handful of channels carry 10-100x magnitudes —
+    LLM.int8() reports up to ~20x emerging at scale, ViT studies up to
+    ~50-100x; PAPERS.md): norm1's gain feeds qkv, norm2's feeds fc1, so
+    scaled gains produce exactly the per-channel activation outliers that
+    stretch an abs-max int8 grid.  Channels are chosen deterministically
+    per layer (crc32 of the param name) so runs are reproducible.  Applied
+    to the torch oracle BEFORE O(1) output conditioning, so the float
+    BASELINE carries the same outliers and the measured drift is purely the
+    quantization's response to them."""
+    import zlib
+
+    import torch
+
+    with torch.no_grad():
+        for name, p in hf.named_parameters():
+            if name.endswith(("norm1.weight", "norm2.weight")):
+                rng = np.random.default_rng(zlib.crc32(name.encode()))
+                idx = rng.choice(p.shape[0], size=min(k, p.shape[0]), replace=False)
+                p[torch.as_tensor(np.sort(idx), dtype=torch.long)] *= mag
+
+
 def build_base(leg: str, model: str = "depth_pro", thin_width: int = 32,
-               o1_signal: bool = False,
+               o1_signal: bool = False, outliers=None, checkpoint=None,
+               config_path=None,
                image: Path = REPO / "assets" / "image" / "test.png"):
     """The f32 base model for a leg (shared weights across all tiers).
 
@@ -262,6 +298,31 @@ def build_base(leg: str, model: str = "depth_pro", thin_width: int = 32,
     (518² is affordable on CPU), random weights."""
     import jax
     import jax.numpy as jnp
+
+    if checkpoint is not None:
+        # IMPORTED-WEIGHTS leg (real-weights day, tools/real_weights_day.py):
+        # measure the tier ladder's drift on actual checkpoint weights
+        # instead of the synthetic random/conditioned fixtures.  Loads
+        # through the production import path (AnyDepthModel), cast to the
+        # f32 baseline policy.
+        from burn_depth_tpu.api import AnyDepthModel, DepthModelKind
+
+        kind = (
+            DepthModelKind.DEPTH_PRO if model == "depth_pro" else DepthModelKind.DEPTH_ANYTHING3
+        )
+        cfg = None
+        if config_path is not None:
+            from burn_depth_tpu.core.configio import load_config
+
+            cfg = load_config(str(config_path))
+        m = AnyDepthModel.load(kind, str(checkpoint), config=cfg).model
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            m.params,
+        )
+        return type(m)(m.config, params)
 
     if model.startswith("da3"):
         from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
@@ -293,6 +354,8 @@ def build_base(leg: str, model: str = "depth_pro", thin_width: int = 32,
         heads = max(2, thin_width // 16)
         kw = dict(embed_dim=thin_width, depth=12, heads=heads, fusion=32)
         hf, _ = build_hf_oracle(**kw)
+        if outliers is not None:
+            inject_activation_outliers(hf, *outliers)
         if o1_signal:
             # Width sweep requirement: a random-init thin model's output
             # scale varies wildly with width (w64+ collapses toward zero →
@@ -325,7 +388,7 @@ DA3_THIN_TIERS = ["f32_erf", "f32_tanh", "f32_erf_int8", "f32_tanh_int8"]
 DA3_FLAGSHIP_TIERS = ["bf16_erf", "bf16_tanh", "bf16_erf_int8", "bf16_tanh_int8"]
 
 
-def main() -> int:
+def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--leg", choices=["thin", "flagship"], required=True)
     ap.add_argument("--image", type=Path, default=REPO / "assets" / "image" / "test.png")
@@ -342,7 +405,30 @@ def main() -> int:
                     help="thin leg: condition output convs to O(1) inverse depth / ~50deg "
                     "FOV so the width sweep measures drift in one fixed realistic regime "
                     "(records as thin_w{N} even at width 32)")
-    args = ap.parse_args()
+    ap.add_argument("--checkpoint", type=Path, default=None,
+                    help="imported-weights leg: measure the tier ladder on a real "
+                    "checkpoint (any format AnyDepthModel.load accepts) instead of "
+                    "the synthetic fixtures; records as {leg}_imported")
+    ap.add_argument("--config", type=Path, default=None,
+                    help="model config JSON sidecar for --checkpoint (core.configio)")
+    ap.add_argument("--outliers", default=None, metavar="K:M",
+                    help="outlier-stress leg (thin + --o1-signal only): scale K channels "
+                    "of every block's norm1/norm2 gain by M before conditioning — "
+                    "synthetic trained-ViT activation outliers.  Records as "
+                    "thin_w{N}_out{K}x{M} into benchmarks/outlier_stress.json "
+                    "(separate file: stress legs must not feed the serving gate)")
+    args = ap.parse_args(argv)
+
+    outliers = None
+    if args.outliers is not None:
+        k_s, m_s = args.outliers.split(":")
+        outliers = (int(k_s), float(m_s))
+        if args.leg != "thin" or args.model != "depth_pro" or not args.o1_signal:
+            print("--outliers requires --leg thin --model depth_pro --o1-signal",
+                  file=sys.stderr)
+            return 2
+        if args.out == REPO / "benchmarks" / "tier_drift.json":
+            args.out = REPO / "benchmarks" / "outlier_stress.json"
 
     import jax
 
@@ -359,7 +445,9 @@ def main() -> int:
 
     backend = jax.default_backend()
     base = build_base(args.leg, args.model, thin_width=args.thin_width,
-                      o1_signal=args.o1_signal, image=args.image)
+                      o1_signal=args.o1_signal, outliers=outliers,
+                      checkpoint=args.checkpoint, config_path=args.config,
+                      image=args.image)
     size = base.config.img_size if args.model == "depth_pro" else base.config.image_size
     x_np = load_input(args.image, size, args.model)
     print(f"model={args.model} leg={args.leg} backend={backend} img_size={size} "
@@ -410,6 +498,13 @@ def main() -> int:
     ):
         leg_key = f"thin_w{args.thin_width}"
         record["o1_signal"] = bool(args.o1_signal)
+    if outliers is not None:
+        k_o, m_o = outliers
+        leg_key += f"_out{k_o}x{m_o:g}"
+        record["outliers"] = {"channels": k_o, "magnitude": m_o}
+    if args.checkpoint is not None:
+        leg_key += "_imported"
+        record["checkpoint"] = str(args.checkpoint)
     if args.tiers and leg_key in merged:
         # partial run (explicit --tiers): merge into the existing leg rather
         # than replacing it — e.g. adding the timed f32-policy point to the
