@@ -133,6 +133,7 @@ def compile_train_step(
     remat: str = "none",
     accum_steps: int = 1,
     ema_decay: Optional[float] = None,
+    abstract: bool = False,
 ) -> TrainStep:
     """Compile ``loss_fn(params, batch) -> loss | (loss, aux)`` into a
     donated, mesh-sharded SGD step.
@@ -143,6 +144,13 @@ def compile_train_step(
     ``ema_decay`` keeps an exponential moving average of the params in the
     state (``state["ema"]``, seeded from the start point) — the usual
     serve-the-EMA fine-tuning trick; it shards/checkpoints like the params.
+
+    ``abstract``: AOT-lowering mode — no buffer is ever materialized.
+    ``params`` may be (or is converted to) ``ShapeDtypeStruct``s, the state
+    comes from ``eval_shape``, and the returned ``TrainStep`` must only be
+    used via ``.fn.lower(state, batch_specs)``.  This is how the FLAGSHIP
+    1536² train program is proven to trace and serialize on a host that
+    cannot execute it (``tests/test_train_lowering.py``, VERDICT r4 #6).
     """
     optimizer = optimizer if optimizer is not None else adamw()
 
@@ -204,13 +212,25 @@ def compile_train_step(
         return new_state, metrics
 
     if mesh is not None:
-        placed = shard_params(params, mesh, tp_rules)
+        if abstract:
+            shardings = shard_params(params, mesh, tp_rules, device_put=False)
+            placed = jax.tree.map(
+                lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+                params,
+                shardings,
+            )
+        else:
+            placed = shard_params(params, mesh, tp_rules)
         # with accumulation the leading leaf axis is the microbatch index —
         # replicate it, shard the true batch axis underneath over ``data``
         spec = P("data") if accum_steps == 1 else P(None, "data")
         in_shard = NamedSharding(mesh, spec)
     else:
-        placed = params
+        placed = (
+            jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+            if abstract
+            else params
+        )
         in_shard = None
 
     # ``optimizer.init`` under jit: moment shardings follow the placed params.
@@ -220,8 +240,10 @@ def compile_train_step(
             s["ema"] = jax.tree.map(lambda a: a, p)  # seed EMA at the start point
         return s
 
-    state = jax.jit(init_state)(placed)
-    fn = jax.jit(step, donate_argnums=(0,))
+    state = jax.eval_shape(init_state, placed) if abstract else jax.jit(init_state)(placed)
+    from burn_depth_tpu.core.knobs import kjit
+
+    fn = kjit(step, donate_argnums=(0,))
     return TrainStep(
         mesh=mesh, state=state, fn=fn, input_sharding=in_shard, accum_steps=accum_steps
     )
