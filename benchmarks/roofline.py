@@ -75,8 +75,12 @@ def cost_of(jfn, *args) -> dict:
 
 
 def timeit(jfn, params, x) -> float:
-    """K dependent calls, one block_until_ready (the tunnel-sane protocol —
-    see benchmarks/component_profile.py for why scan-of-K was abandoned)."""
+    """K dependent calls, one device_get sync (the tunnel-sane protocol —
+    see benchmarks/component_profile.py for why scan-of-K was abandoned).
+    Round-5 fix (VERDICT r4 #3): the final sync fetches real output bytes —
+    through the tunnel ``block_until_ready`` can return early (BENCH.md
+    round 2), which is exactly how the r4 tail rows picked up their stale
+    erf-leg readings."""
 
     def chain(k):
         xi = x
@@ -85,7 +89,7 @@ def timeit(jfn, params, x) -> float:
             out = jfn(params, xi)
             leaf = jax.tree_util.tree_leaves(out)[0]
             xi = x + (leaf.ravel()[0] * 1e-12).astype(x.dtype)
-        jax.block_until_ready(out)
+        _ = jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:8])
 
     chain(2)
     # min-of-windows: single-window readings through the tunnel carry 2-3x

@@ -276,3 +276,23 @@ def test_oracle_keys_follow_upstream_manifest_patterns(pipeline_artifacts):
     }
     for key in load_safetensors(str(state)):
         assert re.sub(r"\.\d+\.", ".N.", key) in manifest, key
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("BDT_FULL_SWEEP") != "1",
+    reason="full-geometry sweep is opt-in (~4 extra 518² oracle+import runs); "
+    "BDT_FULL_SWEEP=1 enables — executed once and logged in BENCH.md round 5 "
+    "(VERDICT r4 #7: removes the geometry-independence assumption from the "
+    "140² discrimination proof)",
+)
+def test_small_knob_sweep_full_geometry_518(tmp_path):
+    """The 4-combination rope_coords/cat_order discrimination at the REAL
+    518² geometry (grid 37): the gate passes on exactly the oracle's
+    convention, as at 140²."""
+    golden, state, cfg = _run_small_dump(tmp_path, 518)
+    results = {}
+    for rope_coords, cat_order in COMBOS:
+        report = _sweep_report(state, cfg, golden, rope_coords, cat_order)
+        results[(rope_coords, cat_order)] = report.ok
+    assert results[("index", "prev_first")], "matching combination must pass"
+    assert sum(results.values()) == 1, results

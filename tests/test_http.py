@@ -262,3 +262,77 @@ def test_server_side_failure_maps_to_503(server):
         svc.infer = orig
     assert e.value.code == 503
     assert b"server error" in e.value.read()
+
+
+def test_client_disconnect_mid_stream_and_mid_infer(server):
+    """A client that vanishes — mid-MJPEG-stream or after POSTing an /infer
+    body without reading the response — must not kill a handler thread or
+    wedge the server (VERDICT r4 #5 failure paths).  The handler swallows
+    BrokenPipe/ConnectionReset; afterwards the server still answers."""
+    import socket
+
+    # mid-stream: start the MJPEG stream, read a little, slam the socket
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+    s.sendall(b"GET /stream HTTP/1.1\r\nHost: x\r\n\r\n")
+    s.recv(1024)
+    s.close()  # abrupt: no clean shutdown
+
+    # mid-infer: POST a valid body, then disconnect before the response
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(np.zeros((30, 40, 3), np.uint8)).save(buf, format="PNG")
+    body = buf.getvalue()
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+    s.sendall(
+        b"POST /infer HTTP/1.1\r\nHost: x\r\nContent-Type: image/png\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+    )
+    s.close()  # gone before the depth comes back
+
+    # the server survived both: a fresh request round-trips
+    r = _post_image(server, "/infer", seed=99)
+    assert r.status == 200
+    assert _get(server, "/snapshot").read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_concurrent_requests_during_warmup():
+    """First-ever requests arriving concurrently — while the XLA compile of
+    the batch buckets is still in flight — must all be served 200, not
+    rejected or crossed up (VERDICT r4 #5 failure paths).  Fresh server so
+    nothing is compiled yet."""
+    import threading
+
+    cfg = dataclasses.replace(
+        DepthAnything3Config.metric_large(), image_size=28, attn_impl="jnp"
+    )
+    model = AnyDepthModel(
+        DepthModelKind.DEPTH_ANYTHING3, DepthAnything3.init(jax.random.PRNGKey(0), cfg)
+    )
+    srv = DepthHTTPServer(model, SyntheticSource(40, 30, 1 << 30), port=0)
+    srv.start()
+    try:
+        results, errors = [], []
+
+        def client(i):
+            try:
+                r = _post_image(srv, "/infer", seed=50 + i, timeout=300)
+                results.append((r.status, r.read()[:8]))
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors
+        assert len(results) == 4
+        for status, magic in results:
+            assert status == 200 and magic == b"\x89PNG\r\n\x1a\n"
+    finally:
+        srv.stop()
