@@ -186,3 +186,42 @@ def test_da3_serving_tier_drift_within_calibrated_bounds():
     d = td.drift_da3(ref, tier)
     for key, bound in DA3_CALIBRATED_BOUNDS.items():
         assert d[key] <= bound, f"{key}={d[key]:.3e} exceeds calibrated bound {bound:.0e} ({d})"
+
+
+def test_outlier_stress_record_mixed_tier_recovers_the_gate():
+    """The committed outlier-stress frontier (VERDICT r4 #1b, BENCH.md round
+    5; produced by ``tools/tier_drift.py --outliers``):
+
+    * concentrated outliers (the real trained-ViT pattern): full int8
+      BREAKS the <1e-3 clause and the int8mix12 rung RECOVERS it — the
+      graceful-degradation path exists and is measured;
+    * uniform worst case (every block poisoned at 64x): no int8 variant
+      recovers — honesty that the fallback there is tanh-only;
+    * moderate outliers (16x): full int8 still holds.
+
+    Also pins the file separation: stress legs must never sit in the gate
+    record the tier selector reads."""
+    stress = json.loads((REPO / "benchmarks" / "outlier_stress.json").read_text())
+    gate = json.loads((REPO / "benchmarks" / "tier_drift.json").read_text())
+    assert not any("_out" in k for k in gate), "stress legs leaked into the gate record"
+
+    def rel(leg, tier):
+        return stress[leg]["tiers"][tier]["vs_parity"]["abs_rel_mean"]
+
+    # concentrated: break -> recover
+    assert rel("thin_w256_out8x64b2", "f32_tanh_int8_fused") > 1e-3
+    assert rel("thin_w256_out8x64b2", "f32_tanh_int8mix12_fused") < 1e-3
+    assert (
+        rel("thin_w256_out8x64b2", "f32_tanh_int8mix12_fused")
+        < 0.5 * rel("thin_w256_out8x64b2", "f32_tanh_int8_fused")
+    )
+    # uniform worst case: nothing recovers (every int8 variant over the line)
+    uni = stress["thin_w256_out8x64"]["tiers"]
+    for tier, r in uni.items():
+        if "int8" in tier:
+            assert r["vs_parity"]["abs_rel_mean"] > 1e-3, tier
+    # moderate magnitude: full int8 holds
+    assert rel("thin_w256_out8x16", "f32_tanh_int8_fused") < 1e-3
+    # every stress leg is o1-conditioned and labeled with its injection
+    for leg, r in stress.items():
+        assert r.get("o1_signal") and "outliers" in r, leg

@@ -257,9 +257,14 @@ def drift_da3(ref: dict, tier: dict) -> dict:
     return out
 
 
-def inject_activation_outliers(hf, k: int, mag: float) -> None:
+def inject_activation_outliers(hf, k: int, mag: float, blocks: int = 0) -> None:
     """Trained-ViT activation-outlier stress (VERDICT r4 #1b): scale ``k``
     channels of every transformer block's norm1/norm2 gain by ``mag``.
+    ``blocks > 0`` restricts the injection to the first ``blocks`` blocks of
+    each encoder — the CONCENTRATED pattern real trained ViTs show (outliers
+    cluster in specific layers), which is the regime per-layer mixed
+    quantization exists for; ``blocks=0`` poisons every block (the uniform
+    worst case).
 
     LayerNorm-output outlier channels are the canonical int8 breaker in
     trained transformers (a handful of channels carry 10-100x magnitudes —
@@ -275,9 +280,15 @@ def inject_activation_outliers(hf, k: int, mag: float) -> None:
 
     import torch
 
+    import re
+
     with torch.no_grad():
         for name, p in hf.named_parameters():
             if name.endswith(("norm1.weight", "norm2.weight")):
+                if blocks > 0:
+                    m = re.search(r"\.layer\.(\d+)\.", name)
+                    if m is None or int(m.group(1)) >= blocks:
+                        continue
                 rng = np.random.default_rng(zlib.crc32(name.encode()))
                 idx = rng.choice(p.shape[0], size=min(k, p.shape[0]), replace=False)
                 p[torch.as_tensor(np.sort(idx), dtype=torch.long)] *= mag
@@ -411,18 +422,21 @@ def main(argv=None) -> int:
                     "the synthetic fixtures; records as {leg}_imported")
     ap.add_argument("--config", type=Path, default=None,
                     help="model config JSON sidecar for --checkpoint (core.configio)")
-    ap.add_argument("--outliers", default=None, metavar="K:M",
+    ap.add_argument("--outliers", default=None, metavar="K:M[:B]",
                     help="outlier-stress leg (thin + --o1-signal only): scale K channels "
                     "of every block's norm1/norm2 gain by M before conditioning — "
-                    "synthetic trained-ViT activation outliers.  Records as "
-                    "thin_w{N}_out{K}x{M} into benchmarks/outlier_stress.json "
-                    "(separate file: stress legs must not feed the serving gate)")
+                    "synthetic trained-ViT activation outliers.  Optional :B restricts "
+                    "to the first B blocks per encoder (the concentrated pattern real "
+                    "ViTs show).  Records as thin_w{N}_out{K}x{M}[b{B}] into "
+                    "benchmarks/outlier_stress.json (separate file: stress legs must "
+                    "not feed the serving gate)")
     args = ap.parse_args(argv)
 
     outliers = None
     if args.outliers is not None:
-        k_s, m_s = args.outliers.split(":")
-        outliers = (int(k_s), float(m_s))
+        parts = args.outliers.split(":")
+        outliers = (int(parts[0]), float(parts[1]),
+                    int(parts[2]) if len(parts) > 2 else 0)
         if args.leg != "thin" or args.model != "depth_pro" or not args.o1_signal:
             print("--outliers requires --leg thin --model depth_pro --o1-signal",
                   file=sys.stderr)
@@ -499,9 +513,9 @@ def main(argv=None) -> int:
         leg_key = f"thin_w{args.thin_width}"
         record["o1_signal"] = bool(args.o1_signal)
     if outliers is not None:
-        k_o, m_o = outliers
-        leg_key += f"_out{k_o}x{m_o:g}"
-        record["outliers"] = {"channels": k_o, "magnitude": m_o}
+        k_o, m_o, b_o = outliers
+        leg_key += f"_out{k_o}x{m_o:g}" + (f"b{b_o}" if b_o else "")
+        record["outliers"] = {"channels": k_o, "magnitude": m_o, "blocks": b_o}
     if args.checkpoint is not None:
         leg_key += "_imported"
         record["checkpoint"] = str(args.checkpoint)
