@@ -102,7 +102,7 @@ def main() -> None:
         os.environ.setdefault("BDT_INT8_EPILOGUE", "bf16")
     if int8:
         calib = None
-        if int8_mode == "static" or int8_mode.startswith("mix"):
+        if int8_mode in ("static",) or int8_mode.startswith(("mix", "pfc")):
             # calibrate on the committed test image — the same recipe the
             # drift gate measured (tools/tier_drift.py); random noise is the
             # fallback when assets are absent
@@ -121,17 +121,22 @@ def main() -> None:
                 calib = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, size, size), jnp.bfloat16)
         t0 = time.perf_counter()
         # BENCH_INT8=mix{k}: the graceful-degradation rung — int8 minus the
-        # k most-sensitive linears (core/tiers.py ladder).  BENCH_INT8_CALIB
-        # picks the activation calibration (absmax / p999 / mse).
-        from burn_depth_tpu.core.tiers import tier_exclude_k
+        # k most-sensitive linears.  BENCH_INT8=pfc{k}: the scheduling rung —
+        # k evenly-spaced patch fc2 linears float (~9% faster than full
+        # int8; core/tiers.py ladder).  BENCH_INT8_CALIB picks the
+        # activation calibration (absmax / p999 / mse).
+        from burn_depth_tpu.core.tiers import tier_exclude_k, tier_patch_fc2_k
 
         k = tier_exclude_k(f"int8{int8_mode}") if int8_mode.startswith("mix") else 0
+        pfc = tier_patch_fc2_k(f"int8{int8_mode}") if int8_mode.startswith("pfc") else 0
         calib_method = os.environ.get("BENCH_INT8_CALIB", "absmax")
         model = model.quantize_vit(
-            calibration_input=calib, exclude_k=k, calib_method=calib_method
+            calibration_input=calib, exclude_k=k, exclude_patch_fc2=pfc,
+            calib_method=calib_method,
         )
         log(f"int8 ViT serving tier (BENCH_INT8={int8_mode}, calib={calib_method}"
-            + (f", {k} linears kept float" if k else "")
+            + (f", {k} ranked linears kept float" if k else "")
+            + (f", {pfc} patch fc2 linears kept float" if pfc else "")
             + f") prepared in {time.perf_counter() - t0:.1f}s")
     # Serving default: decoder out_conv folded into the fusion deconvs
     # (170.2 vs 171.2 ms A/B).  The phase-packed head ("head"/"1") measured

@@ -40,7 +40,13 @@ REPO = Path(__file__).resolve().parent.parent.parent
 # the 1e-3 clause, selection steps down the mix rungs instead of taking
 # the binary 15% BENCH_INT8=0 cliff.  A rung is only selectable once its
 # drift is measured into the record, like every other tier.
+# ``int8pfc{k}`` is the scheduling rung: int8 with k evenly-spaced
+# patch-encoder fc2 linears kept float — measured ~9% FASTER end-to-end
+# than full int8 on the v5e (XLA schedules the de-periodized block chain
+# better; BENCH.md round 5) while strictly REDUCING quantization, so its
+# drift is bounded by full int8's.
 TIER_LADDER = [
+    ("pfc4", "tanh", "bf16_tanh_int8pfc4_fused", "_int8pfc4"),
     ("static", "tanh", "bf16_tanh_int8_fused", "_int8"),
     ("mix4", "tanh", "bf16_tanh_int8mix4_fused", "_int8mix4"),
     ("mix12", "tanh", "bf16_tanh_int8mix12_fused", "_int8mix12"),
@@ -55,6 +61,15 @@ def tier_exclude_k(name: str) -> int:
     import re
 
     m = re.search(r"int8mix(\d+)", name)
+    return int(m.group(1)) if m else 0
+
+
+def tier_patch_fc2_k(name: str) -> int:
+    """Scheduling-rung knob: ``...int8pfc{k}...`` → k patch-encoder fc2
+    linears kept float (``quantize_vit(exclude_patch_fc2=k)``)."""
+    import re
+
+    m = re.search(r"int8pfc(\d+)", name)
     return int(m.group(1)) if m else 0
 
 # DA3-family tier names share the dtype/GELU/int8 grammar minus tail fusion.
@@ -206,9 +221,15 @@ def apply_tier_choice(model, tier_arg: str, log=print):
     if choice.int8:
         os.environ.setdefault("BDT_INT8_EPILOGUE", "bf16")
         k = tier_exclude_k(choice.tier_name)
+        pfc = tier_patch_fc2_k(choice.tier_name)
         # mixed rung without calibration data: the weight-only sensitivity
         # proxy picks the k float-kept linears (quantize_vit docstring)
-        model = model.quantize_vit(exclude_k=k) if k else model.quantize_vit()
+        kwargs = {}
+        if k:
+            kwargs["exclude_k"] = k
+        if pfc:
+            kwargs["exclude_patch_fc2"] = pfc
+        model = model.quantize_vit(**kwargs)
     log(f"auto tier: {choice.tier_name} — {choice.reason}")
     return model
 

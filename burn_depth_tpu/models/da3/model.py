@@ -365,6 +365,7 @@ class DepthAnything3:
         unit_scales: bool = False,
         exclude_k: int = 0,
         exclude: Optional[set] = None,
+        exclude_patch_fc2: int = 0,
         calib_method: str = "absmax",
     ) -> "DepthAnything3":
         """Opt-in int8 serving tier (``Policy.SERVING_INT8``), same scheme as
@@ -389,6 +390,10 @@ class DepthAnything3:
             weight_sensitivity_blocks,
         )
 
+        if exclude_patch_fc2:
+            # the pfc scheduling rung is a Depth Pro 35-tile-ViT measurement;
+            # DA3's single-pass backbone showed int8 speed-NEUTRAL outright
+            raise ValueError("exclude_patch_fc2 is a DepthPro serving knob")
         if exclude is None:
             exclude = set()
             if exclude_k > 0:

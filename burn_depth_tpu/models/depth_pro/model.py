@@ -450,6 +450,7 @@ class DepthPro:
         unit_scales: bool = False,
         exclude_k: int = 0,
         exclude: Optional[set] = None,
+        exclude_patch_fc2: int = 0,
         calib_method: str = "absmax",
     ) -> "DepthPro":
         """Opt-in int8 serving tier (``Policy.SERVING_INT8``): per-channel
@@ -472,6 +473,17 @@ class DepthPro:
         global linear indices in float.  The measured frontier sits between
         full int8 and the all-float tanh tier (BENCH.md round 5).
 
+        ``exclude_patch_fc2``: keep the fc2 of that many EVENLY-SPACED
+        patch-encoder blocks in float.  This is a measured SPEED
+        optimization, not an accuracy knob: on the v5e, breaking the
+        24-identical-block periodicity of the int8 patch-ViT at ~4 points
+        lets XLA schedule the whole program ~9% faster (168 → ~153 ms
+        end-to-end at 1536²; BENCH.md round 5 — reproduced across
+        processes and block choices, non-monotone in the count: 2 → 160 ms,
+        4 → 153 ms, 8 → 166 ms, all 24 → 178 ms).  Since it strictly
+        REMOVES quantization, its drift is bounded by full int8's.
+        Composes with ``exclude``/``exclude_k`` (union of exclusions).
+
         ``unit_scales``: build the static-scale STRUCTURE with placeholder
         1.0 activation scales and no calibration forward — the load template
         for pre-calibrated int8 checkpoints (``load_quantized``)."""
@@ -484,6 +496,16 @@ class DepthPro:
             if exclude_k > 0:
                 ranked = self.rank_vit_sensitivity(calibration_input)
                 exclude = {idx for idx, _n, _s in ranked[:exclude_k]}
+        else:
+            exclude = set(exclude)
+        if exclude_patch_fc2 > 0:
+            from burn_depth_tpu.ops.quant import HOT_LINEARS
+
+            d = len(self.params["encoder"]["patch_encoder"]["blocks"])
+            k = min(exclude_patch_fc2, d)
+            blocks = {min(d - 1, round((i + 0.5) * d / k)) for i in range(k)}
+            fc2_pos = HOT_LINEARS.index("fc2")
+            exclude |= {4 * b + fc2_pos for b in blocks}  # patch encoder = offset 0
 
         scales = None
         if unit_scales:

@@ -488,3 +488,46 @@ def test_quantize_vit_exclude_k_model_api():
     ranked = model.rank_vit_sensitivity()
     assert len(ranked) == 3 * 4 * cfg.patch_encoder.depth
     assert ranked[0][2] >= ranked[-1][2]
+
+
+def test_exclude_patch_fc2_scheduling_rung():
+    """quantize_vit(exclude_patch_fc2=k): exactly k patch-encoder fc2
+    linears stay float, evenly spaced; image/fov encoders fully int8; the
+    model still runs.  (The speed claim behind the rung is measured on
+    hardware — BENCH.md round 5.)"""
+    from burn_depth_tpu.models.depth_pro import DepthPro, DepthProConfig
+
+    cfg = DepthProConfig.tiny_test(depth=6)
+    model = DepthPro.init(jax.random.PRNGKey(0), cfg)
+    qm = model.quantize_vit(exclude_patch_fc2=2)
+
+    float_fc2 = [
+        b for b, bp in enumerate(qm.params["encoder"]["patch_encoder"]["blocks"])
+        if "weight" in bp["mlp"]["fc2"] and "weight_i8" not in bp["mlp"]["fc2"]
+    ]
+    assert len(float_fc2) == 2
+    assert float_fc2[0] != float_fc2[1]
+    for enc in ("patch_encoder", "image_encoder"):
+        for b, bp in enumerate(qm.params["encoder"][enc]["blocks"]):
+            assert "weight_i8" in bp["attn"]["qkv"]  # everything else int8
+            if enc == "image_encoder":
+                assert "weight_i8" in bp["mlp"]["fc2"]
+    x = jnp.zeros((1, 3, cfg.img_size, cfg.img_size))
+    assert np.isfinite(np.asarray(qm.infer(x).depth)).all()
+
+    from burn_depth_tpu.core.tiers import tier_patch_fc2_k
+
+    assert tier_patch_fc2_k("bf16_tanh_int8pfc4_fused") == 4
+    assert tier_patch_fc2_k("bf16_tanh_int8_fused") == 0
+
+    # DA3 rejects the knob (it is a Depth Pro 35-tile measurement)
+    from burn_depth_tpu.models.da3 import DepthAnything3, DepthAnything3Config
+
+    da3 = DepthAnything3.init(
+        jax.random.PRNGKey(0),
+        dataclasses.replace(DepthAnything3Config.small(), image_size=28, attn_impl="jnp"),
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        da3.quantize_vit(exclude_patch_fc2=4)

@@ -108,16 +108,17 @@ def tier_model(base, tier: str, x_np: np.ndarray):
     model = type(base)(base.config, params)
     x = jnp.asarray(x_np, dtype)
     if "_int8" in tier:
-        from burn_depth_tpu.core.tiers import tier_exclude_k
+        from burn_depth_tpu.core.tiers import tier_exclude_k, tier_patch_fc2_k
 
         calib_method = "p999" if "_p999" in tier else ("mse" if "_mse" in tier else "absmax")
         # static calibration on the measurement image itself (what a serving
         # deployment calibrates on: representative data, not noise)
-        model = model.quantize_vit(
-            calibration_input=x,
-            exclude_k=tier_exclude_k(tier),
-            calib_method=calib_method,
-        )
+        kw = dict(calibration_input=x, exclude_k=tier_exclude_k(tier),
+                  calib_method=calib_method)
+        pfc = tier_patch_fc2_k(tier)
+        if pfc:
+            kw["exclude_patch_fc2"] = pfc
+        model = model.quantize_vit(**kw)
     if "_fused" in tier:
         model = model.fuse_tail(head=False, decoder=True)  # bench default BENCH_FUSE_TAIL=decoder
     return model, x
