@@ -157,8 +157,10 @@ def test_mixed_rung_selected_when_full_int8_fails_the_gate():
     widest = max(int(k[6:]) for k in rec if k.startswith("thin_w") and k[6:].isdigit())
     wide = rec[f"thin_w{widest}"]["tiers"]
 
-    # full int8 breaks the gate at the real width
+    # the int8 family breaks the gate at the real width (pfc4 is int8 minus
+    # a few linears — trained outliers that break one break both)
     wide["f32_tanh_int8_fused"]["vs_parity"]["abs_rel_mean"] = 2e-3
+    wide["f32_tanh_int8pfc4_fused"]["vs_parity"]["abs_rel_mean"] = 2e-3
     # ...but the measured mix4 rung passes on both legs
     thin["f32_tanh_int8mix4_fused"] = {
         "vs_parity": {"abs_rel_mean": 2e-4, "inv_mean_abs": 2e-4}
