@@ -69,9 +69,12 @@ def main() -> int:
     model = DepthPro.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     calib = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, size, size), jnp.bfloat16)
     t0 = time.time()
-    model = model.quantize_vit(calibration_input=calib)  # shipping tier
+    # shipping tier = int8pfc4 (BENCH.md round 5); BDT_SLA_FULL_INT8=1
+    # re-measures the plain int8 tier for A/Bs
+    pfc = 0 if os.environ.get("BDT_SLA_FULL_INT8") == "1" else 4
+    model = model.quantize_vit(calibration_input=calib, exclude_patch_fc2=pfc)
     model = model.fuse_tail(head=False, decoder=True)
-    log(f"int8-static + fused tail prepared in {time.time() - t0:.1f}s")
+    log(f"int8-static(pfc={pfc}) + fused tail prepared in {time.time() - t0:.1f}s")
     wrapped = AnyDepthModel(DepthModelKind.DEPTH_PRO, model)
 
     # Depth Pro squash-resizes any input to 1536² in-graph; buckets 1/2 keep

@@ -266,6 +266,12 @@ def run_realtime(
         x = (x - jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)) / jnp.asarray(
             IMAGENET_STD
         ).reshape(1, 3, 1, 1)
+        # serving-dtype cast — same fix as serve/step.with_u8_ingest: a bf16
+        # model must not promote to f32 through the normalize
+        if any(
+            getattr(leaf, "dtype", None) == jnp.bfloat16 for leaf in jax.tree.leaves(params)
+        ):
+            x = x.astype(jnp.bfloat16)
         if kind_da3:
             head_out, camera_pred, _ = inner._forward_internal(params, x, None, None)
             depth = inner._finalize(head_out, camera_pred).depth[0]

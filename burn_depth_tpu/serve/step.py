@@ -50,7 +50,22 @@ def with_u8_ingest(forward_fn: Callable) -> Callable:
         x = x_u8.astype(jnp.float32) / 255.0
         mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
         std = jnp.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
-        return forward_fn(params, (x - mean) / std)
+        x = (x - mean) / std
+        # Run the network in the MODEL's serving dtype.  Without this cast a
+        # bf16-policy model silently promotes to f32 through the normalize
+        # (f32 x bf16 -> f32): ~5x slower, and the 1536² flash-attention
+        # kernel VMEM-OOMs at compile in f32 — found by the round-5 server
+        # SLA bench, which could not even compile the production /infer
+        # program on the chip.  int8 trees keep f32 biases/scales, so probe
+        # for a bf16 leaf rather than trusting the first float leaf.
+        import jax
+
+        if any(
+            getattr(leaf, "dtype", None) == jnp.bfloat16
+            for leaf in jax.tree.leaves(params)
+        ):
+            x = x.astype(jnp.bfloat16)
+        return forward_fn(params, x)
 
     return wrapped
 
